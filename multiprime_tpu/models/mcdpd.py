@@ -1,0 +1,776 @@
+"""MC-DPD / MC-EDPD degenerate-primer design engine.
+
+TPU-native re-design of the reference's ``NN_degenerate`` class
+(/root/reference/scripts/multiPrime-core.py:342-1180) with identical output
+semantics.  The computation is split into two stages:
+
+* **Stage A (batched)** — window extraction with gap patching, per-window
+  frequency/N-N transition tensors, entropy gates and batched Viterbi over
+  *all* windows at once.  This stage is pure tensor algebra over a uint8
+  IUPAC-mask matrix and has a JAX/TPU implementation
+  (:mod:`multiprime_tpu.ops.design_scan`); the NumPy path here is the
+  bit-exact reference used by tests and by CPU-only runs.
+
+* **Stage B (host)** — the order-dependent greedy degeneracy refinement,
+  mismatch-coverage bookkeeping and output formatting.  All arithmetic is
+  integer or memoized-exact float, reproducing the reference's results
+  bit-for-bit (including its aliasing and defaultdict-insertion quirks, see
+  inline notes).
+
+Window positions are independent, so Stage A shards naturally over a device
+mesh (sequence axis -> psum of count tensors, window axis -> data parallel);
+see multiprime_tpu.parallel.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..thermo import exact as thermo
+from ..utils import iupac
+
+BASES = ("A", "C", "G", "T")
+_BASE2IDX = {"A": 0, "C": 1, "G": 2, "T": 3}
+_ASCII_BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+# Tri/di-nucleotide run patterns (multiPrime-core.py:196-207): XXXX, XYXYXYXY,
+# and XYZXYZXYZ for distinct X,Y,Z (i != j != k chains include '#' in the
+# reference's base2bit; '#' never occurs in primers so those are inert).
+_DI_PATTERNS = None
+
+
+def _di_nucleotide_patterns():
+    global _DI_PATTERNS
+    if _DI_PATTERNS is None:
+        pats = set()
+        syms = ["A", "C", "G", "T", "#"]
+        for i in syms:
+            pats.add(i * 4)
+            for j in syms:
+                if i != j:
+                    pats.add((i + j) * 4)
+                for k in syms:
+                    if i != j and j != k:
+                        pats.add((i + j + k) * 3)
+        _DI_PATTERNS = sorted(pats)
+    return _DI_PATTERNS
+
+
+@dataclass
+class DesignParams:
+    """Knobs of the design engine (CLI of multiPrime-core.py:60-102).
+
+    ``algo`` selects which reference behaviour to reproduce bit-for-bit:
+
+    * ``"v20"`` — the current multiPrime-core.py (used by multiPrime.py):
+      mis-coverage-driven refinement, coordinate as a position list, rounded
+      Y-distance, exponential dimer penalty denominator.
+    * ``"v16"`` — multiPrime-core_V16.py, the version that generated the
+      shipped golden test_data/results: V15 behaviour plus the coordinate-set
+      mismatch gating of v20 (still unrounded Y-distance, linear penalty).
+    * ``"v15"`` — multiPrime-core_V15.py (used by multiPrime-original.py):
+      full-degenerate short-circuit, perfect-coverage-driven refinement,
+      coordinate as a single int margin, unrounded Y-distance floats, linear
+      dimer penalty denominator.
+    """
+
+    primer_length: int = 18
+    coverage: float = 0.8          # -f fraction
+    dege_number: int = 4           # -n max number of degenerate positions
+    degeneracy: int = 10           # -d max degeneracy product
+    variation: int = 1             # -v max mismatches / max gaps
+    entropy_threshold: float = 3.6  # -e
+    gc: tuple = (0.2, 0.7)         # -g
+    min_product: int = 100         # -s
+    coordinate: str = "1,2,-1"     # -c forbidden mismatch positions (v20)
+    position_margin: int = 4       # -c forbidden margin (v15 semantics)
+    hairpin_distance: int = 4      # -a
+    nproc: int = 1
+    algo: str = "v20"
+
+
+def _build_covered_table(rounded):
+    """Per-char-pair "covered" truth table replicating Y_distance.
+
+    The reference computes score_table[c1] - score_table[c2] (numpy float64)
+    and treats the position as covered when the difference is a member of
+    score_table.values() — with round(.,2) in v20 (core.py:229-233) and raw
+    float equality in v15 (core_V15.py:275-277).  We evaluate the identical
+    float arithmetic once for every pair and cache the booleans in a 128x128
+    ASCII-indexed matrix.
+    """
+    table = np.zeros((128, 128), dtype=bool)
+    values = list(iupac.SCORE_TABLE.values())
+    for c1, s1 in iupac.SCORE_TABLE.items():
+        if c1 == "#":
+            continue
+        for c2, s2 in iupac.SCORE_TABLE.items():
+            if c2 == "#":
+                continue
+            d = np.float64(s1) - np.float64(s2)
+            if rounded:
+                d = round(d, 2)
+            table[ord(c1), ord(c2)] = d in values
+    return table
+
+
+_COVERED_V20 = _build_covered_table(rounded=True)
+_COVERED_V15 = _build_covered_table(rounded=False)
+
+
+@dataclass
+class WindowResult:
+    position: int
+    c_bit: float
+    t_bit: float
+    primer: str
+    dege_number: int
+    nonsense: int
+    coverage: int
+    f_mis: int
+    r_mis: int
+    tm: float
+    information: object
+    f_non_cover: dict = field(default_factory=dict)
+    r_non_cover: dict = field(default_factory=dict)
+    gap_ids: dict = field(default_factory=dict)
+
+    def row(self):
+        return [self.position, self.c_bit, self.t_bit, self.primer,
+                self.dege_number, self.nonsense, self.coverage,
+                self.f_mis, self.r_mis, self.tm, self.information]
+
+
+class MSAWindows:
+    """Stage A: vectorised window extraction with the reference's gap-patching
+    semantics (multiPrime-core.py:666-687).
+
+    Leading/trailing gaps of a window are replaced with the nearest flanking
+    non-gap characters of the same sequence when enough exist.
+    """
+
+    def __init__(self, seq_ids, char_matrix, plen):
+        self.seq_ids = seq_ids
+        self.chars = char_matrix            # [N, L] uint8 ASCII
+        self.plen = plen
+        self.n, self.length = char_matrix.shape
+        gap = char_matrix == ord("-")
+        nz = ~gap
+        pos = np.arange(self.length)
+        # Non-gap count strictly before each column.
+        cs = np.cumsum(nz, axis=1)
+        self.before = np.concatenate(
+            [np.zeros((self.n, 1), np.int64), cs[:, :-1]], axis=1)
+        self.total = cs[:, -1]
+        # Distance from p to the next non-gap at or after p.
+        nxt = np.where(nz, pos[None, :], self.length)
+        nxt = np.minimum.accumulate(nxt[:, ::-1], axis=1)[:, ::-1]
+        self.run_from = nxt - pos[None, :]          # gap-run length starting at p
+        prv = np.where(nz, pos[None, :], -1)
+        prv = np.maximum.accumulate(prv, axis=1)
+        self.run_to = pos[None, :] - prv            # gap-run length ending at p
+        # Compressed (gapless) characters, left-packed per row.
+        self.packed = np.zeros_like(char_matrix)
+        rows, cols = np.nonzero(nz)
+        self.packed[rows, self.before[rows, cols]] = char_matrix[rows, cols]
+
+    def windows(self, positions):
+        """Patched windows for the given start positions -> [N, W, plen] ASCII."""
+        plen = self.plen
+        p = np.asarray(positions)
+        j = np.arange(plen)
+        win = self.chars[:, (p[:, None] + j[None, :])]   # [N, W, plen]
+        lead = np.minimum(self.run_from[:, p], plen)        # [N, W]
+        trail = np.minimum(self.run_to[:, p + plen - 1], plen)
+        allgap = lead >= plen
+        c_start = self.before[:, p]
+        c_end = self.before[:, p + plen - 1] + (self.chars[:, p + plen - 1] != ord("-"))
+        use_lead = (~allgap) & (lead > 0) & (c_start >= lead)
+        use_trail = (~allgap) & (trail > 0) & \
+            ((self.total[:, None] - c_end) >= trail)
+        lead_idx = np.clip(c_start[:, :, None] - lead[:, :, None] + j, 0,
+                           self.length - 1)
+        lead_vals = np.take_along_axis(
+            self.packed, lead_idx.reshape(self.n, -1), axis=1
+        ).reshape(win.shape)
+        win = np.where(use_lead[:, :, None] & (j < lead[:, :, None]),
+                       lead_vals, win)
+        trail_off = j - (plen - trail[:, :, None])
+        trail_idx = np.clip(c_end[:, :, None] + trail_off, 0, self.length - 1)
+        trail_vals = np.take_along_axis(
+            self.packed, trail_idx.reshape(self.n, -1), axis=1
+        ).reshape(win.shape)
+        win = np.where(use_trail[:, :, None] & (trail_off >= 0),
+                       trail_vals, win)
+        return win
+
+
+def parse_msa(path):
+    """MSA FASTA -> (ids, char matrix) with the reference's cleaning:
+    uppercase, non-[ACGTRYMKSWHBVD] -> '-' (N becomes a gap; core.py:441-455).
+    IDs keep their '>' prefix like the reference's dict keys."""
+    ids, seqs = [], []
+    cur = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            if line.startswith(">"):
+                if cur:
+                    seqs.append("".join(cur))
+                    cur = []
+                ids.append(line.strip().split(" ")[0])
+            else:
+                cur.append(line.strip().upper())
+    if cur:
+        seqs.append("".join(cur))
+    keep = set(b"ACGTRYMKSWHBVD")
+    table = np.full(256, ord("-"), np.uint8)
+    for b in keep:
+        table[b] = b
+    lower_to_upper = {ord(c): ord(c.upper()) for c in "acgtrymkswhbvd"}
+    for lo, up in lower_to_upper.items():
+        table[lo] = up
+    mat = np.stack([
+        table[np.frombuffer(s.encode("ascii"), np.uint8)] for s in seqs])
+    return ids, mat
+
+
+class DesignEngine:
+    """Bit-exact MC-EDPD engine over one MSA."""
+
+    def __init__(self, params: DesignParams):
+        self.p = params
+        if params.algo in ("v20", "v16"):
+            self.y_strict, self.y_strict_r = self._forbidden_sets()
+        else:
+            self.y_strict = self.y_strict_r = None
+        self._covered = _COVERED_V20 if params.algo == "v20" else _COVERED_V15
+        self._di_pats = _di_nucleotide_patterns()
+
+    # -- parameter-derived sets ------------------------------------------------
+    def _forbidden_sets(self):
+        """Forbidden mismatch positions (get_Y, core.py:1091-1101)."""
+        plen = self.p.primer_length
+        f, r = [], []
+        for tok in self.p.coordinate.split(","):
+            y = int(tok.strip())
+            if y > 0:
+                f.append(y)
+                r.append(plen - y)
+            else:
+                f.append(plen + y + 1)
+                r.append(-y + 1)
+        return set(f), set(r)
+
+    # -- per-primer string filters (reference semantics) -----------------------
+    def hairpin_check(self, primer: str) -> bool:
+        """Sliding 5-mer vs downstream tail RC search (core.py:387-398)."""
+        d = self.p.hairpin_distance
+        n = 0
+        while n <= len(primer) - 10 - d:
+            for k in iupac.expand(primer[n:n + 5]):
+                rck = iupac.rc(k)
+                for tail in iupac.expand(primer[n + 5 + d:]):
+                    if rck in tail:
+                        return True
+            n += 1
+        return False
+
+    def di_nucleotide(self, primer: str) -> bool:
+        for m in iupac.expand(primer):
+            for pat in self._di_pats:
+                if pat in m:
+                    return True
+        return False
+
+    def gc_clamp(self, primer: str, num=4, length=13) -> bool:
+        for i in range(num, num + length):
+            if thermo.gc_degenerate_mean(primer[-i:]) > 0.6:
+                return True
+        return False
+
+    def current_end(self, primer: str, adaptor="", num=5, length=14):
+        out = []
+        ext = adaptor + primer
+        for i in range(num, num + length):
+            s = ext[-i:]
+            if s:
+                out.extend(iupac.expand(s))
+        return out
+
+    def dimer_check(self, primer: str) -> bool:
+        """Self-dimer 3'-end scan (core.py:487-503).  v15 uses the linear
+        penalty denominator (core_V15.py:240-242), v20 the exponential one."""
+        ends = sorted(self.current_end(primer), key=len, reverse=True)
+        expansions = iupac.expand(primer)
+        linear = self.p.algo in ("v15", "v16")
+        for end in ends:
+            rce = iupac.rc(end)
+            for p in expansions:
+                idx = p.find(rce)
+                if idx >= 0:
+                    d2 = len(p) - len(end) - idx
+                    gc = end.count("G") + end.count("C")
+                    if linear:
+                        loss = thermo.penalty_points_linear(len(end), gc, 0, d2)
+                    else:
+                        loss = thermo.penalty_points(len(end), gc, 0, d2)
+                    dg = thermo.delta_g(end, both_ends=True)
+                    if loss >= 3 or (dg < -5 and d2 == 0):
+                        return True
+        return False
+
+    def pre_filter_info(self, primer: str):
+        """GC / di-nucleotide / hairpin report (core.py:507-521)."""
+        issues = []
+        gc = thermo.gc_degenerate_mean(primer)
+        lo, hi = self.p.gc
+        if not float(lo) <= gc <= float(hi):
+            issues.append("GC_out_of_range (" + str(gc) + ")")
+        if self.di_nucleotide(primer):
+            issues.append("di_nucleotide")
+        if self.hairpin_check(primer):
+            issues.append("hairpin")
+        return gc if not issues else "|".join(issues)
+
+    # -- MSA attributes --------------------------------------------------------
+    def usable_span(self, chars):
+        """Quantile-based usable window span (seq_attribute, core.py:617-640)."""
+        gap = chars == ord("-")
+        n, length = chars.shape
+        first = np.argmax(~gap, axis=1)
+        first = np.where(gap.all(axis=1), length, first)
+        last = length - np.argmax(~gap[:, ::-1], axis=1)
+        last = np.where(gap.all(axis=1), 0, last)
+        start = int(np.quantile(first, self.p.coverage, method="higher"))
+        stop = int(np.quantile(last, self.p.coverage, method="lower"))
+        if stop - start < int(self.p.min_product):
+            raise ValueError(
+                "usable span {} shorter than min product size {} at coverage {}"
+                .format(stop - start, self.p.min_product, self.p.coverage))
+        return start, stop
+
+    def entropy_threshold(self, length):
+        raw = self.p.entropy_threshold
+        if length < 5000:
+            return raw
+        if length < 10000:
+            return raw * 0.95
+        return raw * 0.9
+
+    # -- main ------------------------------------------------------------------
+    def design(self, seq_ids, chars, progress=None):
+        """Run the full engine. Returns list[WindowResult] sorted by position."""
+        plen = self.p.primer_length
+        n = len(seq_ids)
+        start, stop = self.usable_span(chars)
+        threshold = self.entropy_threshold(stop - start)
+        extractor = MSAWindows(seq_ids, chars, plen)
+        results = []
+        positions = np.arange(start, stop - plen)
+        block = 256
+        for b0 in range(0, len(positions), block):
+            pos_block = positions[b0:b0 + block]
+            wins = extractor.windows(pos_block)      # [N, W, plen]
+            for wi, position in enumerate(pos_block):
+                res = self._design_window(int(position), wins[:, wi, :],
+                                          seq_ids, n, threshold)
+                if res is not None:
+                    results.append(res)
+            if progress:
+                progress(min(b0 + block, len(positions)), len(positions))
+        return results
+
+    # -- per-window Stage B ----------------------------------------------------
+    def _design_window(self, position, win_chars, seq_ids, total, threshold):
+        p = self.p
+        plen = p.primer_length
+        rows = [win_chars[s].tobytes().decode("ascii")
+                for s in range(win_chars.shape[0])]
+        gapcnt = np.char.count(np.array(rows), "-")
+        is_gap = gapcnt > p.variation
+
+        # Gap gate: the reference checks the running rounded fraction after
+        # each gappy sequence and at the end; the fraction is monotone, so it
+        # reduces to the final check (core.py:689-713).
+        gap_number = int(is_gap.sum())
+        if round(gap_number / total, 2) >= (1 - p.coverage):
+            return None
+
+        # cover / gap dictionaries in file order, expansions in product order.
+        cover = {}
+        cover_for_mm = {}
+        non_gap_seq_id = {}
+        gap_sequence = {}
+        gap_seq_id = {}
+        for s, row in enumerate(rows):
+            if is_gap[s]:
+                gap_sequence[row] = gap_sequence.get(row, 0) + 1
+                for e in iupac.expand(row):
+                    gap_seq_id.setdefault(e, []).append(seq_ids[s])
+            else:
+                for e in iupac.expand(row):
+                    cover[e] = cover.get(e, 0) + 1
+                    non_gap_seq_id.setdefault(e, []).append(seq_ids[s])
+                    if "-" not in e:
+                        cover_for_mm[e] = cover_for_mm.get(e, 0) + 1
+        if len(cover) < 1:
+            return None
+        cover_number = int((~is_gap).sum())
+
+        c_bit, t_bit = thermo.shannon_pair(
+            list(cover.values()), cover_number,
+            list(gap_sequence.values()), gap_number)
+        if t_bit > threshold:
+            return None
+
+        # Frequency matrix [4, plen] and NN tensor [plen-1, 4, 4] over the
+        # distinct expansions weighted by their counts.
+        keys = list(cover.keys())
+        counts = np.fromiter(cover.values(), dtype=np.int64, count=len(keys))
+        key_chars = np.frombuffer("".join(keys).encode("ascii"),
+                                  np.uint8).reshape(len(keys), plen)
+        onehot = key_chars[:, :, None] == _ASCII_BASES[None, None, :]  # [K,L,4]
+        freq = np.einsum("k,klb->bl", counts, onehot.astype(np.int64))
+        if (freq.sum(axis=0) == 0).any():
+            return None
+        if (freq.sum(axis=1) == 0).any():     # a < 4: some base never occurs
+            return None
+        left = onehot[:, :-1, :].astype(np.int64)
+        right = onehot[:, 1:, :].astype(np.int64)
+        nn = np.einsum("k,kli,klj->lij", counts, left, right)
+
+        cover_extra = set()
+
+        if self.p.algo in ("v15", "v16"):
+            # Full-degenerate short-circuit (core_V15.py:604-618, 841-867):
+            # when the per-position union of observed bases is within the
+            # degeneracy budget, use it directly without Viterbi/refinement.
+            bits = np.array([iupac.CHAR_TO_MASK[b] for b in BASES])
+            union = np.bitwise_or.reduce(
+                np.where(freq > 0, bits[:, None], 0), axis=0)
+            full = "".join(iupac.MASK_TO_CHAR[int(m)] for m in union)
+            full_dege = iupac.degeneracy(full)
+            full_n = iupac.num_degenerate_positions(full)
+            if full_dege < self.p.degeneracy and full_n < self.p.dege_number:
+                info = self.pre_filter_info(full)
+                f_mis_cc, f_non, r_mis_cc, r_non = self._mis_primer_check(
+                    set(cover.keys()), full, cover, non_gap_seq_id)
+                init = sum(cover[e] for e in
+                           set(cover.keys()) & set(iupac.expand(full)))
+                return self._finalize(position, c_bit, t_bit, full,
+                                      init + f_mis_cc, init + r_mis_cc, info,
+                                      f_non, r_non, cover, cover_extra,
+                                      gap_seq_id)
+
+        viterbi_path = _viterbi(freq, nn)
+
+        if cover_for_mm:
+            # stable max with insertion-order tie-break == sorted(reverse=True)[0]
+            best = None
+            for k, v in cover_for_mm.items():
+                if best is None or v > best[1]:
+                    best = (k, v)
+            mm_path = [_BASE2IDX[ch] for ch in best[0]]
+            if viterbi_path.tolist() == mm_path:
+                branch = self._coverage_stats(
+                    viterbi_path, freq, nn.copy(), cover, cover_for_mm,
+                    non_gap_seq_id, cover_number, cover_extra)
+                (primer, f_mis, r_mis, info, f_non, r_non) = branch
+            else:
+                nm = self._coverage_stats(
+                    viterbi_path, freq, nn.copy(), cover, cover_for_mm,
+                    non_gap_seq_id, cover_number, cover_extra)
+                mm = self._coverage_stats(
+                    np.array(mm_path), freq, nn.copy(), cover, cover_for_mm,
+                    non_gap_seq_id, cover_number, cover_extra)
+                if (nm[1] + nm[2]) > (mm[1] + mm[2]):
+                    primer, f_mis, r_mis, info, f_non, r_non = nm
+                else:
+                    primer, f_mis, r_mis, info, f_non, r_non = mm
+        else:
+            branch = self._coverage_stats(
+                viterbi_path, freq, nn.copy(), cover, cover_for_mm,
+                non_gap_seq_id, cover_number, cover_extra)
+            primer, f_mis, r_mis, info, f_non, r_non = branch
+
+        return self._finalize(position, c_bit, t_bit, primer, f_mis, r_mis,
+                              info, f_non, r_non, cover, cover_extra,
+                              gap_seq_id)
+
+    def _finalize(self, position, c_bit, t_bit, primer, f_mis, r_mis, info,
+                  f_non, r_non, cover, cover_extra, gap_seq_id):
+        """Common output assembly (core.py:846-858) + the dimer gate."""
+        expansions = iupac.expand(primer)
+        nonsense = len(set(expansions) - (set(cover.keys()) | cover_extra))
+        dege_n = iupac.num_degenerate_positions(primer)
+        tm_avg = thermo.tm_degenerate_mean(primer)
+        perfect = sum(cover.get(e, 0) for e in expansions)
+        if self.dimer_check(primer):
+            return None
+        return WindowResult(position, c_bit, t_bit, primer, dege_n, nonsense,
+                            perfect, f_mis, r_mis, tm_avg, info,
+                            f_non, r_non, gap_seq_id)
+
+    # -- refinement ------------------------------------------------------------
+    def _coverage_stats(self, path, freq, nn, cover, cover_for_mm,
+                        non_gap_seq_id, cover_number, cover_extra):
+        """Greedy NN refinement loop (coverage_stast, core.py:860-920)."""
+        p = self.p
+        path = np.asarray(path)
+        primer_list = [BASES[i] for i in path]
+        consensus = "".join(primer_list)
+        cover_extra.add(consensus)               # defaultdict insertion quirk
+        coverage_init = cover.get(consensus, 0)
+        nn_index = [[int(path[i]), int(path[i + 1])]
+                    for i in range(len(path) - 1)]
+        nn_cov = [int(nn[i, a, b]) for i, (a, b) in enumerate(nn_index)]
+        cover_key_set = set(cover.keys())
+
+        if p.algo in ("v15", "v16"):
+            # Perfect-coverage-driven loop, mis-check only once at the end
+            # (core_V15.py:964-986).
+            while coverage_init < cover_number:
+                (primer_list, coverage_init, nn_cov_new, nn, dege, n_dege) = \
+                    self._refine_step(primer_list, coverage_init, cover,
+                                      nn_index, nn_cov, nn)
+                if nn_cov_new == nn_cov:
+                    break
+                elif dege >= p.degeneracy or n_dege >= p.dege_number:
+                    break
+                else:
+                    nn_cov = nn_cov_new
+            f_mis, f_non, r_mis, r_non = self._mis_primer_check(
+                cover_key_set, "".join(primer_list), cover, non_gap_seq_id)
+        else:
+            f_mis, f_non, r_mis, r_non = self._mis_primer_check(
+                cover_key_set, "".join(primer_list), cover, non_gap_seq_id)
+            while (coverage_init + f_mis < cover_number
+                   or coverage_init + r_mis < cover_number):
+                (primer_list, coverage_init, nn_cov_new, nn, dege, n_dege) = \
+                    self._refine_step(primer_list, coverage_init, cover,
+                                      nn_index, nn_cov, nn)
+                f_mis, f_non, r_mis, r_non = self._mis_primer_check(
+                    cover_key_set, "".join(primer_list), cover, non_gap_seq_id)
+                if max(f_mis, r_mis) == cover_number:
+                    break
+                elif nn_cov_new == nn_cov:
+                    break
+                elif (2 * dege > p.degeneracy or 3 * dege / 2 > p.degeneracy
+                        or n_dege == p.dege_number):
+                    break
+                else:
+                    nn_cov = nn_cov_new
+
+        primer = "".join(primer_list)
+        info = self.pre_filter_info(primer)
+        return (primer, coverage_init + f_mis, coverage_init + r_mis, info,
+                dict(f_non), dict(r_non))
+
+    def _refine_step(self, primer_list, coverage_init, cover, nn_index,
+                     nn_cov, nn):
+        """One refinement move (refine_by_NN_array, core.py:922-1089).
+
+        Candidate positions are all minima of the NN-link coverage; each
+        candidate merges the best-supported alternative base into an IUPAC
+        code and merges the corresponding NN rows/columns.  The reference's
+        in-place list aliasing means each candidate's "updated" primer is the
+        candidate's own working copy - replicated here with explicit copies.
+        """
+        nn_cov_arr = np.asarray(nn_cov)
+        refine_positions = np.where(nn_cov_arr == nn_cov_arr.min())[0]
+        cand_primers, cand_cov, cand_nn, cand_nncov = [], [], [], []
+        for i in refine_positions:
+            i = int(i)
+            nn_tmp = nn.copy()
+            nncov_tmp = list(nn_cov)
+            lst = list(primer_list)
+            cov_renew = coverage_init
+            row, column = nn_index[i]
+            if i == 0:
+                if len(np.where(nn_tmp[0, :, column] > 0)[0]) > 1:
+                    order = np.argsort(nn_tmp[i, :, column], axis=0)[::-1]
+                    for idx in order:
+                        idx = int(idx)
+                        if idx != row:
+                            merged = iupac.union_char([lst[i], BASES[idx]])
+                            lst[i] = BASES[idx]
+                            cov_renew += self._coverage_of(lst, cover)
+                            lst[i] = merged
+                            nn_tmp[i, row, :] += nn_tmp[i, idx, :]
+                            nn_tmp[i, idx, :] = 0
+                            nncov_tmp[i] = int(nn_tmp[i, row, column])
+                            break
+                elif len(np.where(nn_tmp[0, row, :] > 0)[0]) > 1:
+                    nrow, ncol = nn_index[i + 1]
+                    rmin = np.minimum(nn_tmp[i, row, :], nn_tmp[i + 1, :, ncol])
+                    order = np.argsort(rmin, axis=0)[::-1]
+                    if len(np.where(rmin > 0)[0]) > 1:
+                        for idx in order:
+                            idx = int(idx)
+                            if idx != column:
+                                merged = iupac.union_char([lst[i + 1], BASES[idx]])
+                                lst[i + 1] = BASES[idx]
+                                cov_renew += self._coverage_of(lst, cover)
+                                lst[i + 1] = merged
+                                nn_tmp[i, :, column] += nn_tmp[i, :, idx]
+                                nn_tmp[i, :, idx] = 0
+                                nn_tmp[i + 1, nrow, :] += nn_tmp[i + 1, idx, :]
+                                nn_tmp[i + 1, idx, :] = 0
+                                nncov_tmp[i] = int(nn_tmp[i, row, column])
+                                nncov_tmp[i + 1] = int(nn_tmp[i + 1, nrow, ncol])
+                                break
+            elif i == len(nn_index) - 1:
+                rrow = nn_tmp[i, row, :]
+                order = np.argsort(rrow, axis=0)[::-1]
+                if len(np.where(rrow > 0)[0]) > 1:
+                    for idx in order:
+                        idx = int(idx)
+                        if idx != column:
+                            merged = iupac.union_char([lst[i + 1], BASES[idx]])
+                            lst[i + 1] = BASES[idx]
+                            cov_renew += self._coverage_of(lst, cover)
+                            lst[i + 1] = merged
+                            nn_tmp[i, :, column] += nn_tmp[i, :, idx]
+                            nn_tmp[i, :, idx] = 0
+                            nncov_tmp[i] = int(nn_tmp[i, row, column])
+                            break
+            else:
+                nrow, ncol = nn_index[i + 1]
+                rmin = np.minimum(nn_tmp[i, row, :], nn_tmp[i + 1, :, ncol])
+                order = np.argsort(rmin, axis=0)[::-1]
+                if len(np.where(rmin > 0)[0]) > 1:
+                    for idx in order:
+                        idx = int(idx)
+                        if idx != column:
+                            merged = iupac.union_char([lst[i + 1], BASES[idx]])
+                            lst[i + 1] = BASES[idx]
+                            cov_renew += self._coverage_of(lst, cover)
+                            lst[i + 1] = merged
+                            nn_tmp[i, :, column] += nn_tmp[i, :, idx]
+                            nn_tmp[i, :, idx] = 0
+                            nn_tmp[i + 1, nrow, :] += nn_tmp[i + 1, idx, :]
+                            nn_tmp[i + 1, idx, :] = 0
+                            nncov_tmp[i] = int(nn_tmp[i, row, column])
+                            nncov_tmp[i + 1] = int(nn_tmp[i + 1, nrow, ncol])
+                            break
+            cand_primers.append(lst)
+            cand_nncov.append(nncov_tmp)
+            cand_cov.append(cov_renew)
+            cand_nn.append(nn_tmp)
+        best = cand_cov.index(max(cand_cov))
+        chosen = cand_primers[best]
+        dege = 1
+        for ch in chosen:
+            dege *= max(1, int(iupac.popcount4(
+                np.array([iupac.CHAR_TO_MASK[ch]], np.uint8))[0]))
+        n_dege = sum(
+            1 for ch in chosen
+            if int(iupac.popcount4(np.array([iupac.CHAR_TO_MASK[ch]],
+                                            np.uint8))[0]) > 1)
+        return (chosen, cand_cov[best], cand_nncov[best], cand_nn[best],
+                dege, n_dege)
+
+    @staticmethod
+    def _coverage_of(primer_list, cover):
+        return sum(cover.get(e, 0)
+                   for e in iupac.expand("".join(primer_list)) if e in cover)
+
+    def _mis_primer_check(self, all_primers, optimal_primer, cover,
+                          non_gap_seq_id):
+        """Mismatch coverage with forbidden 3'/5' positions.
+
+        v20: per-position forbidden sets (mis_primer_check, core.py:1103-1130).
+        v15: margin-based, asymmetric F/R bookkeeping including the quirk that
+        a 3'-region mismatch adds the key to F_non_cover while still counting
+        it for R (core_V15.py:1161-1197).
+        """
+        p = self.p
+        optimal_set = set(iupac.expand(optimal_primer))
+        pa = np.frombuffer(optimal_primer.encode(), np.uint8)
+        cov_rows = self._covered[pa]     # [plen, 128] covered-by lookup
+        f_non, r_non = {}, {}
+        f_mis = r_mis = 0
+        v15_margin = p.algo == "v15"
+        plen = len(optimal_primer)
+        for key in cover.keys():        # deterministic insertion order
+            if key in optimal_set:
+                continue
+            ka = np.frombuffer(key.encode(), np.uint8)
+            dist = np.nonzero(~cov_rows[np.arange(plen), ka])[0]
+            if len(dist) > p.variation:
+                f_non[key] = non_gap_seq_id[key]
+                r_non[key] = non_gap_seq_id[key]
+            elif v15_margin:
+                lo, hi = int(dist[0]), int(dist[-1])
+                if lo < p.position_margin:
+                    r_non[key] = non_gap_seq_id[key]
+                    if hi > plen - p.position_margin:
+                        f_non[key] = non_gap_seq_id[key]
+                    else:
+                        f_mis += cover[key]
+                else:
+                    if hi > plen - p.position_margin:
+                        f_non[key] = non_gap_seq_id[key]
+                        r_mis += cover[key]
+                    else:
+                        f_mis += cover[key]
+                        r_mis += cover[key]
+            else:
+                dset = set(dist.tolist())
+                if dset & self.y_strict:
+                    f_non[key] = non_gap_seq_id[key]
+                else:
+                    f_mis += cover[key]
+                if dset & self.y_strict_r:
+                    r_non[key] = non_gap_seq_id[key]
+                else:
+                    r_mis += cover[key]
+        return f_mis, f_non, r_mis, r_non
+
+
+def _viterbi(freq, nn):
+    """Max-sum consensus path over the frequency/NN tensors
+    (get_optimal_primer_by_viterbi, core.py:579-593).  Integer exact;
+    ties resolve to the lowest base index like np.argmax."""
+    nodes = freq.T                       # [L, 4]
+    length = nodes.shape[0]
+    scores = nodes[0].astype(np.int64).reshape(-1, 1)
+    backptr = np.zeros((length, 4), dtype=np.int64)
+    for t in range(1, length):
+        m = scores + nn[t - 1] + nodes[t].reshape(1, -1)
+        backptr[t] = np.argmax(m, axis=0)
+        scores = np.max(m, axis=0).reshape(-1, 1)
+    path = np.zeros(length, dtype=np.int64)
+    path[-1] = int(np.argmax(scores))
+    for t in range(length - 1, 0, -1):
+        path[t - 1] = backptr[t, path[t]]
+    return path
+
+
+HEADERS = ["Position", "Entropy of cover (bit)", "Entropy of total (bit)",
+           "Optimal_primer", "primer_degenerate_number",
+           "nonsense_primer_number", "Optimal_coverage", "Mis-F-coverage",
+           "Mis-R-coverage", "Tm", "Information"]
+
+
+def write_outputs(results, outfile):
+    """Write the .top.primer.out TSV and the two JSON sidecars with the
+    reference's formats (core.py:1146-1177)."""
+    import json
+    results = sorted(results, key=lambda r: r.position)
+    with open(outfile, "w") as fo:
+        fo.write("\t".join(HEADERS) + "\n")
+        for r in results:
+            fo.write(str(r.position) + "\t"
+                     + "\t".join(map(str, r.row()[1:])) + "\n")
+    with open(outfile + ".non_coverage_seq_id_json", "w") as fj:
+        json.dump({r.position: [r.f_non_cover, r.r_non_cover]
+                   for r in results}, fj, indent=4)
+    with open(outfile + ".gap_seq_id_json", "w") as fg:
+        json.dump({r.position: r.gap_ids for r in results}, fg, indent=4)
