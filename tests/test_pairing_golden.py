@@ -1,0 +1,71 @@
+"""Golden parity for the pairing engine (get_multiPrime equivalent).
+
+Chains design (v16) -> pairing and compares against the golden
+candidate.primers.txt (all fields except the leading absolute-path ID).
+"""
+
+import json
+import pathlib
+
+import pytest
+
+from multiprime_tpu.models import mcdpd, pairing
+from .conftest import requires_reference
+from .test_design_golden import golden_params, GOLD_MSA
+
+GOLD_CAND = pathlib.Path(
+    "/root/reference/test_data/results/Clusters_cprimer/"
+    "Cluster_0_20727.candidate.primers.txt")
+GOLD_FA = pathlib.Path(str(GOLD_CAND) + ".fa")
+REF_TFA = pathlib.Path(
+    "/root/reference/test_data/results/Clusters_fa/Cluster_0_20727.tfa")
+
+
+@requires_reference
+@pytest.mark.slow
+def test_pairing_bit_identical(tmp_path):
+    ids, chars = mcdpd.parse_msa(str(GOLD_MSA))
+    eng = mcdpd.DesignEngine(golden_params())
+    results = eng.design(ids, chars)
+    out = tmp_path / "Cluster_0_20727.top.primer.out"
+    mcdpd.write_outputs(results, str(out))
+
+    params = pairing.PairingParams(
+        size=(150, 1200), fraction=0.7, end_dege=4, hairpin_distance=4,
+        diff_tm=5, max_seq=0,
+        adaptor=("TCTTTCCCTACACGACGCTCTTCCGATCT",
+                 "TGGAGTTCAGACGTGTGCTCTTCCGATCT"))
+    primers = pairing.parse_primer_table(str(out))
+    gap_ids = json.loads((tmp_path / (out.name + ".gap_seq_id_json")).read_text())
+    non_cover = json.loads(
+        (tmp_path / (out.name + ".non_coverage_seq_id_json")).read_text())
+    number = pairing.count_ref_seqs(str(REF_TFA), 0)
+    assert number == 500
+    peng = pairing.PairingEngine(params)
+    pairs, cand = peng.pair(primers, gap_ids, non_cover, number)
+    assert len(cand) == 458
+    cand_out = tmp_path / "Cluster_0_20727.candidate.primers.txt"
+    pairing.write_outputs(pairs, str(cand_out))
+
+    golden_fields = GOLD_CAND.read_text().split("\t")
+    mine_fields = cand_out.read_text().split("\t")
+    # field 0 is the absolute output path (machine-dependent in both).
+    assert mine_fields[1:] == golden_fields[1:]
+    assert (tmp_path / "Cluster_0_20727.candidate.primers.fa").read_text() \
+        == GOLD_FA.read_text()
+
+
+def test_weak_hairpin_is_weaker():
+    eng = pairing.PairingEngine(pairing.PairingParams(weak_hairpin=True))
+    strong = pairing.PairingEngine(pairing.PairingParams(weak_hairpin=False))
+    # A primer whose hairpin only appears in a non-first expansion of the
+    # 5' kmer: weak scan misses it, strong scan finds it.
+    primer = "RCGGGTTTTTTCCCGAT"  # R expands A then G; GCGGG pairs CCCGC
+    assert strong.hairpin(primer) or not eng.hairpin(primer)
+
+
+def test_count_ref_seqs(tmp_path):
+    f = tmp_path / "x.fa"
+    f.write_text(">a\nACGT\n>b\nACGT\n>c\nACGT\n")
+    assert pairing.count_ref_seqs(str(f)) == 3
+    assert pairing.count_ref_seqs(str(f), max_seq=2) == 2
