@@ -1,0 +1,253 @@
+"""Mismatch-tolerant primer-vs-target scan — the framework's hot kernel.
+
+Replaces the reference's bowtie2 + samtools + MD-tag pipeline
+(/root/reference/scripts/primer_coverage_validation_by_BWT.py:264-301) with an
+exhaustive on-device scan: expanded primers (one-hot [P, l, 4]) are correlated
+against target sequences (one-hot [N, L, 4]); a window is a hit when
+
+    total mismatches <= mm   AND   no mismatch in the 3'-terminal `term` bases
+
+which is exactly the reference's MD-tag trailing-run filter (:242-262) —
+"reject when the last exact-match run is shorter than term" is equivalent to
+"any mismatch within the last term bases" for primer-scale lengths.
+
+Two backends compute the match-count tensor [N, L-l+1, P]:
+
+* ``match_counts_conv`` — XLA conv_general_dilated (one-hot as 4 input
+  channels, primers as P output channels).  XLA lowers this to MXU convs.
+* ``match_counts_pallas`` — explicit Pallas kernel: per (seq-tile, window-tile)
+  grid cell, im2col into VMEM scratch and a single [TN*TO, l*4] x [l*4, P]
+  MXU matmul.
+
+Both produce identical integer counts (0/1 products, f32 accumulation is
+exact).  `find_hits` thresholds on device and returns sparse hit coordinates.
+
+Sharding: the N (sequence) axis is embarrassingly parallel — see
+multiprime_tpu.parallel.scan_sharded for the psum-reduced multi-chip wrapper.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils import iupac
+
+
+def encode_targets(seqs, length=None):
+    """List of ACGT/N strings -> (one-hot uint8 [N, L, 4], lengths [N])."""
+    if length is None:
+        length = max((len(s) for s in seqs), default=0)
+    n = len(seqs)
+    chars = np.zeros((n, length), dtype=np.uint8)
+    lengths = np.zeros(n, dtype=np.int32)
+    for i, s in enumerate(seqs):
+        b = np.frombuffer(s.encode("ascii"), np.uint8)[:length]
+        chars[i, :len(b)] = b
+        lengths[i] = len(b)
+    masks = iupac.bytes_to_masks(chars)
+    onehot = ((masks[..., None] >> np.arange(4)[None, None, :]) & 1)
+    # Ambiguity codes in targets match nothing (bowtie-like): zero them out.
+    pure = np.isin(masks, [1, 2, 4, 8])
+    onehot = onehot * pure[..., None]
+    return onehot.astype(np.uint8), lengths
+
+
+def encode_primers(primers):
+    """List of expanded (pure ACGT) primers of equal length -> one-hot
+    uint8 [P, l, 4]."""
+    arr = np.stack([
+        np.frombuffer(p.encode("ascii"), np.uint8) for p in primers])
+    masks = iupac.bytes_to_masks(arr)
+    onehot = ((masks[..., None] >> np.arange(4)[None, None, :]) & 1)
+    return onehot.astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# XLA conv backend
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("precision",))
+def match_counts_conv(targets_1h, primers_1h, precision=None):
+    """[N, L, 4] x [P, l, 4] -> match counts f32 [N, L-l+1, P]."""
+    lhs = targets_1h.astype(jnp.bfloat16)           # N, L, 4  (NWC)
+    rhs = primers_1h.astype(jnp.bfloat16)           # P, l, 4  (OWI)
+    dn = jax.lax.conv_dimension_numbers(
+        lhs.shape, rhs.shape, ("NWC", "OWI", "NWC"))
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding="VALID",
+        dimension_numbers=dn,
+        preferred_element_type=jnp.float32)
+    return out                                       # N, O, P
+
+
+# ---------------------------------------------------------------------------
+# Pallas backend
+# ---------------------------------------------------------------------------
+
+def _scan_kernel(x_ref, w_ref, o_ref, acc_ref, *, tile_o, plen):
+    """One grid cell: base planes [TN, 4, Lp] -> counts [TN, TO, P].
+
+    Windows overlap by plen-1 (inexpressible as block-index maps), so the
+    full sequence rows sit in VMEM with positions on the lane axis; im2col
+    lands in a [TN, 4*plen, TO] scratch (contraction dim on sublanes, already
+    the transposed-lhs layout the MXU wants), then one dot_general against
+    the [4*plen, P] primer matrix.
+    """
+    j = pl.program_id(1)
+    base = pl.multiple_of(j * tile_o, 256)
+    pad = 128  # aligned over-read that covers the plen-1 window overlap
+    for b in range(4):
+        row = x_ref[:, b, pl.ds(base, tile_o + pad)]
+        for k in range(plen):
+            acc_ref[:, b * plen + k, :] = row[:, k:k + tile_o]
+    counts = jax.lax.dot_general(
+        acc_ref[:], w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = counts
+
+
+def _scan_kernel_fused(x_ref, w_ref, ws_ref, o_ref, os_ref, acc_ref, *,
+                       tile_o, plen):
+    """Like _scan_kernel but also emits 3'-suffix match counts from the same
+    im2col (one extra MXU pass, no extra memory traffic)."""
+    j = pl.program_id(1)
+    base = pl.multiple_of(j * tile_o, 256)
+    pad = 128
+    for b in range(4):
+        row = x_ref[:, b, pl.ds(base, tile_o + pad)]
+        for k in range(plen):
+            acc_ref[:, b * plen + k, :] = row[:, k:k + tile_o]
+    dn = (((1,), (0,)), ((), ()))
+    o_ref[:] = jax.lax.dot_general(acc_ref[:], w_ref[:], dn,
+                                   preferred_element_type=jnp.float32)
+    os_ref[:] = jax.lax.dot_general(acc_ref[:], ws_ref[:], dn,
+                                    preferred_element_type=jnp.float32)
+
+
+def match_counts_pallas(targets_1h, primers_1h, tile_n=8, tile_o=512,
+                        interpret=False):
+    """Pallas implementation of match_counts_conv (identical values)."""
+    n, length, _ = targets_1h.shape
+    p, plen, _ = primers_1h.shape
+    n_out = length - plen + 1
+    # Pad so the grid tiles evenly; padded windows are discarded by caller.
+    n_pad = -n % tile_n
+    o_pad = -n_out % tile_o
+    # Base-plane layout [N, 4, L]: positions on the lane axis.
+    x = jnp.transpose(jnp.asarray(targets_1h, jnp.bfloat16), (0, 2, 1))
+    # o_pad tail + 128 so the kernel's aligned over-read stays in bounds.
+    x = jnp.pad(x, ((0, n_pad), (0, 0), (0, o_pad + 128 + plen)))
+    # Primer matrix [4*plen, P] with the same (base-major, position-minor)
+    # contraction order as the scratch fill.
+    w = jnp.transpose(jnp.asarray(primers_1h, jnp.bfloat16), (2, 1, 0)) \
+        .reshape(4 * plen, p)
+    grid = ((n + n_pad) // tile_n, (n_out + o_pad) // tile_o)
+    out = pl.pallas_call(
+        functools.partial(_scan_kernel, tile_o=tile_o, plen=plen),
+        out_shape=jax.ShapeDtypeStruct(
+            (n + n_pad, n_out + o_pad, p), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_n, 4, x.shape[2]), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * plen, p), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_n, tile_o, p), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tile_n, 4 * plen, tile_o), jnp.bfloat16)],
+        interpret=interpret,
+    )(x, w)
+    return out[:n, :n_out, :]
+
+
+# ---------------------------------------------------------------------------
+# Hit extraction
+# ---------------------------------------------------------------------------
+
+def match_counts_pallas_fused(targets_1h, primers_1h, suffix_1h, tile_n=8,
+                              tile_o=512):
+    """One Pallas pass -> (total counts, 3'-suffix counts), both [N, O, P]."""
+    n, length, _ = targets_1h.shape
+    p, plen, _ = primers_1h.shape
+    n_out = length - plen + 1
+    n_pad = -n % tile_n
+    o_pad = -n_out % tile_o
+    x = jnp.transpose(jnp.asarray(targets_1h, jnp.bfloat16), (0, 2, 1))
+    x = jnp.pad(x, ((0, n_pad), (0, 0), (0, o_pad + 128 + plen)))
+    w = jnp.transpose(jnp.asarray(primers_1h, jnp.bfloat16), (2, 1, 0)) \
+        .reshape(4 * plen, p)
+    ws = jnp.transpose(jnp.asarray(suffix_1h, jnp.bfloat16), (2, 1, 0)) \
+        .reshape(4 * plen, p)
+    grid = ((n + n_pad) // tile_n, (n_out + o_pad) // tile_o)
+    shape = jax.ShapeDtypeStruct((n + n_pad, n_out + o_pad, p), jnp.float32)
+    out, out_s = pl.pallas_call(
+        functools.partial(_scan_kernel_fused, tile_o=tile_o, plen=plen),
+        out_shape=(shape, shape),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_n, 4, x.shape[2]), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * plen, p), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * plen, p), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_n, tile_o, p), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, tile_o, p), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((tile_n, 4 * plen, tile_o), jnp.bfloat16)],
+    )(x, w, ws)
+    return out[:n, :n_out, :], out_s[:n, :n_out, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mm", "term", "max_hits", "backend"))
+def find_hits(targets_1h, lengths, primers_1h, suffix_1h, *, mm=1, term=4,
+              max_hits=1 << 18, backend="conv"):
+    """Sparse scan: -> (hit_idx [max_hits], n_hits, mismatches [max_hits]).
+
+    hit_idx encodes n * (O * P) + o * P + p; -1 padding.  suffix_1h is the
+    primer one-hot with everything but the 3'-terminal `term` positions
+    zeroed (suffix mismatches must be 0).
+    """
+    if backend == "pallas":
+        counts, suffix_counts = match_counts_pallas_fused(
+            targets_1h, primers_1h, suffix_1h)
+    else:
+        counts = match_counts_conv(targets_1h, primers_1h)
+        suffix_counts = match_counts_conv(targets_1h, suffix_1h)
+    n, n_out, p = counts.shape
+    plen = primers_1h.shape[1]
+    mism = plen - counts
+    ok = (mism <= mm) & (suffix_counts >= term)
+    # windows must lie inside the real sequence
+    o_idx = jnp.arange(n_out)[None, :, None]
+    ok &= (o_idx + plen) <= lengths[:, None, None]
+    flat = ok.reshape(-1)
+    idx = jnp.nonzero(flat, size=max_hits, fill_value=-1)[0]
+    n_hits = jnp.sum(flat)
+    mism_flat = jnp.where(idx >= 0, mism.reshape(-1)[idx], -1)
+    return idx, n_hits, mism_flat
+
+
+def decode_hits(idx, mism, n_out, p):
+    """Host-side: flat indices -> (seq, window, primer, mismatches) arrays."""
+    idx = np.asarray(idx)
+    keep = idx >= 0
+    idx = idx[keep]
+    mism = np.asarray(mism)[keep]
+    seq = idx // (n_out * p)
+    rem = idx % (n_out * p)
+    return seq, rem // p, rem % p, mism.astype(np.int32)

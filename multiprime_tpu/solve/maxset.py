@@ -1,0 +1,229 @@
+"""Greedy minimal primer-set assembly (get_Maxprimerset equivalent).
+
+Re-implements /root/reference/scripts/get_Maxprimerset.py with identical
+outputs.  Two modes:
+
+* ``maximal`` (method "T", :291-356) — walk clusters (fewest candidates
+  first); take the first pair whose union with the accumulated primer set is
+  dimer-free; clusters with no clean pair go to the ``.next.xls`` spill.
+* ``maximum`` (:218-282) — same walk with backtracking to the previous
+  cluster's next candidate on a dead end (reference semantics preserved,
+  including the for/while pointer interplay).
+
+Scaling note: the reference's ``dimer_examination`` rescans the *entire*
+accumulated expansion set for every candidate pair — O(|set|^2 * ends) string
+searches per step.  The union test is order-independent boolean, so we
+evaluate it incrementally: a cached clean core set is only ever tested
+against the candidate pair's additions (new x old, old x new, new x new).
+Identical verdicts, linear instead of quadratic growth per step.  The batch
+cross-correlation form of this test lives in multiprime_tpu.ops.dimer for
+device-scale sets.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass
+
+from ..thermo import exact as thermo
+from ..utils import iupac
+
+COLUMNS = ["#Primer", "Primer_rank", "Primer_F", "Primer_R",
+           "PCR_product (Length:Tm:Coverage)",
+           "Coverage number with error in top N",
+           "Primer position (representative sequence)"]
+
+
+def suffix_ends(primer):
+    """Expanded 3'-suffixes of length 5..len-1 (current_end,
+    get_Maxprimerset.py:149-154).  Note: excludes the full-length suffix."""
+    out = []
+    for a in range(5, len(primer)):
+        out.extend(iupac.expand(primer[-a:]))
+    return set(out)
+
+
+def _end_hits_primer(end, primer):
+    """True if RC(end) occurs in primer with a dimer-worthy score
+    (dimer_examination inner test, get_Maxprimerset.py:202-214)."""
+    idx = primer.find(iupac.rc(end))
+    if idx < 0:
+        return False
+    d2 = len(primer) - len(end) - idx
+    loss = thermo.penalty_points(len(end), end.count("G") + end.count("C"),
+                                 0, d2)
+    if loss >= 3:
+        return True
+    return thermo.delta_g(end, both_ends=True) < -5 and d2 == 0
+
+
+class DimerLedger:
+    """Incremental replacement for the reference's full-rescan
+    dimer_examination.  Maintains the invariant that the accepted core set is
+    internally clean, so testing a candidate pair only needs the pair's new
+    expansions/ends against the core and themselves."""
+
+    def __init__(self):
+        self.core_primers = []      # accepted expanded primers
+        self.core_ends = set()      # accepted expanded 3'-suffixes
+        self.core_primers_set = set()
+
+    def pair_is_dimer(self, primer_f, primer_r):
+        new_primers = list(dict.fromkeys(
+            list(iupac.expand(primer_f)) + list(iupac.expand(primer_r))))
+        new_set = set(new_primers)
+        core_set = self.core_primers_set
+        new_ends = set()
+        for p in new_set:
+            new_ends |= suffix_ends(p)
+        # new ends vs (core + new) primers
+        for end in new_ends:
+            for p in self.core_primers:
+                if _end_hits_primer(end, p):
+                    return True
+            for p in new_primers:
+                if _end_hits_primer(end, p):
+                    return True
+        # core ends vs new primers (core vs core already proven clean)
+        for end in self.core_ends:
+            for p in new_primers:
+                if p in core_set:
+                    continue
+                if _end_hits_primer(end, p):
+                    return True
+        return False
+
+    def accept(self, primer_f, primer_r):
+        for p in list(iupac.expand(primer_f)) + list(iupac.expand(primer_r)):
+            if p not in self.core_primers_set:
+                self.core_primers_set.add(p)
+                self.core_primers.append(p)
+                self.core_ends |= suffix_ends(p)
+
+    def snapshot(self):
+        return (list(self.core_primers), set(self.core_ends),
+                set(self.core_primers_set))
+
+    def restore(self, snap):
+        self.core_primers, self.core_ends, self.core_primers_set = \
+            list(snap[0]), set(snap[1]), set(snap[2])
+
+
+def parse_and_sort(infile, sort_file):
+    """Read candidate rows, sort by candidate count ascending (stable), and
+    write the sort.<name> sidecar (get_Maxprimerset.py:363-371)."""
+    with open(infile) as f:
+        primers = sorted(
+            [list(filter(None, line.strip().split("\t"))) for line in f],
+            key=len)
+    with open(sort_file, "w") as f:
+        for row in primers:
+            f.write("\t".join(row) + "\n")
+    return primers
+
+
+def _write_tsv(rows, output):
+    """pandas.to_csv(sep='\\t', index=False) equivalent: empty string for
+    missing cells."""
+    with open(output, "w") as f:
+        f.write("\t".join(COLUMNS) + "\n")
+        for row in rows:
+            f.write("\t".join(str(row.get(c, "")) for c in COLUMNS) + "\n")
+
+
+def greedy_maximal(primers, output, next_candidate_file, step=5):
+    """Maximal mode (get_Maxprimerset.py:291-356)."""
+    ledger = DimerLedger()
+    clique = []
+    row_pointer, column_pointer = 0, 1
+    with open(next_candidate_file, "w") as next_f:
+        while row_pointer < len(primers):
+            row = primers[row_pointer]
+            if len(row) <= 1:
+                print("Non primers: virus {} missing!".format(row[0]))
+                next_f.write("\t".join(row) + "\n")
+                row_pointer += 1
+                column_pointer = 1
+                continue
+            while column_pointer <= len(row) - step:
+                if ledger.pair_is_dimer(row[column_pointer],
+                                        row[column_pointer + 1]):
+                    column_pointer += step
+                    if column_pointer > len(row) - step:
+                        clique.append({"#Primer": row[0]})
+                        print("virus {} missing!".format(row[0]))
+                        next_f.write("\t".join(row) + "\n")
+                        row_pointer += 1
+                        column_pointer = 1
+                        break
+                else:
+                    clique.append({
+                        "#Primer": row[0],
+                        "Primer_rank": str(column_pointer),
+                        "Primer_F": row[column_pointer],
+                        "Primer_R": row[column_pointer + 1],
+                        COLUMNS[4]: row[column_pointer + 2],
+                        COLUMNS[5]: row[column_pointer + 3],
+                        COLUMNS[6]: row[column_pointer + 4],
+                    })
+                    ledger.accept(row[column_pointer], row[column_pointer + 1])
+                    row_pointer += 1
+                    column_pointer = 1
+                    break
+    _write_tsv(clique, output)
+    return clique
+
+
+def greedy_maximum(primers, output, step=5):
+    """Maximum mode with backtracking (get_Maxprimerset.py:218-282).
+
+    The reference iterates ``for row_pointer in range(row_num)`` while the
+    backtrack helper mutates ``row_pointer``/``column_pointer`` — the for
+    target is reassigned each iteration, so a backtrack only replays rows
+    within the current iteration's while loop.  Replicated as-is.
+    """
+    ledger = DimerLedger()
+    clique = []
+    snapshots = {}
+    jdict = {}
+    blank_row = 0
+    column_pointer = 1
+
+    for loop_row in range(len(primers)):
+        row_pointer = loop_row
+        row = primers[row_pointer]
+        if len(row) <= 1:
+            blank_row += 1
+            continue
+        while column_pointer <= len(primers[row_pointer]) - step:
+            row = primers[row_pointer]
+            if ledger.pair_is_dimer(row[column_pointer],
+                                    row[column_pointer + 1]):
+                column_pointer += step
+                # backtrack_to_previous_row
+                while column_pointer > len(primers[row_pointer]) - step:
+                    row_pointer -= 1
+                    if row_pointer < blank_row:
+                        print("Non maximum primer set. "
+                              "Try maximal primer set!")
+                        sys.exit(1)
+                    column_pointer = jdict[row_pointer] + step
+                    ledger.restore(snapshots[row_pointer])
+                    clique.pop()
+            else:
+                snapshots[row_pointer] = ledger.snapshot()
+                clique.append({
+                    "#Primer": row[0],
+                    "Primer_rank": str(column_pointer),
+                    "Primer_F": row[column_pointer],
+                    "Primer_R": row[column_pointer + 1],
+                    COLUMNS[4]: row[column_pointer + 2],
+                    COLUMNS[5]: row[column_pointer + 3],
+                    COLUMNS[6]: row[column_pointer + 4],
+                })
+                ledger.accept(row[column_pointer], row[column_pointer + 1])
+                jdict[row_pointer] = column_pointer
+                column_pointer = 1
+                break
+    _write_tsv(clique, output)
+    return clique

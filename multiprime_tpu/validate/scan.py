@@ -1,0 +1,242 @@
+"""Mismatch-tolerant primer coverage validation — bowtie2/samtools replacement.
+
+Re-implements /root/reference/scripts/primer_coverage_validation_by_BWT.py
+(class off_targets:172-397) with an exhaustive on-device scan instead of
+seed-and-extend mapping:
+
+* degenerate primers are expanded (optionally only their 3' l-mer) into the
+  same merged-ID records the reference writes to .term.fa (:205-240);
+* forward hits = occurrences of the expanded primer in a target with
+  <= mm mismatches; reverse hits = occurrences of its reverse complement —
+  exactly what bowtie reports as flag-0 / flag-16 alignments;
+* the reference's MD-tag filter keeps only alignments whose trailing exact
+  match run is >= term (:242-262).  The trailing run is measured at the
+  *right edge of the reference-orientation region* for both strands, so for
+  reverse hits it guards the primer's 5' side — a quirk we replicate by
+  applying the suffix veto to the scanned pattern (primer or its RC) as-is;
+* per-gene F x R position join within the product-size window with the
+  reference's strict bounds (:303-342).
+
+Being exhaustive, the scan finds every alignment bowtie's heuristics can
+find (bowtie2 -a with seed mismatches may miss some); on identical hit sets
+the outputs are byte-compatible.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from bisect import bisect_left
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..utils import iupac
+from ..ops import mismatch_scan as ms
+
+
+@dataclass
+class ScanParams:
+    term_len: int = 0           # -l: 0 = full primer, else 3' l-mer
+    term: int = 4               # -t: no mismatch within 3' terminal N bases
+    mm: int = 1                 # -m: max mismatches
+    product_size: tuple = (100, 1500)
+    batch_seqs: int = 512       # device tile over the target axis
+    backend: str = "conv"
+
+
+def expand_primer_fasta(primer_fa, term_len=0, term_fa_out=None):
+    """Primer fasta -> (expanded seqs, labels) with the reference's merged-ID
+    naming (get_term, primer_coverage_validation_by_BWT.py:205-240)."""
+    term_list = {}
+    with open(primer_fa) as f:
+        name = None
+        for line in f:
+            if line.startswith(">"):
+                name = line.strip().lstrip(">")
+            else:
+                key = line.strip() if term_len == 0 else line.strip()[-term_len:]
+                term_list.setdefault(key, []).append(name)
+    seq_id = {}
+    for key, names in term_list.items():
+        uniq = list(dict.fromkeys(names))
+        merged = "_".join(uniq)
+        expansions = iupac.expand(key)
+        if len(expansions) > 1:
+            for j, e in enumerate(expansions):
+                seq_id.setdefault(e, []).append(merged + "_" + str(j))
+        else:
+            seq_id.setdefault(key, []).append(merged + "_0")
+    if term_fa_out:
+        with open(term_fa_out, "w") as fo:
+            for seq, ids in seq_id.items():
+                fo.write(">" + "_".join(ids) + "\n" + seq + "\n")
+    seqs, labels = [], []
+    for seq, ids in seq_id.items():
+        header = "_".join(ids)
+        labels.append(re.split(r"_\d+$", header)[0])
+        seqs.append(seq)
+    return seqs, labels
+
+
+def parse_fasta(path):
+    ids, seqs = [], []
+    cur = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith(">"):
+                if cur:
+                    seqs.append("".join(cur))
+                    cur = []
+                ids.append(line.strip().split(" ")[0].lstrip(">"))
+            else:
+                cur.append(line.strip().upper())
+    if cur:
+        seqs.append("".join(cur))
+    return ids, seqs
+
+
+def scan_hits(target_seqs, patterns, params: ScanParams):
+    """-> list of (seq_idx, pos, pattern_idx, mismatches) over all targets.
+
+    Mixed-length pattern sets are scanned in per-length groups (the device
+    kernel wants a rectangular pattern tensor)."""
+    if not patterns or not target_seqs:
+        return []
+    lengths = {len(p) for p in patterns}
+    if len(lengths) > 1:
+        hits = []
+        for plen in sorted(lengths):
+            group = [(i, p) for i, p in enumerate(patterns) if len(p) == plen]
+            sub_hits = scan_hits(target_seqs, [p for _, p in group], params)
+            remap = [i for i, _ in group]
+            hits.extend((s, o, remap[p], m) for s, o, p, m in sub_hits)
+        return hits
+    plen = len(patterns[0])
+    p1h = ms.encode_primers(patterns)
+    s1h = p1h.copy()
+    if params.term > 0:
+        s1h[:, :-params.term, :] = 0
+    else:
+        s1h[:] = 0
+    hits = []
+    bs = params.batch_seqs
+    for lo in range(0, len(target_seqs), bs):
+        chunk = target_seqs[lo:lo + bs]
+        # Canonical shapes (pad N to the batch size, L to a 512 multiple) so
+        # every batch reuses one compiled executable.
+        max_len = max((len(s) for s in chunk), default=0)
+        pad_len = max(-max_len % 512 + max_len, 512)
+        if len(chunk) < bs:
+            chunk = chunk + [""] * (bs - len(chunk))
+        t1h, lens = ms.encode_targets(chunk, length=pad_len)
+        if t1h.shape[1] < plen:
+            continue
+        max_hits = 1 << 18
+        while True:
+            idx, n_hits, mism = ms.find_hits(
+                t1h, lens, p1h, s1h, mm=params.mm,
+                term=max(params.term, 0), max_hits=max_hits,
+                backend=params.backend)
+            n_hits = int(n_hits)
+            if n_hits <= max_hits:
+                break
+            max_hits = 1 << (n_hits - 1).bit_length()
+        n_out = t1h.shape[1] - plen + 1
+        seq, pos, pat, mm_ = ms.decode_hits(idx, mism, n_out, p1h.shape[0])
+        for s, o, p, m in zip(seq, pos, pat, mm_):
+            hits.append((lo + int(s), int(o), int(p), int(m)))
+    return hits
+
+
+def closest(sorted_list, lo_val, hi_val):
+    """bisect window (primer_coverage_validation_by_BWT.py:162-169)."""
+    left = bisect_left(sorted_list, lo_val)
+    if hi_val > sorted_list[-1]:
+        right = len(sorted_list) - 1
+    else:
+        right = bisect_left(sorted_list, hi_val) - 1
+    return left, right
+
+
+def pcr_join(gene_ids, f_hits, r_hits, labels, product_size):
+    """Per-gene F x R join -> rows (gene, start, stop, F, R, length)
+    (PCR_product, :303-342).  Later hits at the same position overwrite
+    earlier ones, like the reference's dict() conversion."""
+    lo, hi = int(product_size[0]), int(product_size[1])
+    f_by_gene, r_by_gene = {}, {}
+    for s, o, p, _ in f_hits:
+        f_by_gene.setdefault(s, {})[o] = labels[p]
+    for s, o, p, _ in r_hits:
+        r_by_gene.setdefault(s, {})[o] = labels[p]
+    rows = []
+    for s in sorted(set(f_by_gene) & set(r_by_gene)):
+        primer_f = f_by_gene[s]
+        primer_r = r_by_gene[s]
+        starts = sorted(primer_f)
+        stops = sorted(primer_r)
+        if stops[0] - starts[-1] > hi:
+            continue
+        if stops[-1] - starts[0] < lo:
+            continue
+        for start in starts:
+            i0, i1 = closest(stops, start + lo, start + hi)
+            if i0 > i1:
+                break
+            for stop in stops[i0:i1 + 1]:
+                distance = stop - start + 1
+                if distance > hi:
+                    break
+                elif lo < distance < hi:
+                    rows.append((gene_ids[s], start, stop,
+                                 primer_f[start], primer_r[stop], distance))
+    return rows
+
+
+def write_outputs(rows, outfile, targets_dict=None):
+    """.out / .pair.num / .total.acc.num / .unmatched.fa
+    (primer_coverage_validation_by_BWT.py:354-397)."""
+    pair_count = {}
+    pair_acc = {}
+    acc_ids = set()
+    with open(outfile, "w") as fo:
+        fo.write("\t".join(["Chrom (or Genes)", "Start", "Stop", "Primer_F",
+                            "Primer_R", "Product length"]) + "\n")
+        for row in rows:
+            key = row[3] + "\t" + row[4]
+            pair_count[key] = pair_count.get(key, 0) + 1
+            pair_acc.setdefault(key, []).append(row[0])
+            acc_ids.add(row[0])
+            fo.write("\t".join(map(str, row)) + "\n")
+    target_seq = set()
+    with open(outfile + ".pair.num", "w") as fo:
+        fo.write("Primer_F\tPrimer_R\tPair_num\ttarget accession number\n")
+        for key, cnt in sorted(pair_count.items(), key=lambda x: x[1],
+                               reverse=True):
+            accs = set(pair_acc[key])
+            target_seq |= accs
+            fo.write(key + "\t" + str(cnt) + "\t" + str(len(accs)) + "\n")
+    with open(outfile + ".total.acc.num", "w") as fo:
+        fo.write("total coverage of primer set (PS) is: {}\n".format(
+            len(acc_ids)))
+    if targets_dict is not None:
+        unmatched = set(targets_dict.keys()) - target_seq
+        with open(outfile + ".total.acc.num", "a+") as fo:
+            fo.write("total target number is: {}\n".format(len(targets_dict)))
+        with open(outfile + ".unmatched.fa", "w") as out:
+            for um in unmatched:
+                out.write(targets_dict[um])
+    return pair_count
+
+
+def run(primer_fa, ref_fa, outfile, params: ScanParams, targets_dict=None):
+    """Full coverage-validation flow."""
+    term_fa = os.path.splitext(primer_fa)[0] + ".term.fa"
+    patterns, labels = expand_primer_fasta(primer_fa, params.term_len, term_fa)
+    gene_ids, target_seqs = parse_fasta(ref_fa)
+    rc_patterns = [iupac.rc(p) for p in patterns]
+    f_hits = scan_hits(target_seqs, patterns, params)
+    r_hits = scan_hits(target_seqs, rc_patterns, params)
+    rows = pcr_join(gene_ids, f_hits, r_hits, labels, params.product_size)
+    write_outputs(rows, outfile, targets_dict)
+    return rows

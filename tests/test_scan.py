@@ -1,0 +1,98 @@
+"""Mismatch-scan kernel and coverage-validation tests (CPU backend)."""
+
+import numpy as np
+import pytest
+
+from multiprime_tpu.ops import mismatch_scan as ms
+from multiprime_tpu.validate import scan as vscan
+from multiprime_tpu.utils import iupac
+
+
+def brute_hits(seq, pat, mm=1, term=4):
+    out = []
+    for o in range(len(seq) - len(pat) + 1):
+        w = seq[o:o + len(pat)]
+        mis = sum(a != b for a, b in zip(w, pat))
+        if mis <= mm and all(a == b for a, b in zip(w[-term:], pat[-term:])):
+            out.append((o, mis))
+    return out
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(7)
+    lut = np.array(list("ACGT"))
+    seqs = ["".join(rng.choice(lut, size=rng.integers(80, 200)))
+            for _ in range(24)]
+    primers = ["".join(rng.choice(lut, size=18)) for _ in range(8)]
+    # plant: exact, 1-mismatch mid, 1-mismatch at 3' end (must be vetoed)
+    seqs[0] = seqs[0][:10] + primers[0] + seqs[0][28:]
+    p1 = list(primers[1]); p1[9] = "A" if p1[9] != "A" else "C"
+    seqs[1] = seqs[1][:20] + "".join(p1) + seqs[1][38:]
+    p2 = list(primers[2]); p2[17] = "A" if p2[17] != "A" else "C"
+    seqs[2] = seqs[2][:30] + "".join(p2) + seqs[2][48:]
+    return seqs, primers
+
+
+def test_find_hits_matches_bruteforce(data):
+    seqs, primers = data
+    t1h, lens = ms.encode_targets(seqs)
+    p1h = ms.encode_primers(primers)
+    s1h = p1h.copy()
+    s1h[:, :-4, :] = 0
+    idx, n_hits, mism = ms.find_hits(t1h, lens, p1h, s1h, mm=1, term=4,
+                                     max_hits=4096)
+    n_out = t1h.shape[1] - 18 + 1
+    s, o, p, m = ms.decode_hits(idx, mism, n_out, len(primers))
+    mine = {(int(a), int(b), int(c), int(d)) for a, b, c, d in zip(s, o, p, m)}
+    ref = set()
+    for si, seq in enumerate(seqs):
+        for pi, pat in enumerate(primers):
+            for oo, mm_ in brute_hits(seq, pat):
+                ref.add((si, oo, pi, mm_))
+    assert mine == ref
+    # planted exact hit found, 3'-mismatch hit vetoed
+    assert (0, 10, 0, 0) in mine
+    assert not any(a == 2 and b == 30 and c == 2 for a, b, c, _ in mine)
+
+
+def test_ambiguous_target_bases_never_match():
+    t1h, lens = ms.encode_targets(["ACGTNNNNACGTACGTACGTACGT"])
+    p1h = ms.encode_primers(["ACGTACGT"])
+    s1h = p1h.copy()
+    s1h[:, :-2, :] = 0
+    idx, n, m = ms.find_hits(t1h, lens, p1h, s1h, mm=0, term=2, max_hits=64)
+    s, o, p, _ = ms.decode_hits(idx, m, t1h.shape[1] - 7, 1)
+    assert 8 in o.tolist() and 4 not in o.tolist()
+
+
+def test_scan_hits_mixed_lengths():
+    seqs = ["ACGTACGTACGTACGTACGTACGT" * 4]
+    params = vscan.ScanParams(mm=0, term=2, batch_seqs=4)
+    hits = vscan.scan_hits(seqs, ["ACGTACGT", "ACGTACGTACGT"], params)
+    pats = {p for _, _, p, _ in hits}
+    assert pats == {0, 1}
+
+
+def test_pcr_join_strict_bounds():
+    rows = vscan.pcr_join(
+        ["g"],
+        [(0, 10, 0, 0)],
+        [(0, 110, 1, 0), (0, 210, 1, 0)],
+        ["F", "R"], (100, 150))
+    # distance 101 passes (strict >100), 201 exceeds the window
+    assert rows == [("g", 10, 110, "F", "R", 101)]
+    # boundary distance == min is excluded (strict inequality)
+    rows2 = vscan.pcr_join(["g"], [(0, 10, 0, 0)], [(0, 109, 1, 0)],
+                           ["F", "R"], (100, 150))
+    assert rows2 == []
+
+
+def test_expand_primer_fasta(tmp_path):
+    fa = tmp_path / "p.fa"
+    fa.write_text(">P1\nACGR\n>P2\nACGA\n")
+    seqs, labels = vscan.expand_primer_fasta(str(fa), 0, str(tmp_path / "t.fa"))
+    # ACGR expands to ACGA/ACGG; ACGA is shared with P2 -> merged ids
+    assert "ACGA" in seqs and "ACGG" in seqs
+    merged = labels[seqs.index("ACGA")]
+    assert "P1" in merged and "P2" in merged

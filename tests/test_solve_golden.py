@@ -1,0 +1,111 @@
+"""Golden parity for the greedy set solve, finDimer, and glue stages."""
+
+import pathlib
+
+import pytest
+
+from multiprime_tpu.solve import maxset
+from multiprime_tpu.validate import findimer
+from multiprime_tpu.pipeline import stages
+from .conftest import requires_reference
+
+GOLD = pathlib.Path("/root/reference/test_data/results/Primers_set")
+
+
+@requires_reference
+def test_solve_chain_bit_identical(tmp_path):
+    primers = maxset.parse_and_sort(
+        str(GOLD / "candidate_primers_sets.txt"), str(tmp_path / "sort.txt"))
+    assert (tmp_path / "sort.txt").read_text() \
+        == (GOLD / "sort.candidate_primers_sets.txt").read_text()
+    maxset.greedy_maximal(primers, str(tmp_path / "final.xls"),
+                          str(tmp_path / "final.next.xls"), step=5)
+    assert (tmp_path / "final.xls").read_text() \
+        == (GOLD / "final_maxprimers_set.xls").read_text()
+    assert (tmp_path / "final.next.xls").read_text() \
+        == (GOLD / "final_maxprimers_set.next.xls").read_text()
+    stages.primerset_format(str(tmp_path / "final.xls"),
+                            str(tmp_path / "final.fa"))
+    assert (tmp_path / "final.fa").read_text() \
+        == (GOLD / "final_maxprimers_set.fa").read_text()
+    rows = findimer.scan(
+        findimer.parse_primer_fasta(str(tmp_path / "final.fa")),
+        threshold=3.96)
+    findimer.write_outputs(rows, str(tmp_path / "final.fa.findimer"))
+    assert (tmp_path / "final.fa.findimer").read_text() \
+        == (GOLD / "final_maxprimers_set.fa.findimer").read_text()
+    assert (tmp_path / "final.fa.findimer.dimer_num").read_text() \
+        == (GOLD / "final_maxprimers_set.fa.findimer.dimer_num").read_text()
+
+
+def test_dimer_ledger_incremental_equivalence():
+    """The incremental ledger must agree with a full rescan."""
+    from multiprime_tpu.utils import iupac
+    from multiprime_tpu.thermo import exact as thermo
+
+    def full_rescan(primer_f, primer_r, accepted):
+        pool = set(iupac.expand(primer_f)) | set(iupac.expand(primer_r)) \
+            | set(accepted)
+        ends = set()
+        for p in pool:
+            ends |= maxset.suffix_ends(p)
+        for end in ends:
+            for p in pool:
+                if maxset._end_hits_primer(end, p):
+                    return True
+        return False
+
+    pairs = [("ACGGTCAGTACGGTCAGT", "TGCCAGTCATGCCAGTCA"),
+             ("AATTGGCCAATTGGCCAA", "TTGGAACCTTGGAACCTT"),
+             ("GACTGACTGACTGACTGA", "CTGACTGACTGACTGACT")]
+    ledger = maxset.DimerLedger()
+    accepted = []
+    for f, r in pairs:
+        expect = full_rescan(f, r, accepted)
+        got = ledger.pair_is_dimer(f, r)
+        assert got == expect, (f, r)
+        if not got:
+            ledger.accept(f, r)
+            accepted.extend(iupac.expand(f))
+            accepted.extend(iupac.expand(r))
+
+
+def test_greedy_maximal_spill(tmp_path):
+    # A cluster whose only pair dimers against the accepted set spills to next.
+    rows = [
+        ["c1", "ACGGTCAGTACGGTCAGT", "TGCCAGTCATGCCAGTCA", "x", "1", "0:1"],
+        ["c2", "ACTGACCGTACTGACCGT", "ACTGACCGTACTGACCGT", "x", "1", "0:1"],
+    ]
+    clique = maxset.greedy_maximal(rows, str(tmp_path / "o.xls"),
+                                   str(tmp_path / "o.next.xls"), step=5)
+    text = (tmp_path / "o.xls").read_text()
+    assert text.startswith("#Primer\t")
+    assert len(clique) >= 1
+
+
+def test_txt2fa_and_core_extraction(tmp_path):
+    row = "path/Cluster_7_25.candidate.primers.txt\tAAAA\tTTTT\t100:50:0.9\t25\t3:90\n"
+    inp = tmp_path / "cand.txt"
+    inp.write_text(row)
+    stages.txt2fa(str(inp), str(tmp_path / "fa"), str(tmp_path / "num"), step=5)
+    assert (tmp_path / "num").read_text() == "Cluster_7_25\t2\n"
+    fa = (tmp_path / "fa" / "Cluster_7_25.candidate.primers.fa").read_text()
+    assert ">Cluster_7_25_3_F\nAAAA\n>Cluster_7_25_90_R\nTTTT\n" == fa
+    stages.core_extraction(str(inp), str(tmp_path / "core.txt"), 10)
+    assert (tmp_path / "core.txt").read_text() == row
+    stages.core_extraction(str(inp), str(tmp_path / "core2.txt"), 30)
+    assert (tmp_path / "core2.txt").read_text() == ""
+
+
+def test_seq_format(tmp_path):
+    inp = tmp_path / "in.fa"
+    inp.write_text(">A1:xx extra words\n" + "ACGT" * 60 + "\n"
+                   ">B2\nACGU\n>C3\n" + "GGGG" * 60 + "\n")
+    out = tmp_path / "out.fa"
+    stages.seq_format(str(inp), str(out), gc_threshold=0.8, min_length=200)
+    text = out.read_text()
+    assert ">A1\n" in text            # ID cut at ':'
+    assert "B2" not in text           # too short -> filtered
+    assert "C3" not in text           # GC 1.0 -> filtered
+    filt = (tmp_path / "out.filtered.fa").read_text()
+    assert "B2" in filt and "C3" in filt
