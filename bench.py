@@ -1,0 +1,116 @@
+"""Round benchmark: end-to-end primer design + pairing on the reference's
+CDS_20727 golden cluster (500 seqs x 1951 cols), bit-identical outputs.
+
+Prints ONE JSON line:
+  metric  — what was measured
+  value   — wall-clock seconds for design (multiPrime-core equivalent) +
+            pairing (get_multiPrime equivalent)
+  vs_baseline — reference wall-clock (61.86s core + 14.65s pairing, from
+            /root/reference/test_data/logs/) divided by ours (higher = faster)
+
+A secondary line on stderr reports the device mismatch-scan throughput.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+REF_MSA = "/root/reference/test_data/results/Clusters_msa/Cluster_0_20727.tmsa"
+REF_OUT = ("/root/reference/test_data/results/Clusters_primer/"
+           "Cluster_0_20727.top.primer.out")
+REF_TFA = "/root/reference/test_data/results/Clusters_fa/Cluster_0_20727.tfa"
+BASELINE_SECONDS = 61.86 + 14.65   # multiPrime_Cluster_0_20727.log + pairing log
+
+
+def bench_pipeline():
+    import json as _json
+    from multiprime_tpu.models import mcdpd, pairing
+
+    ids, chars = mcdpd.parse_msa(REF_MSA)
+    params = mcdpd.DesignParams(
+        primer_length=18, coverage=0.7, dege_number=4, degeneracy=10,
+        variation=1, entropy_threshold=3.6, gc=(0.2, 0.7), min_product=150,
+        coordinate="2,3,-1", hairpin_distance=4, algo="v16")
+    tmp = tempfile.mkdtemp()
+    out = os.path.join(tmp, "Cluster_0_20727.top.primer.out")
+
+    t0 = time.time()
+    eng = mcdpd.DesignEngine(params)
+    results = eng.design(ids, chars)
+    mcdpd.write_outputs(results, out)
+
+    pparams = pairing.PairingParams(
+        size=(150, 1200), fraction=0.7, end_dege=4, hairpin_distance=4,
+        diff_tm=5, max_seq=0,
+        adaptor=("TCTTTCCCTACACGACGCTCTTCCGATCT",
+                 "TGGAGTTCAGACGTGTGCTCTTCCGATCT"))
+    primers = pairing.parse_primer_table(out)
+    gap_ids = _json.load(open(out + ".gap_seq_id_json"))
+    non_cover = _json.load(open(out + ".non_coverage_seq_id_json"))
+    number = pairing.count_ref_seqs(REF_TFA, 0)
+    peng = pairing.PairingEngine(pparams)
+    pairs, _ = peng.pair(primers, gap_ids, non_cover, number)
+    pairing.write_outputs(pairs, os.path.join(
+        tmp, "Cluster_0_20727.candidate.primers.txt"))
+    elapsed = time.time() - t0
+
+    identical = open(out, "rb").read() == open(REF_OUT, "rb").read()
+    return elapsed, identical, len(pairs)
+
+
+def bench_scan():
+    """Device coverage-scan throughput (secondary, stderr)."""
+    try:
+        import numpy as np
+        import jax
+        from multiprime_tpu.ops import mismatch_scan as ms
+        rng = np.random.default_rng(0)
+        lut = np.array(list("ACGT"))
+        n, length, p = 2048, 2048, 128
+        seqs = ["".join(rng.choice(lut, size=length)) for _ in range(n)]
+        primers = ["".join(rng.choice(lut, size=18)) for _ in range(p)]
+        t1h, lens = ms.encode_targets(seqs)
+        p1h = ms.encode_primers(primers)
+        s1h = p1h.copy()
+        s1h[:, :-4, :] = 0
+        t1h = jax.device_put(t1h)
+        args = (t1h, lens, jax.device_put(p1h), jax.device_put(s1h))
+        kw = dict(mm=1, term=4, max_hits=1 << 20, backend="conv")
+        jax.block_until_ready(ms.find_hits(*args, **kw)[0])
+        t0 = time.time()
+        reps = 5
+        for _ in range(reps):
+            jax.block_until_ready(ms.find_hits(*args, **kw)[0])
+        dt = (time.time() - t0) / reps
+        o = length - 18 + 1
+        macs = n * o * p * 72
+        return {"seqs_per_s": n / dt, "tmacs": macs / dt / 1e12,
+                "ms": dt * 1000}
+    except Exception as e:  # pragma: no cover
+        return {"error": str(e)}
+
+
+def main():
+    if not os.path.exists(REF_MSA):
+        print(json.dumps({"metric": "error", "value": 0,
+                          "unit": "",
+                          "vs_baseline": 0,
+                          "note": "reference data not mounted"}))
+        return
+    elapsed, identical, n_pairs = bench_pipeline()
+    scan = bench_scan()
+    print(json.dumps({"scan_throughput": scan}), file=sys.stderr)
+    print(json.dumps({
+        "metric": "CDS_20727 design+pairing wall-clock (bit-identical v16)",
+        "value": round(elapsed, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SECONDS / elapsed, 2),
+        "bit_identical": identical,
+        "pairs": n_pairs,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -245,8 +245,17 @@ class DesignEngine:
 
     def __init__(self, params: DesignParams):
         self.p = params
+        plen = params.primer_length
         if params.algo in ("v20", "v16"):
             self.y_strict, self.y_strict_r = self._forbidden_sets()
+            self._y_strict_arr = np.zeros(plen, dtype=bool)
+            self._y_strict_r_arr = np.zeros(plen, dtype=bool)
+            for y in self.y_strict:
+                if 0 <= y < plen:
+                    self._y_strict_arr[y] = True
+            for y in self.y_strict_r:
+                if 0 <= y < plen:
+                    self._y_strict_r_arr[y] = True
         else:
             self.y_strict = self.y_strict_r = None
         self._covered = _COVERED_V20 if params.algo == "v20" else _COVERED_V15
@@ -390,9 +399,7 @@ class DesignEngine:
     def _design_window(self, position, win_chars, seq_ids, total, threshold):
         p = self.p
         plen = p.primer_length
-        rows = [win_chars[s].tobytes().decode("ascii")
-                for s in range(win_chars.shape[0])]
-        gapcnt = np.char.count(np.array(rows), "-")
+        gapcnt = (win_chars == ord("-")).sum(axis=1)
         is_gap = gapcnt > p.variation
 
         # Gap gate: the reference checks the running rounded fraction after
@@ -402,23 +409,54 @@ class DesignEngine:
         if round(gap_number / total, 2) >= (1 - p.coverage):
             return None
 
-        # cover / gap dictionaries in file order, expansions in product order.
+        # Distinct raw windows with first-occurrence order and per-row member
+        # lists: expansion/dict building then runs over the distinct rows
+        # only, preserving the reference's file-order insertion semantics.
+        raw = np.ascontiguousarray(win_chars).view(
+            np.dtype((np.void, plen))).ravel()
+        uniq, first_idx, inverse, u_counts = np.unique(
+            raw, return_index=True, return_inverse=True, return_counts=True)
+        order = np.argsort(first_idx, kind="stable")
+        by_raw = np.argsort(inverse, kind="stable")
+        bounds = np.concatenate([[0], np.cumsum(u_counts)])
+
         cover = {}
         cover_for_mm = {}
         non_gap_seq_id = {}
         gap_sequence = {}
         gap_seq_id = {}
-        for s, row in enumerate(rows):
-            if is_gap[s]:
-                gap_sequence[row] = gap_sequence.get(row, 0) + 1
+        multi_exp = {}          # expansion -> [seq index arrays] for merging
+        for ui in order:
+            row = uniq[ui].tobytes().decode("ascii")
+            members = by_raw[bounds[ui]:bounds[ui + 1]]   # ascending seq idx
+            count = int(u_counts[ui])
+            if is_gap[members[0]]:
+                gap_sequence[row] = count
                 for e in iupac.expand(row):
-                    gap_seq_id.setdefault(e, []).append(seq_ids[s])
+                    gap_seq_id.setdefault(e, []).append(members)
             else:
-                for e in iupac.expand(row):
-                    cover[e] = cover.get(e, 0) + 1
-                    non_gap_seq_id.setdefault(e, []).append(seq_ids[s])
+                expansions = iupac.expand(row)
+                for e in expansions:
+                    if e in cover:
+                        cover[e] += count
+                        multi_exp.setdefault(e, []).append(members)
+                    else:
+                        cover[e] = count
+                        non_gap_seq_id[e] = members
                     if "-" not in e:
-                        cover_for_mm[e] = cover_for_mm.get(e, 0) + 1
+                        cover_for_mm[e] = cover_for_mm.get(e, 0) + count
+        # Merge seq-id lists for expansions shared by several raw windows
+        # (reference appends in global sequence order).
+        for e, extra in multi_exp.items():
+            merged = np.sort(np.concatenate([non_gap_seq_id[e]] + extra))
+            non_gap_seq_id[e] = merged
+        for e in non_gap_seq_id:
+            non_gap_seq_id[e] = [seq_ids[s] for s in non_gap_seq_id[e]]
+        for e in gap_seq_id:
+            parts = gap_seq_id[e]
+            idxs = parts[0] if len(parts) == 1 else np.sort(
+                np.concatenate(parts))
+            gap_seq_id[e] = [seq_ids[s] for s in idxs]
         if len(cover) < 1:
             return None
         cover_number = int((~is_gap).sum())
@@ -444,6 +482,7 @@ class DesignEngine:
         left = onehot[:, :-1, :].astype(np.int64)
         right = onehot[:, 1:, :].astype(np.int64)
         nn = np.einsum("k,kli,klj->lij", counts, left, right)
+        counts_list = [int(c) for c in counts]
 
         cover_extra = set()
 
@@ -460,7 +499,7 @@ class DesignEngine:
             if full_dege < self.p.degeneracy and full_n < self.p.dege_number:
                 info = self.pre_filter_info(full)
                 f_mis_cc, f_non, r_mis_cc, r_non = self._mis_primer_check(
-                    set(cover.keys()), full, cover, non_gap_seq_id)
+                    keys, key_chars, counts_list, full, non_gap_seq_id)
                 init = sum(cover[e] for e in
                            set(cover.keys()) & set(iupac.expand(full)))
                 return self._finalize(position, c_bit, t_bit, full,
@@ -479,24 +518,24 @@ class DesignEngine:
             mm_path = [_BASE2IDX[ch] for ch in best[0]]
             if viterbi_path.tolist() == mm_path:
                 branch = self._coverage_stats(
-                    viterbi_path, freq, nn.copy(), cover, cover_for_mm,
-                    non_gap_seq_id, cover_number, cover_extra)
+                    viterbi_path, nn.copy(), cover, keys, key_chars,
+                    counts_list, non_gap_seq_id, cover_number, cover_extra)
                 (primer, f_mis, r_mis, info, f_non, r_non) = branch
             else:
                 nm = self._coverage_stats(
-                    viterbi_path, freq, nn.copy(), cover, cover_for_mm,
-                    non_gap_seq_id, cover_number, cover_extra)
+                    viterbi_path, nn.copy(), cover, keys, key_chars,
+                    counts_list, non_gap_seq_id, cover_number, cover_extra)
                 mm = self._coverage_stats(
-                    np.array(mm_path), freq, nn.copy(), cover, cover_for_mm,
-                    non_gap_seq_id, cover_number, cover_extra)
+                    np.array(mm_path), nn.copy(), cover, keys, key_chars,
+                    counts_list, non_gap_seq_id, cover_number, cover_extra)
                 if (nm[1] + nm[2]) > (mm[1] + mm[2]):
                     primer, f_mis, r_mis, info, f_non, r_non = nm
                 else:
                     primer, f_mis, r_mis, info, f_non, r_non = mm
         else:
             branch = self._coverage_stats(
-                viterbi_path, freq, nn.copy(), cover, cover_for_mm,
-                non_gap_seq_id, cover_number, cover_extra)
+                viterbi_path, nn.copy(), cover, keys, key_chars,
+                counts_list, non_gap_seq_id, cover_number, cover_extra)
             primer, f_mis, r_mis, info, f_non, r_non = branch
 
         return self._finalize(position, c_bit, t_bit, primer, f_mis, r_mis,
@@ -518,7 +557,7 @@ class DesignEngine:
                             f_non, r_non, gap_seq_id)
 
     # -- refinement ------------------------------------------------------------
-    def _coverage_stats(self, path, freq, nn, cover, cover_for_mm,
+    def _coverage_stats(self, path, nn, cover, keys, key_chars, counts_list,
                         non_gap_seq_id, cover_number, cover_extra):
         """Greedy NN refinement loop (coverage_stast, core.py:860-920)."""
         p = self.p
@@ -530,7 +569,6 @@ class DesignEngine:
         nn_index = [[int(path[i]), int(path[i + 1])]
                     for i in range(len(path) - 1)]
         nn_cov = [int(nn[i, a, b]) for i, (a, b) in enumerate(nn_index)]
-        cover_key_set = set(cover.keys())
 
         if p.algo in ("v15", "v16"):
             # Perfect-coverage-driven loop, mis-check only once at the end
@@ -546,17 +584,20 @@ class DesignEngine:
                 else:
                     nn_cov = nn_cov_new
             f_mis, f_non, r_mis, r_non = self._mis_primer_check(
-                cover_key_set, "".join(primer_list), cover, non_gap_seq_id)
+                keys, key_chars, counts_list, "".join(primer_list),
+                non_gap_seq_id)
         else:
             f_mis, f_non, r_mis, r_non = self._mis_primer_check(
-                cover_key_set, "".join(primer_list), cover, non_gap_seq_id)
+                keys, key_chars, counts_list, "".join(primer_list),
+                non_gap_seq_id)
             while (coverage_init + f_mis < cover_number
                    or coverage_init + r_mis < cover_number):
                 (primer_list, coverage_init, nn_cov_new, nn, dege, n_dege) = \
                     self._refine_step(primer_list, coverage_init, cover,
                                       nn_index, nn_cov, nn)
                 f_mis, f_non, r_mis, r_non = self._mis_primer_check(
-                    cover_key_set, "".join(primer_list), cover, non_gap_seq_id)
+                    keys, key_chars, counts_list, "".join(primer_list),
+                    non_gap_seq_id)
                 if max(f_mis, r_mis) == cover_number:
                     break
                 elif nn_cov_new == nn_cov:
@@ -681,56 +722,67 @@ class DesignEngine:
         return sum(cover.get(e, 0)
                    for e in iupac.expand("".join(primer_list)) if e in cover)
 
-    def _mis_primer_check(self, all_primers, optimal_primer, cover,
+    def _mis_primer_check(self, keys, key_chars, counts, optimal_primer,
                           non_gap_seq_id):
-        """Mismatch coverage with forbidden 3'/5' positions.
+        """Mismatch coverage with forbidden 3'/5' positions, vectorised over
+        the distinct cover keys.
 
-        v20: per-position forbidden sets (mis_primer_check, core.py:1103-1130).
-        v15: margin-based, asymmetric F/R bookkeeping including the quirk that
-        a 3'-region mismatch adds the key to F_non_cover while still counting
-        it for R (core_V15.py:1161-1197).
+        v20/v16: per-position forbidden sets (mis_primer_check,
+        core.py:1103-1130).  v15: margin-based, asymmetric F/R bookkeeping
+        including the quirk that a 3'-region mismatch adds the key to
+        F_non_cover while still counting it for R (core_V15.py:1161-1197).
         """
         p = self.p
+        plen = len(optimal_primer)
         optimal_set = set(iupac.expand(optimal_primer))
         pa = np.frombuffer(optimal_primer.encode(), np.uint8)
-        cov_rows = self._covered[pa]     # [plen, 128] covered-by lookup
+        # not-covered matrix over all keys at once: [K, plen]
+        mis = ~self._covered[pa[None, :], key_chars]
+        nmis = mis.sum(axis=1)
         f_non, r_non = {}, {}
         f_mis = r_mis = 0
-        v15_margin = p.algo == "v15"
-        plen = len(optimal_primer)
-        for key in cover.keys():        # deterministic insertion order
-            if key in optimal_set:
-                continue
-            ka = np.frombuffer(key.encode(), np.uint8)
-            dist = np.nonzero(~cov_rows[np.arange(plen), ka])[0]
-            if len(dist) > p.variation:
-                f_non[key] = non_gap_seq_id[key]
-                r_non[key] = non_gap_seq_id[key]
-            elif v15_margin:
-                lo, hi = int(dist[0]), int(dist[-1])
-                if lo < p.position_margin:
-                    r_non[key] = non_gap_seq_id[key]
-                    if hi > plen - p.position_margin:
-                        f_non[key] = non_gap_seq_id[key]
-                    else:
-                        f_mis += cover[key]
-                else:
-                    if hi > plen - p.position_margin:
-                        f_non[key] = non_gap_seq_id[key]
-                        r_mis += cover[key]
-                    else:
-                        f_mis += cover[key]
-                        r_mis += cover[key]
-            else:
-                dset = set(dist.tolist())
-                if dset & self.y_strict:
+        if p.algo == "v15":
+            margin = p.position_margin
+            pos = np.arange(plen)
+            lo_bad = (mis & (pos < margin)[None, :]).any(axis=1)
+            hi_bad = (mis & (pos > plen - margin)[None, :]).any(axis=1)
+            for i, key in enumerate(keys):
+                if key in optimal_set:
+                    continue
+                if nmis[i] > p.variation:
                     f_non[key] = non_gap_seq_id[key]
+                    r_non[key] = non_gap_seq_id[key]
+                elif lo_bad[i]:
+                    r_non[key] = non_gap_seq_id[key]
+                    if hi_bad[i]:
+                        f_non[key] = non_gap_seq_id[key]
+                    else:
+                        f_mis += counts[i]
                 else:
-                    f_mis += cover[key]
-                if dset & self.y_strict_r:
+                    if hi_bad[i]:
+                        f_non[key] = non_gap_seq_id[key]
+                        r_mis += counts[i]
+                    else:
+                        f_mis += counts[i]
+                        r_mis += counts[i]
+        else:
+            f_bad = (mis & self._y_strict_arr[None, :]).any(axis=1)
+            r_bad = (mis & self._y_strict_r_arr[None, :]).any(axis=1)
+            for i, key in enumerate(keys):
+                if key in optimal_set:
+                    continue
+                if nmis[i] > p.variation:
+                    f_non[key] = non_gap_seq_id[key]
                     r_non[key] = non_gap_seq_id[key]
                 else:
-                    r_mis += cover[key]
+                    if f_bad[i]:
+                        f_non[key] = non_gap_seq_id[key]
+                    else:
+                        f_mis += counts[i]
+                    if r_bad[i]:
+                        r_non[key] = non_gap_seq_id[key]
+                    else:
+                        r_mis += counts[i]
         return f_mis, f_non, r_mis, r_non
 
 

@@ -1,0 +1,112 @@
+"""Device-mesh sharding for the design and scan kernels.
+
+The workload has two natural parallel axes:
+
+* ``seq``  — target/MSA sequences (data parallel).  Window statistics and
+  coverage counts are plain sums over this axis -> merged with psum.
+* ``win``  — window positions / primer candidates.  Fully independent ->
+  plain data parallelism, no collectives.
+
+The reference has no distributed story at all (single host, process pools,
+SURVEY §2.4); this module is the TPU-native replacement: a 2-D
+``Mesh(('seq', 'win'))`` with shard_map'd kernels whose collectives ride ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops import design_scan, mismatch_scan
+
+
+def make_mesh(n_devices=None, seq_axis=None):
+    """Build a (seq, win) mesh over the available devices."""
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = devices[:n_devices]
+    if seq_axis is None:
+        # favour the seq axis: counts merge with one psum; windows need none
+        seq_axis = n_devices
+        win_axis = 1
+        for cand in range(int(np.sqrt(n_devices)), 0, -1):
+            if n_devices % cand == 0:
+                seq_axis, win_axis = n_devices // cand, cand
+                break
+    else:
+        win_axis = n_devices // seq_axis
+    mesh_devices = np.array(devices).reshape(seq_axis, win_axis)
+    return Mesh(mesh_devices, ("seq", "win"))
+
+
+def design_stats_sharded(mesh, masks, positions, *, plen=18, variation=1):
+    """Multi-chip Stage-A: masks sharded over 'seq', windows over 'win';
+    freq/NN/count tensors psum over 'seq'; Viterbi runs on the reduced
+    tensors per window shard."""
+
+    def step(masks_shard, pos_shard):
+        win = design_scan.patch_windows(masks_shard, pos_shard, plen)
+        stats = design_scan.window_stats(win, variation)
+        stats = {k: jax.lax.psum(v, "seq") for k, v in stats.items()}
+        stats["viterbi"] = design_scan.viterbi_batch(stats["freq"],
+                                                     stats["nn"])
+        return stats
+
+    fn = shard_map(
+        step, mesh=mesh,
+        in_specs=(P("seq", None), P("win")),
+        out_specs={"freq": P("win"), "nn": P("win"),
+                   "cover_number": P("win"), "gap_number": P("win"),
+                   "viterbi": P("win")})
+    return jax.jit(fn)(masks, positions)
+
+
+def coverage_counts_sharded(mesh, targets_1h, lengths, primers_1h, suffix_1h,
+                            *, mm=1, term=4):
+    """Multi-chip coverage scan: targets sharded over ('seq','win') flattened
+    as one data axis, primers broadcast; per-primer hit/coverage counts merge
+    with psum over both axes."""
+
+    def step(t_shard, len_shard, p, s):
+        counts = mismatch_scan.match_counts_conv(t_shard, p)
+        suffix = mismatch_scan.match_counts_conv(t_shard, s)
+        plen = p.shape[1]
+        n_out = counts.shape[1]
+        ok = ((plen - counts) <= mm) & (suffix >= term)
+        o_idx = jnp.arange(n_out)[None, :, None]
+        ok &= (o_idx + plen) <= len_shard[:, None, None]
+        per_primer_hits = jnp.sum(ok, axis=(0, 1))
+        covered_seqs = jnp.sum(jnp.any(ok, axis=(1, 2)))
+        per_primer_hits = jax.lax.psum(
+            jax.lax.psum(per_primer_hits, "seq"), "win")
+        covered_seqs = jax.lax.psum(
+            jax.lax.psum(covered_seqs, "seq"), "win")
+        return per_primer_hits, covered_seqs
+
+    n_shards = mesh.devices.size
+    fn = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(("seq", "win")), P(("seq", "win")), P(None, None, None),
+                  P(None, None, None)),
+        out_specs=(P(), P()))
+    return jax.jit(fn)(targets_1h, lengths, primers_1h, suffix_1h)
+
+
+def full_design_step(mesh, masks, positions, targets_1h, lengths, primers_1h,
+                     suffix_1h, *, plen=18, variation=1, mm=1, term=4):
+    """One fused multi-chip "design step": Stage-A stats + consensus over the
+    MSA shard plus a coverage scan of candidate primers over the target
+    shard.  This is the graft-entry dryrun payload — it exercises psum over
+    'seq', data-parallel windows over 'win', and broadcast primers."""
+    stats = design_stats_sharded(mesh, masks, positions, plen=plen,
+                                 variation=variation)
+    hits, covered = coverage_counts_sharded(
+        mesh, targets_1h, lengths, primers_1h, suffix_1h, mm=mm, term=term)
+    return stats, hits, covered

@@ -3,11 +3,17 @@ tests exercise a real Mesh without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon TPU plugin (sitecustomize) can force its own platform regardless
+# of the env var; override again through the config API.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
