@@ -1,0 +1,175 @@
+"""Center-star multiple alignment (MAFFT/MUSCLE replacement).
+
+The reference shells out to ``mafft --auto`` (or muscle for singleton
+clusters, run_mafft.py:66-72) purely to build the per-cluster MSA that the
+window-design engine consumes.  This module provides a TPU-era stand-in:
+
+* center selection by maximum summed k-mer similarity;
+* global pairwise alignment of every member against the center, one
+  vectorised DP row at a time (the within-row "gap in center" dependency is
+  resolved with a prefix-max relaxation, so each row is pure vector ops);
+* the classic center-star merge: per-center-position gap slots sized by the
+  max insertion any pairwise alignment requires.
+
+A center-star MSA is not column-identical to MAFFT's progressive alignment;
+for bit-parity regression the pipeline ingests reference-produced .tmsa
+files directly (pipeline stage ``align: external``).  The conserved windows
+the design engine feeds on are stable across both.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..cluster.greedy import _encode, kmer_set
+
+MATCH, MISMATCH, GAP = 2, -1, -2
+
+
+def pick_center(seqs, k=12, sample=200):
+    """Index of the sequence with the largest summed k-mer Jaccard."""
+    if len(seqs) == 1:
+        return 0
+    idx = list(range(len(seqs)))
+    if len(idx) > sample:
+        step = len(idx) / sample
+        idx = sorted({int(i * step) for i in range(sample)})
+    sets = {i: kmer_set(_encode(seqs[i]), k) for i in idx}
+    best, best_score = idx[0], -1.0
+    for i in idx:
+        score = 0.0
+        for j in idx:
+            if i == j:
+                continue
+            a, b = sets[i], sets[j]
+            if a.size and b.size:
+                inter = np.intersect1d(a, b, assume_unique=True).size
+                score += inter / (a.size + b.size - inter)
+        if score > best_score:
+            best, best_score = i, score
+    return best
+
+
+def align_ops(a, b):
+    """Global alignment op string between code arrays a (center) and b.
+
+    Returns a list of ops: 'M' consumes one char of each, 'D' consumes only
+    the center (gap in member), 'I' consumes only the member (gap in
+    center).  Linear gap penalty; each DP row is vectorised, with the
+    within-row left dependency folded into a prefix-max relaxation.
+    """
+    la, lb = len(a), len(b)
+    if la == 0:
+        return ["I"] * lb
+    if lb == 0:
+        return ["D"] * la
+    jar = np.arange(lb + 1, dtype=np.int32)
+    prev = (GAP * jar).astype(np.int32)
+    ptr = np.zeros((la + 1, lb + 1), np.uint8)   # 0 diag, 1 up, 2 left
+    ptr[0, 1:] = 2
+    for i in range(1, la + 1):
+        sub = np.where((b == a[i - 1]) & (a[i - 1] < 4), MATCH,
+                       MISMATCH).astype(np.int32)
+        vert = np.empty(lb + 1, np.int32)
+        vert[0] = prev[0] + GAP
+        diag = prev[:-1] + sub
+        up = prev[1:] + GAP
+        vert[1:] = np.maximum(diag, up)
+        p = np.empty(lb + 1, np.uint8)
+        p[0] = 1
+        p[1:] = np.where(diag >= up, 0, 1)
+        # gap-in-center (left) moves: dp[j] = max_{j'<=j} vert[j'] + GAP*(j-j')
+        t = vert - GAP * jar
+        cur = (np.maximum.accumulate(t) + GAP * jar).astype(np.int32)
+        p = np.where(cur > vert, 2, p).astype(np.uint8)
+        ptr[i] = p
+        prev = cur
+    ops = []
+    i, j = la, lb
+    while i > 0 or j > 0:
+        if i == 0:
+            m = 2
+        elif j == 0:
+            m = 1
+        else:
+            m = ptr[i, j]
+        if m == 0:
+            ops.append("M")
+            i -= 1
+            j -= 1
+        elif m == 1:
+            ops.append("D")
+            i -= 1
+        else:
+            ops.append("I")
+            j -= 1
+    ops.reverse()
+    return ops
+
+
+def center_star_msa(ids, seqs):
+    """-> (ids, aligned rows as equal-length strings)."""
+    if len(seqs) == 1:
+        return ids, [seqs[0]]
+    center = pick_center(seqs)
+    codes = [_encode(s) for s in seqs]
+    c = codes[center]
+    per_member = [None] * len(seqs)
+    for m in range(len(seqs)):
+        if m != center:
+            per_member[m] = align_ops(c, codes[m])
+    la = len(c)
+    # master gap slot before each center position (+ one trailing slot)
+    slot = np.zeros(la + 1, np.int64)
+    for ops in per_member:
+        if ops is None:
+            continue
+        ci = run = 0
+        for op in ops:
+            if op == "I":
+                run += 1
+            else:
+                slot[ci] = max(slot[ci], run)
+                run = 0
+                ci += 1
+        slot[la] = max(slot[la], run)
+    rows = []
+    center_chars = []
+    for i in range(la):
+        center_chars.append("-" * int(slot[i]))
+        center_chars.append(seqs[center][i])
+    center_chars.append("-" * int(slot[la]))
+    center_row = "".join(center_chars)
+    for m in range(len(seqs)):
+        if m == center:
+            rows.append(center_row)
+            continue
+        ops = per_member[m]
+        out = []
+        mi = ci = 0
+        run = []
+        for op in ops:
+            if op == "I":
+                run.append(seqs[m][mi])
+                mi += 1
+            else:
+                out.append("".join(run) + "-" * int(slot[ci] - len(run)))
+                run = []
+                if op == "M":
+                    out.append(seqs[m][mi])
+                    mi += 1
+                else:
+                    out.append("-")
+                ci += 1
+        out.append("".join(run) + "-" * int(slot[la] - len(run)))
+        rows.append("".join(out))
+    assert len({len(r) for r in rows}) == 1
+    return ids, rows
+
+
+def write_msa(ids, rows, path, width=60):
+    with open(path, "w") as f:
+        for i, r in zip(ids, rows):
+            f.write(">" + i.lstrip(">") + "\n")
+            for off in range(0, len(r), width):
+                f.write(r[off:off + width] + "\n")

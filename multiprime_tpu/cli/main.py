@@ -1,0 +1,189 @@
+"""`mptpu` — unified CLI for the TPU-native multiplex primer design framework.
+
+Subcommands map 1:1 onto the reference's script zoo:
+
+  run          full pipeline from a fasta (replaces snakemake multiPrime.py)
+  design       MC-DPD/MC-EDPD window design   (multiPrime-core.py)
+  pair         primer-pair selection          (get_multiPrime.py)
+  solve        greedy minimal set             (get_Maxprimerset.py)
+  findimer     all-vs-all dimer scan          (finDimer.py)
+  scan         mismatch coverage validation   (primer_coverage_validation_by_BWT.py)
+  pcr          perfect-match in-silico PCR    (extract_PCR_product.py)
+  tm           melting temperatures           (CalcTm.py)
+  dg           free energies                  (free_energy.py)
+  expand       degenerate expansion           (dege_expand.py)
+  kmer-filter  k-mer prefilter                (kmer_filter.py)
+  seq-format   fasta normalisation            (seq_format.py)
+"""
+
+import sys
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return 0
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "run":
+        return _run(rest)
+    if cmd == "design":
+        from . import design
+        return design.main(rest)
+    if cmd == "pair":
+        from . import pair
+        return pair.main(rest)
+    if cmd == "solve":
+        return _solve(rest)
+    if cmd == "findimer":
+        return _findimer(rest)
+    if cmd == "scan":
+        return _scan(rest)
+    if cmd == "pcr":
+        return _pcr(rest)
+    if cmd == "tm":
+        from . import tools
+        return tools.tm_main(rest)
+    if cmd == "dg":
+        from . import tools
+        return tools.dg_main(rest)
+    if cmd == "expand":
+        from . import tools
+        return tools.expand_main(rest)
+    if cmd == "kmer-filter":
+        from . import tools
+        return tools.kmer_filter_main(rest)
+    if cmd == "seq-format":
+        return _seq_format(rest)
+    print("unknown subcommand: " + cmd)
+    print(__doc__)
+    return 2
+
+
+def _run(argv):
+    import argparse
+    from ..pipeline.driver import run_pipeline
+    p = argparse.ArgumentParser(prog="mptpu run")
+    p.add_argument("-c", "--config", help="multiPrime.yaml-compatible config")
+    p.add_argument("-i", "--input")
+    p.add_argument("-r", "--results", default="results")
+    p.add_argument("--algo", default="v20", choices=["v20", "v16", "v15"])
+    p.add_argument("--coverage", type=float)
+    args = p.parse_args(argv)
+    overrides = {}
+    if args.input:
+        overrides["input_fa"] = args.input
+    overrides["results_dir"] = args.results
+    overrides["algo"] = args.algo
+    if args.coverage is not None:
+        overrides["coverage"] = args.coverage
+    pipe, log = run_pipeline(args.config, **overrides)
+    for name, status, dt in log:
+        print("%-20s %-8s %ss" % (name, status, dt))
+    return 0
+
+
+def _solve(argv):
+    import argparse
+    from ..solve import maxset
+    p = argparse.ArgumentParser(prog="mptpu solve")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-s", "--step", type=int, default=5)
+    p.add_argument("-m", "--method", default="T")
+    p.add_argument("-o", "--out", required=True)
+    args = p.parse_args(argv)
+    import os
+    import re
+    if re.search("/", args.input):
+        parts = args.input.split("/")
+        sort = "/".join(parts[:-1]) + "/sort." + parts[-1]
+    else:
+        sort = "sort." + args.input
+    primers = maxset.parse_and_sort(args.input, sort)
+    if args.method == "T":
+        nxt = args.out.rstrip(".xls") + ".next.xls"
+        maxset.greedy_maximal(primers, args.out, nxt, step=args.step)
+    else:
+        maxset.greedy_maximum(primers, args.out, step=args.step)
+    return 0
+
+
+def _findimer(argv):
+    import argparse
+    from ..validate import findimer
+    p = argparse.ArgumentParser(prog="mptpu findimer")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-t", "--threshold", type=float, default=3.96)
+    p.add_argument("-n", "--num", type=int, default=1)
+    p.add_argument("-o", "--output", required=True)
+    args = p.parse_args(argv)
+    rows = findimer.scan(findimer.parse_primer_fasta(args.input),
+                         threshold=args.threshold)
+    findimer.write_outputs(rows, args.output)
+    return 0
+
+
+def _scan(argv):
+    import argparse
+    import pickle
+    from ..validate import scan as vscan
+    p = argparse.ArgumentParser(prog="mptpu scan")
+    p.add_argument("-i", "--input", required=True, help="primer fasta")
+    p.add_argument("-r", "--ref", required=True, help="targets fasta")
+    p.add_argument("-l", "--len", type=int, default=0)
+    p.add_argument("-t", "--term", type=int, default=4)
+    p.add_argument("-m", "--seedmms", type=int, default=1)
+    p.add_argument("-s", "--size", default="100,1500")
+    p.add_argument("-d", "--dict", default="None")
+    p.add_argument("-o", "--out", required=True)
+    args = p.parse_args(argv)
+    targets_dict = None
+    if args.dict != "None":
+        with open(args.dict, "rb") as f:
+            targets_dict = pickle.load(f)
+    params = vscan.ScanParams(
+        term_len=args.len, term=args.term, mm=args.seedmms,
+        product_size=tuple(int(x) for x in args.size.split(",")))
+    vscan.run(args.input, args.ref, args.out, params, targets_dict)
+    return 0
+
+
+def _pcr(argv):
+    import argparse
+    from ..validate import pcr
+    p = argparse.ArgumentParser(prog="mptpu pcr")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-r", "--ref", required=True)
+    p.add_argument("-f", "--format", default="fa", choices=["fa", "xls", "seq"])
+    p.add_argument("-o", "--out", required=True, help="products directory")
+    p.add_argument("-s", "--stast", required=True, help="coverage summary")
+    args = p.parse_args(argv)
+    if args.format == "seq":
+        f, r = args.input.split(",")
+        pairs = {"PCR_info": (f, r)}
+    elif args.format == "xls":
+        pairs = pcr.parse_pairs_xls(args.input)
+    else:
+        pairs = pcr.parse_pairs_fa(args.input)
+    pcr.run(pairs, args.ref, args.out, args.stast)
+    return 0
+
+
+def _seq_format(argv):
+    import argparse
+    from ..pipeline import stages
+    p = argparse.ArgumentParser(prog="mptpu seq-format")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("-g", "--gc", type=float, default=0.8)
+    p.add_argument("-l", "--length", type=int, default=200)
+    p.add_argument("-c", "--complete", default="F")
+    args = p.parse_args(argv)
+    stages.seq_format(args.input, args.out, gc_threshold=args.gc,
+                      min_length=args.length,
+                      complete_only=args.complete == "T")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,117 @@
+"""Standalone tool CLIs mirroring the reference's utility scripts:
+
+* tm          — CalcTm.py (NN Tm with settable PCR conditions)
+* dg          — free_energy.py (unified / H_bonds dG)
+* expand      — dege_expand.py (degenerate fasta -> expanded fasta)
+* kmer-filter — kmer_filter.py (GC / run / clamp filter for k-mer fastas)
+"""
+
+import argparse
+import sys
+
+from ..thermo import exact as thermo
+from ..utils import iupac
+
+
+def _iter_fasta(path):
+    name = None
+    with open(path) as f:
+        for line in f:
+            if line.startswith(">"):
+                name = line.strip()
+            elif line.strip():
+                yield name, line.strip()
+
+
+def tm_main(argv=None):
+    p = argparse.ArgumentParser(description="NN melting temperature (CalcTm)")
+    p.add_argument("-i", "--input", required=True,
+                   help="fasta of primers, or a bare sequence with -f seq")
+    p.add_argument("-f", "--format", default="fa", choices=["fa", "seq"])
+    p.add_argument("-m", "--mono", type=float, default=50)
+    p.add_argument("-d", "--divalent", type=float, default=1.5)
+    p.add_argument("-n", "--dntp", type=float, default=0.25)
+    p.add_argument("-c", "--conc", type=float, default=100)
+    p.add_argument("-o", "--out", default="-")
+    args = p.parse_args(argv)
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+
+    def emit(name, seq):
+        tms = [thermo.tm_conditions(s, args.mono, args.divalent, args.dntp,
+                                    args.conc)
+               for s in iupac.expand(seq.upper())]
+        mean_tm = round(thermo._stat_mean(tms), 2)
+        out.write("%s\t%s\t%s\n" % (name or seq, seq, mean_tm))
+
+    if args.format == "seq":
+        emit(None, args.input)
+    else:
+        for name, seq in _iter_fasta(args.input):
+            emit(name, seq)
+    if out is not sys.stdout:
+        out.close()
+
+
+def dg_main(argv=None):
+    p = argparse.ArgumentParser(description="Free energy (free_energy.py)")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-f", "--format", default="fa", choices=["fa", "seq", "xls"])
+    p.add_argument("-g", "--gini", default="unified",
+                   choices=["unified", "H_bonds"])
+    p.add_argument("-p", "--position", type=int, default=0,
+                   help="column index for xls format")
+    p.add_argument("-o", "--out", default="-")
+    args = p.parse_args(argv)
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    if args.format == "seq":
+        dg = thermo.delta_g_cli(args.input.upper(), args.gini)
+        out.write(args.input + "\t" + str(dg) + "\n")
+    elif args.format == "xls":
+        for line in open(args.input):
+            fields = line.strip().split("\t")
+            dg = thermo.delta_g_cli(fields[args.position].upper(), args.gini)
+            out.write(line.strip() + "\t" + str(dg) + "\n")
+    else:
+        for name, seq in _iter_fasta(args.input):
+            dg = thermo.delta_g_cli(seq.upper(), args.gini)
+            out.write(name + "\t" + seq + "\t" + str(dg) + "\n")
+    if out is not sys.stdout:
+        out.close()
+
+
+def expand_main(argv=None):
+    """dege_expand.py: each record's expansions get _0.._k suffixes."""
+    p = argparse.ArgumentParser(description="Expand degenerate fasta")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--out", default="-")
+    args = p.parse_args(argv)
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    for name, seq in _iter_fasta(args.input):
+        for j, e in enumerate(iupac.expand(seq.upper())):
+            out.write("%s_%d\n%s\n" % (name, j, e))
+    if out is not sys.stdout:
+        out.close()
+
+
+def kmer_filter_main(argv=None):
+    """kmer_filter.py: keep k-mers passing GC bounds, no di/tri-nucleotide
+    runs, no GC-rich 3' clamp."""
+    from ..models.mcdpd import DesignEngine, DesignParams
+    p = argparse.ArgumentParser(description="Filter k-mer fasta")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-g", "--gc", default="0.2,0.7")
+    p.add_argument("-o", "--out", default="-")
+    args = p.parse_args(argv)
+    lo, hi = (float(x) for x in args.gc.split(","))
+    eng = DesignEngine(DesignParams(gc=(lo, hi)))
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    for name, seq in _iter_fasta(args.input):
+        seq = seq.upper()
+        gc = thermo.gc_degenerate_mean(seq)
+        if not lo <= gc <= hi:
+            continue
+        if eng.di_nucleotide(seq) or eng.gc_clamp(seq):
+            continue
+        out.write(name + "\n" + seq + "\n")
+    if out is not sys.stdout:
+        out.close()

@@ -1,0 +1,179 @@
+"""Greedy identity clustering + exact dedup (cd-hit replacement).
+
+The reference shells out to cd-hit twice (multiPrime.py:84,118):
+
+* ``cd-hit -c 1.0``  — remove duplicates/contained sequences;
+* ``cd-hit -c 0.7``  — greedy identity clustering; representatives feed the
+  per-cluster MSA/design fan-out, members are parsed from the ``.clstr``
+  file by extract_cluster.py:133-157.
+
+This module reproduces cd-hit's *algorithmic contract* TPU-natively:
+sequences sorted longest-first, each assigned to the first (earliest-created)
+cluster whose representative aligns with identity >= threshold over the
+shorter sequence, else founds a new cluster.  Identity is computed by banded
+global alignment (vectorised over the band); a k-mer containment prefilter
+(the analogue of cd-hit's short-word filter) skips hopeless candidates.
+Outputs use cd-hit's .clstr format so downstream parsers are unchanged.
+
+Note: cd-hit's own identity values depend on its heuristic banding and
+word-index pruning; cluster *memberships* agree on clean data but are not
+guaranteed bit-identical on borderline pairs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+_BASE_IDX = {65: 0, 67: 1, 71: 2, 84: 3}   # A C G T
+
+
+def _encode(seq):
+    arr = np.frombuffer(seq.encode("ascii"), np.uint8)
+    out = np.full(arr.shape, 4, np.int8)
+    for b, v in _BASE_IDX.items():
+        out[arr == b] = v
+    return out
+
+
+def kmer_set(codes, k=8):
+    """Packed k-mer codes of a sequence (positions with ambiguity excluded)."""
+    if len(codes) < k:
+        return np.empty(0, np.int64)
+    valid = codes < 4
+    kk = np.lib.stride_tricks.sliding_window_view(codes.astype(np.int64), k)
+    vv = np.lib.stride_tricks.sliding_window_view(valid, k).all(axis=1)
+    weights = 4 ** np.arange(k, dtype=np.int64)
+    packed = kk @ weights
+    return np.unique(packed[vv])
+
+
+def banded_identity(a_codes, b_codes, band=64):
+    """Match-maximising banded global alignment; returns
+    max_matches / min(len_a, len_b) — cd-hit's identity definition.
+
+    a is the shorter sequence.  DP over rows of a with the band vectorised.
+    """
+    la, lb = len(a_codes), len(b_codes)
+    if la > lb:
+        a_codes, b_codes, la, lb = b_codes, a_codes, lb, la
+    width = 2 * band + (lb - la) + 1
+    # dp[j] = best matches ending at (i, i + offset) where offset = j - band
+    neg = -10 ** 6
+    dp = np.full(width, neg, np.int32)
+    dp[band] = 0
+    offsets = np.arange(width) - band
+    for i in range(la):
+        j = i + offsets
+        valid = (j >= 0) & (j < lb)
+        match = np.zeros(width, np.int32)
+        jj = np.clip(j, 0, lb - 1)
+        match[valid] = (b_codes[jj[valid]] == a_codes[i]) & (a_codes[i] < 4)
+        diag = dp + match                       # consume a[i] and b[j]
+        up = np.concatenate([dp[1:], [neg]])    # gap in b (skip a[i]) -> same j
+        new = np.maximum(diag, up)
+        # gap in a (skip b[j]): within-row left-to-right propagation
+        new = np.maximum.accumulate(
+            np.where(valid, new, neg))
+        dp = np.where(valid, new, neg)
+    end = lb - la + band
+    return max(0, int(dp[end])) / la
+
+
+@dataclass
+class Cluster:
+    rep_index: int
+    members: list           # (seq_index, identity_or_None) in join order
+
+
+def greedy_cluster(ids, seqs, threshold=0.7, k=8, band=64,
+                   word_filter_slack=1.0):
+    """-> (order, clusters): cd-hit-style greedy clustering.
+
+    order: indices sorted longest-first (ties: input order) — the processing
+    order, which is also the representative ordering.
+    """
+    n = len(seqs)
+    order = sorted(range(n), key=lambda i: (-len(seqs[i]), i))
+    codes = {i: _encode(seqs[i]) for i in order}
+    clusters = []
+    exact = {}              # full-sequence hash fast path
+    rep_kmers = []
+    for i in order:
+        seq = seqs[i]
+        placed = False
+        if seq in exact:
+            clusters[exact[seq]].members.append((i, 1.0))
+            placed = True
+        else:
+            q_kmers = kmer_set(codes[i], k)
+            need = threshold * len(seq) - k * ((1 - threshold) * len(seq) + 1)
+            for ci, cl in enumerate(clusters):
+                shared = np.intersect1d(q_kmers, rep_kmers[ci],
+                                        assume_unique=True).size
+                # word filter: identity c over the shorter seq allows at most
+                # floor((1-c)*L) mismatches; each destroys <= k k-mers.
+                if shared * word_filter_slack < need:
+                    continue
+                ident = banded_identity(codes[i], codes[cl.rep_index], band)
+                if ident >= threshold:
+                    cl.members.append((i, ident))
+                    placed = True
+                    break
+        if not placed:
+            exact[seq] = len(clusters)
+            clusters.append(Cluster(rep_index=i, members=[(i, None)]))
+            rep_kmers.append(kmer_set(codes[i], k))
+    return order, clusters
+
+
+def write_clstr(clusters, ids, seqs, clstr_path):
+    """cd-hit .clstr format (consumed by extract_cluster.py:133-157)."""
+    with open(clstr_path, "w") as f:
+        for ci, cl in enumerate(clusters):
+            f.write(">Cluster %d\n" % ci)
+            for mi, (si, ident) in enumerate(cl.members):
+                tail = "*" if si == cl.rep_index else \
+                    "at +/%.2f%%" % (100.0 * ident)
+                f.write("%d\t%dnt, >%s... %s\n"
+                        % (mi, len(seqs[si]), ids[si], tail))
+
+
+def write_representatives(clusters, ids, seqs, fa_path):
+    with open(fa_path, "w") as f:
+        for cl in clusters:
+            f.write(">" + ids[cl.rep_index] + "\n" + seqs[cl.rep_index] + "\n")
+
+
+def dedup(ids, seqs):
+    """cd-hit -c 1.0 equivalent: drop exact duplicates and exact substrings
+    of longer sequences (containment at 100% identity)."""
+    order = sorted(range(len(seqs)), key=lambda i: (-len(seqs[i]), i))
+    reps = []
+    clusters = []
+    seen = {}
+    for i in order:
+        seq = seqs[i]
+        placed = False
+        if seq in seen:
+            clusters[seen[seq]].members.append((i, 1.0))
+            placed = True
+        else:
+            for ci in _containment_candidates(seq, reps, clusters, seqs):
+                clusters[ci].members.append((i, 1.0))
+                placed = True
+                break
+        if not placed:
+            seen[seq] = len(clusters)
+            clusters.append(Cluster(rep_index=i, members=[(i, None)]))
+            reps.append(i)
+    return order, clusters
+
+
+def _containment_candidates(seq, reps, clusters, seqs):
+    # plain substring containment scan; the rep list is usually much smaller
+    # than the input.  (cd-hit -c 1.0 finds these via its word index.)
+    for ci, ri in enumerate(reps):
+        if seq in seqs[ri]:
+            yield ci

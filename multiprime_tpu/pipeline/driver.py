@@ -1,0 +1,367 @@
+"""End-to-end pipeline driver — the Snakemake replacement.
+
+One resumable in-process stage graph covering the reference's 19 rules
+(multiPrime.py DAG, SURVEY §1): format -> dedup -> cluster -> sample ->
+ANI-merge -> align -> design -> pair -> aggregate -> solve -> core-solve ->
+format/dimer reports -> in-silico PCR -> mismatch-coverage validation.
+
+Stage outputs land in the reference's directory layout (Total_fa/,
+Clusters_fa/, Clusters_msa/, Clusters_primer/, Clusters_cprimer/,
+Primers_set/, Core_primers_set/) so existing tooling and the golden files
+line up.  A stage is skipped when its outputs already exist (file-level
+resume, same contract as Snakemake's).
+
+Differences from the reference runtime:
+* no external binaries — clustering/alignment/scanning are the in-package
+  TPU-native engines;
+* per-cluster fan-out is a host loop (clusters are processed sequentially,
+  each internally batched/vectorised) instead of Snakemake checkpoint jobs;
+* ``align.backend: external`` lets a pre-computed .tmsa (e.g. MAFFT output)
+  be dropped in for bit-parity regression.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import random
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class PipelineConfig:
+    input_fa: str = ""
+    results_dir: str = "results"
+    virus_name: str = ""
+    # seq_format
+    seq_number_ATGC: float = 0.8
+    min_seq_length: int = 200
+    # clustering
+    identity: float = 0.7
+    ani: float = 0.8
+    drop_or_merge: bool = True       # merge small clusters (True) or drop
+    seq_number_per_cluster_threshold: int = 10
+    max_seq: int = 500
+    sample_seed: int = 0
+    # design
+    dege_number: int = 4
+    degeneracy: int = 10
+    primer_len: int = 18
+    variation: int = 1
+    entropy: float = 3.6
+    coordinate: str = "2,3,-1"
+    coverage: float = 0.7
+    algo: str = "v20"
+    # pairing / products
+    product_size: tuple = (150, 1200)
+    gc_content: tuple = (0.2, 0.7)
+    distance: int = 4
+    end: int = 4
+    diff_tm: float = 5
+    adaptor: tuple = ("TCTTTCCCTACACGACGCTCTTCCGATCT",
+                      "TGGAGTTCAGACGTGTGCTCTTCCGATCT")
+    # solve
+    step: int = 5
+    method: str = "T"
+    core_number: int = 10
+    # validation scan
+    scan_term: int = 4
+    scan_mm: int = 1
+    nproc: int = 1
+    align_backend: str = "centerstar"    # or "external"
+    timings: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_yaml(cls, path):
+        import yaml
+        raw = yaml.safe_load(open(path))
+        cfg = cls()
+        mapping = {
+            "input_dir": None, "input_fa": "input_fa",
+            "results_dir": "results_dir", "identity": "identity",
+            "ani": "ani", "max_seq": "max_seq",
+            "dege_number": "dege_number", "degeneracy": "degeneracy",
+            "primer_len": "primer_len", "variation": "variation",
+            "entropy": "entropy", "coordinate": "coordinate",
+            "coverage": "coverage", "distance": "distance", "end": "end",
+            "step": "step", "method": "method", "nproc": "nproc",
+            "seq_number_ATGC": "seq_number_ATGC",
+            "seq_number": "min_seq_length",
+        }
+        for key, attr in mapping.items():
+            if attr and key in raw:
+                setattr(cfg, attr, raw[key])
+        if "PRODUCT_size" in raw:
+            cfg.product_size = tuple(
+                int(x) for x in str(raw["PRODUCT_size"]).split(","))
+        if "gc_content" in raw:
+            cfg.gc_content = tuple(
+                float(x) for x in str(raw["gc_content"]).split(","))
+        if "adaptor" in raw:
+            cfg.adaptor = tuple(str(raw["adaptor"]).split(","))
+        if "virus" in raw:
+            v = raw["virus"]
+            cfg.virus_name = v[0] if isinstance(v, list) else str(v)
+        return cfg
+
+
+class Pipeline:
+    def __init__(self, cfg: PipelineConfig):
+        self.cfg = cfg
+        self.r = cfg.results_dir
+        self.v = cfg.virus_name or os.path.basename(
+            cfg.input_fa).rsplit(".", 1)[0]
+        self.log = []
+
+    # -- helpers ---------------------------------------------------------------
+    def _p(self, *parts):
+        path = os.path.join(self.r, *parts)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        return path
+
+    def _done(self, *paths):
+        return all(os.path.exists(p) for p in paths)
+
+    def _stage(self, name, outputs, fn):
+        if outputs and self._done(*outputs):
+            self.log.append((name, "cached", 0.0))
+            return
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        self.cfg.timings[name] = round(dt, 3)
+        self.log.append((name, "ran", round(dt, 2)))
+
+    def _read_fasta(self, path):
+        from ..validate.scan import parse_fasta
+        return parse_fasta(path)
+
+    # -- stages ----------------------------------------------------------------
+    def run(self):
+        cfg = self.cfg
+        fmt_fa = self._p("Total_fa", self.v + ".format.fa")
+        self._stage("seq_format", [fmt_fa], lambda: self._seq_format(fmt_fa))
+        dict_pkl = self._p("Total_fa", self.v + ".format.dict")
+        self._stage("build_dict", [dict_pkl],
+                    lambda: self._build_dict(fmt_fa, dict_pkl))
+        rmdup_fa = self._p("Total_fa", self.v + ".format.rmdup.cluster.fa")
+        self._stage("rmdup", [rmdup_fa, rmdup_fa + ".clstr"],
+                    lambda: self._rmdup(fmt_fa, rmdup_fa))
+        uniq_fa = self._p("Total_fa",
+                          self.v + ".format.rmdup.cluster.uniq.fa")
+        self._stage("cluster", [uniq_fa, uniq_fa + ".clstr"],
+                    lambda: self._cluster(rmdup_fa, uniq_fa))
+        cluster_txt = self._p("cluster.txt")
+        self._stage("extract_cluster", [cluster_txt],
+                    lambda: self._extract_clusters(rmdup_fa, uniq_fa,
+                                                   cluster_txt))
+        self._per_cluster_stages()
+        self._aggregate_and_solve()
+        return self.log
+
+    def _seq_format(self, out):
+        from . import stages
+        stages.seq_format(self.cfg.input_fa, out,
+                          gc_threshold=self.cfg.seq_number_ATGC,
+                          min_length=self.cfg.min_seq_length)
+
+    def _build_dict(self, fa, out):
+        record = {}
+        with open(fa) as f:
+            header = None
+            for line in f:
+                if line.startswith(">"):
+                    header = line.split(" ")[0].strip().lstrip(">")
+                    record[header] = line
+                else:
+                    record[header] += line
+        with open(out, "wb") as fo:
+            pickle.dump(record, fo)
+
+    def _rmdup(self, fa, out):
+        from ..cluster import greedy
+        ids, seqs = self._read_fasta(fa)
+        order, clusters = greedy.dedup(ids, seqs)
+        greedy.write_representatives(clusters, ids, seqs, out)
+        greedy.write_clstr(clusters, ids, seqs, out + ".clstr")
+
+    def _cluster(self, fa, out):
+        from ..cluster import greedy
+        ids, seqs = self._read_fasta(fa)
+        order, clusters = greedy.greedy_cluster(
+            ids, seqs, threshold=self.cfg.identity)
+        greedy.write_representatives(clusters, ids, seqs, out)
+        greedy.write_clstr(clusters, ids, seqs, out + ".clstr")
+
+    def _extract_clusters(self, member_fa, uniq_fa, cluster_txt):
+        """Per-cluster fa/tfa with top-N sampling (extract_cluster.py:178-255:
+        keep the representative, sample the rest with the seeded RNG)."""
+        from ..cluster import greedy, ani as ani_mod
+        cfg = self.cfg
+        ids, seqs = self._read_fasta(member_fa)
+        by_id = dict(zip(ids, seqs))
+        order, clusters = greedy.greedy_cluster(ids, seqs,
+                                                threshold=cfg.identity)
+        member_lists = [[ids[si] for si, _ in cl.members] for cl in clusters]
+        seq_lists = [[by_id[m] for m in members]
+                     for members in member_lists]
+        merged, history = ani_mod.merge_small_clusters(
+            member_lists, seq_lists,
+            min_size=cfg.seq_number_per_cluster_threshold,
+            ani_threshold=cfg.ani, drop=not cfg.drop_or_merge)
+        with open(self._p("history.txt"), "w") as f:
+            for row in history:
+                f.write("\t".join(map(str, row)) + "\n")
+        rng = random.Random(cfg.sample_seed)
+        self.cluster_names = []
+        with open(cluster_txt, "w") as ct:
+            ct.write("#Cluster_id\tNumber\n")
+            for i, members in enumerate(merged):
+                name = "Cluster_%d_%d" % (i, len(members))
+                self.cluster_names.append(name)
+                ct.write(name + "\t" + str(len(members)) + "\n")
+                fa_path = self._p("Clusters_fa", name + ".fa")
+                with open(fa_path, "w") as f:
+                    for m in members:
+                        f.write(">" + m + "\n" + by_id[m] + "\n")
+                sample = members
+                if len(members) > cfg.max_seq:
+                    rest = [m for m in members[1:]]
+                    sample = [members[0]] + rng.sample(
+                        rest, cfg.max_seq - 1)
+                with open(self._p("Clusters_fa", name + ".tfa"), "w") as f:
+                    for m in sample:
+                        f.write(">" + m + "\n" + by_id[m] + "\n")
+
+    def _per_cluster_stages(self):
+        from ..align import centerstar
+        from ..models import mcdpd, pairing
+        cfg = self.cfg
+        if not hasattr(self, "cluster_names"):
+            self.cluster_names = [
+                line.split("\t")[0]
+                for line in open(self._p("cluster.txt")).read().splitlines()[1:]]
+        for name in self.cluster_names:
+            tfa = self._p("Clusters_fa", name + ".tfa")
+            msa_path = self._p("Clusters_msa", name + ".tmsa")
+            if not os.path.exists(msa_path):
+                if cfg.align_backend == "external":
+                    raise FileNotFoundError(
+                        "align.backend=external but missing " + msa_path)
+                ids, seqs = self._read_fasta(tfa)
+                t0 = time.time()
+                _, rows = centerstar.center_star_msa(ids, seqs)
+                centerstar.write_msa(ids, rows, msa_path)
+                self.cfg.timings.setdefault("align", 0)
+                self.cfg.timings["align"] += time.time() - t0
+            out = self._p("Clusters_primer", name + ".top.primer.out")
+            if not os.path.exists(out):
+                params = mcdpd.DesignParams(
+                    primer_length=cfg.primer_len, coverage=cfg.coverage,
+                    dege_number=cfg.dege_number, degeneracy=cfg.degeneracy,
+                    variation=cfg.variation, entropy_threshold=cfg.entropy,
+                    gc=cfg.gc_content, min_product=cfg.product_size[0],
+                    coordinate=cfg.coordinate, hairpin_distance=cfg.distance,
+                    algo=cfg.algo)
+                ids, chars = mcdpd.parse_msa(msa_path)
+                eng = mcdpd.DesignEngine(params)
+                try:
+                    results = eng.design(ids, chars)
+                except ValueError as e:
+                    self.log.append(("design:" + name, "skipped: %s" % e, 0))
+                    results = []
+                mcdpd.write_outputs(results, out)
+            cand = self._p("Clusters_cprimer", name + ".candidate.primers.txt")
+            if not os.path.exists(cand):
+                pparams = pairing.PairingParams(
+                    size=cfg.product_size, fraction=cfg.coverage,
+                    end_dege=cfg.end, hairpin_distance=cfg.distance,
+                    diff_tm=cfg.diff_tm, adaptor=cfg.adaptor, max_seq=0)
+                primers = pairing.parse_primer_table(out)
+                gap_ids = json.load(open(out + ".gap_seq_id_json"))
+                non_cover = json.load(
+                    open(out + ".non_coverage_seq_id_json"))
+                number = pairing.count_ref_seqs(tfa, 0)
+                peng = pairing.PairingEngine(pparams)
+                pairs, _ = peng.pair(primers, gap_ids, non_cover, number)
+                if pairs is None:
+                    pairing.write_empty_output(cand)
+                else:
+                    pairing.write_outputs(pairs, cand)
+
+    def _aggregate_and_solve(self):
+        from ..solve import maxset
+        from ..validate import findimer, pcr, scan as vscan
+        from . import stages
+        cfg = self.cfg
+        agg = self._p("Primers_set", "candidate_primers_sets.txt")
+        if not os.path.exists(agg):
+            with open(agg, "w") as f:
+                for name in self.cluster_names:
+                    cand = self._p("Clusters_cprimer",
+                                   name + ".candidate.primers.txt")
+                    f.write(open(cand).read())
+        stages.txt2fa(agg, self._p("Primers_set", "candidate_primers_sets"),
+                      agg.replace(".txt", ".number"), step=cfg.step)
+        final = self._p("Primers_set", "final_maxprimers_set.xls")
+        if not os.path.exists(final):
+            primers = maxset.parse_and_sort(
+                agg, self._p("Primers_set", "sort.candidate_primers_sets.txt"))
+            if cfg.method == "T":
+                maxset.greedy_maximal(
+                    primers, final,
+                    self._p("Primers_set", "final_maxprimers_set.next.xls"),
+                    step=cfg.step)
+            else:
+                maxset.greedy_maximum(primers, final, step=cfg.step)
+        final_fa = self._p("Primers_set", "final_maxprimers_set.fa")
+        stages.primerset_format(final, final_fa)
+        rows = findimer.scan(findimer.parse_primer_fasta(final_fa))
+        findimer.write_outputs(rows, final_fa + ".findimer")
+        # core set (clusters with >= core_number members)
+        core_txt = self._p("Core_primers_set", "core_candidate_primers_sets.txt")
+        stages.core_extraction(agg, core_txt, cfg.core_number)
+        core_final = self._p("Core_primers_set", "core_final_maxprimers_set.xls")
+        if os.path.getsize(core_txt) and not os.path.exists(core_final):
+            primers = maxset.parse_and_sort(
+                core_txt,
+                self._p("Core_primers_set",
+                        "sort.core_candidate_primers_sets.txt"))
+            maxset.greedy_maximal(
+                primers, core_final,
+                self._p("Core_primers_set",
+                        "core_final_maxprimers_set.next.xls"),
+                step=cfg.step)
+            core_fa = self._p("Core_primers_set",
+                              "core_final_maxprimers_set.fa")
+            stages.primerset_format(core_final, core_fa)
+        # perfect-match PCR products + coverage summary
+        fmt_fa = self._p("Total_fa", self.v + ".format.fa")
+        cov = self._p("Primers_set", "Coverage_stast.xls")
+        if not os.path.exists(cov):
+            pairs = pcr.parse_pairs_xls(final)
+            pcr.run(pairs, fmt_fa, self._p("Primers_set", "PCR_product"), cov)
+        # mismatch-tolerant coverage validation (BWT replacement)
+        bwt_out = self._p("Core_primers_set", "BWT_coverage",
+                          "final_maxprimers_set.out")
+        if not os.path.exists(bwt_out):
+            with open(self._p("Total_fa", self.v + ".format.dict"), "rb") as f:
+                targets_dict = pickle.load(f)
+            params = vscan.ScanParams(
+                term=cfg.scan_term, mm=cfg.scan_mm,
+                product_size=cfg.product_size)
+            vscan.run(final_fa, fmt_fa, bwt_out, params, targets_dict)
+
+
+def run_pipeline(config_path=None, **overrides):
+    cfg = PipelineConfig.from_yaml(config_path) if config_path \
+        else PipelineConfig()
+    for k, v in overrides.items():
+        setattr(cfg, k, v)
+    pipe = Pipeline(cfg)
+    log = pipe.run()
+    return pipe, log

@@ -147,6 +147,65 @@ def gc_fraction(seq: str) -> float:
     return round((seq.count("G") + seq.count("C")) / len(seq), 3)
 
 
+def tm_conditions(seq: str, mono=50.0, div=1.5, dntp=0.25, conc=100.0) -> float:
+    """Calc_Tm_v2 with CLI-settable conditions (CalcTm.py:195-257), keeping
+    the reference's magnesium-branch bug (GC/length terms discarded)."""
+    dh, ds = delta_h_s(seq)
+    if dntp >= div:
+        free_divalent = 0.00000000001
+    else:
+        free_divalent = (div - dntp) / 1000.0
+    ratio = math.sqrt(free_divalent) / (mono / 1000)
+    if ratio < tb.CROSSOVER_POINT:
+        ln_na = math.log(mono / 1000.0, math.e)
+        correction = (((4.29 * gc_fraction(seq)) - 3.95) * pow(10, -5) * ln_na) \
+            + (9.40 * pow(10, -6) * pow(ln_na, 2))
+    else:
+        a = 3.92 * pow(10, -5)
+        b = -9.11 * pow(10, -6)
+        if ratio < 6.0:
+            a = 3.92 * pow(10, -5) * (
+                0.843 - (0.352 * math.sqrt(mono / 1000.0)
+                         * math.log(mono / 1000.0, math.e)))
+        correction = a + (b * math.log(free_divalent, math.e))
+    factor = 1 if is_symmetric(seq) else 4
+    return round(
+        1 / ((1 / (dh / (ds + 1.9872 * math.log(
+            conc / (factor * pow(10, 9)), math.e)))) + correction)
+        - tb.KELVIN, 2)
+
+
+def delta_g_cli(sequence: str, mode="unified") -> float:
+    """free_energy.py:151-187 semantics, including its quirks: dG accumulates
+    ACROSS expansions without reset, and "symmetry" means palindrome
+    (seq == seq[::-1]), unlike the core's RC-symmetry."""
+    from ..utils import iupac
+    na = 50
+    out = []
+    dg = 0.0
+    for seq in iupac.expand(sequence):
+        if mode == "unified":
+            for n in range(len(seq) - 1):
+                i, j = _BIT[seq[n + 1]], _BIT[seq[n]]
+                dg += tb.DG37_L[i][j]
+        else:
+            for n in range(len(seq) - 1):
+                i, j = _BIT[seq[n + 1]], _BIT[seq[n]]
+                dg += tb.ZACH_FREE_L[i][j] * tb.ZACH_HBONDS_L[i][j] \
+                    + tb.ZACH_PENALTY_L[i][j]
+        term5 = seq[-2:] if mode == "unified" else sequence[-2:]
+        if term5 == "TA":
+            dg += tb.ZACH_INIT[seq[0]] + tb.ZACH_INIT[seq[-1]] \
+                + tb.ZACH_TERMINAL_TA
+        else:
+            dg += tb.ZACH_INIT[seq[0]] + tb.ZACH_INIT[seq[-1]]
+        dg -= (0.175 * math.log(na / 1000, math.e) + 0.20) * len(seq)
+        if seq == seq[::-1]:
+            dg += tb.ZACH_SYMMETRY
+        out.append(dg)
+    return round(max(out), 2)
+
+
 @lru_cache(maxsize=None)
 def gc_degenerate_mean(primer: str) -> float:
     """Mean GC over expansions rounded to 2 (core.py:401-407)."""

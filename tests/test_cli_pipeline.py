@@ -1,0 +1,81 @@
+"""CLI + pipeline driver smoke/parity tests."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from multiprime_tpu.cli import main as climain
+from multiprime_tpu.thermo import exact as thermo
+
+
+def run_cli(args):
+    return climain.main(args)
+
+
+def test_tm_cli(capsys):
+    run_cli(["tm", "-i", "GGTAYGGYYTCAGRCATC", "-f", "seq"])
+    out = capsys.readouterr().out
+    assert out.strip().endswith("53.33")
+
+
+def test_dg_cli(capsys):
+    run_cli(["dg", "-i", "ACGT", "-f", "seq", "-g", "H_bonds"])
+    out = capsys.readouterr().out
+    assert "\t" in out
+
+
+def test_expand_cli(tmp_path, capsys):
+    fa = tmp_path / "p.fa"
+    fa.write_text(">x\nAY\n")
+    run_cli(["expand", "-i", str(fa)])
+    out = capsys.readouterr().out
+    assert ">x_0\nAC\n>x_1\nAT\n" == out
+
+
+def test_seq_format_cli(tmp_path):
+    fa = tmp_path / "in.fa"
+    fa.write_text(">a extra\n" + "ACGT" * 60 + "\n")
+    out = tmp_path / "out.fa"
+    run_cli(["seq-format", "-i", str(fa), "-o", str(out)])
+    assert out.read_text().startswith(">a\n")
+
+
+def test_tm_conditions_monovalent_branch():
+    # low divalent pushes into the monovalent (GC-dependent) correction
+    t1 = thermo.tm_conditions("ACGTACGTACGTACGTAA", div=0.1, dntp=0.25)
+    t2 = thermo.tm_conditions("ACGTACGTACGTACGTAA")
+    assert t1 != t2
+
+
+def test_pipeline_mini(tmp_path):
+    """Tiny synthetic end-to-end pipeline run."""
+    rng = np.random.default_rng(5)
+    lut = np.array(list("ACGT"))
+    base = "".join(rng.choice(lut, size=500))
+
+    def mutate(s, n=6):
+        s = list(s)
+        for _ in range(n):
+            i = rng.integers(0, len(s))
+            s[i] = str(rng.choice(lut))
+        return "".join(s)
+
+    fa = tmp_path / "toy.fa"
+    with open(fa, "w") as f:
+        for i in range(12):
+            f.write(">seq%d\n%s\n" % (i, mutate(base)))
+    from multiprime_tpu.pipeline.driver import run_pipeline
+    pipe, log = run_pipeline(
+        None, input_fa=str(fa), results_dir=str(tmp_path / "res"),
+        virus_name="toy", coverage=0.5, min_seq_length=100,
+        product_size=(100, 600), algo="v20")
+    final = tmp_path / "res" / "Primers_set" / "final_maxprimers_set.xls"
+    assert final.exists()
+    rows = final.read_text().strip().splitlines()
+    assert rows[0].startswith("#Primer")
+    assert len(rows) >= 2, "no primer pair survived on a clean toy cluster"
+    cov = (tmp_path / "res" / "Primers_set" / "Coverage_stast.xls").read_text()
+    assert "Total number of sequences:\t12" in cov
