@@ -44,7 +44,8 @@ def kmer_set(codes, k=8):
     valid = codes < 4
     kk = np.lib.stride_tricks.sliding_window_view(codes.astype(np.int64), k)
     vv = np.lib.stride_tricks.sliding_window_view(valid, k).all(axis=1)
-    weights = 4 ** np.arange(k, dtype=np.int64)
+    # MSB-first packing, matching native/seqlib.cpp kmer_codes
+    weights = 4 ** np.arange(k - 1, -1, -1, dtype=np.int64)
     packed = kk @ weights
     return np.unique(packed[vv])
 
@@ -94,6 +95,11 @@ def greedy_cluster(ids, seqs, threshold=0.7, k=8, band=64,
     order: indices sorted longest-first (ties: input order) — the processing
     order, which is also the representative ordering.
     """
+    from .. import native
+    use_native = native.available()
+    ident_fn = native.banded_identity if use_native else banded_identity
+    isect = native.intersect_count if use_native else (
+        lambda a, b: np.intersect1d(a, b, assume_unique=True).size)
     n = len(seqs)
     order = sorted(range(n), key=lambda i: (-len(seqs[i]), i))
     codes = {i: _encode(seqs[i]) for i in order}
@@ -110,13 +116,12 @@ def greedy_cluster(ids, seqs, threshold=0.7, k=8, band=64,
             q_kmers = kmer_set(codes[i], k)
             need = threshold * len(seq) - k * ((1 - threshold) * len(seq) + 1)
             for ci, cl in enumerate(clusters):
-                shared = np.intersect1d(q_kmers, rep_kmers[ci],
-                                        assume_unique=True).size
+                shared = isect(q_kmers, rep_kmers[ci])
                 # word filter: identity c over the shorter seq allows at most
                 # floor((1-c)*L) mismatches; each destroys <= k k-mers.
                 if shared * word_filter_slack < need:
                     continue
-                ident = banded_identity(codes[i], codes[cl.rep_index], band)
+                ident = ident_fn(codes[i], codes[cl.rep_index], band)
                 if ident >= threshold:
                     cl.members.append((i, ident))
                     placed = True

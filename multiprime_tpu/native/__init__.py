@@ -1,0 +1,133 @@
+"""ctypes loader for the native sequence runtime (seqlib.cpp).
+
+Builds lazily with g++ when the shared object is missing; every entry point
+has a NumPy fallback so the package stays functional without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "seqlib.cpp")
+_SO = os.path.join(_DIR, "libseqlib.so")
+
+_lib = None
+_tried = False
+
+
+def _build():
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO) or \
+            os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.banded_identity.restype = ctypes.c_double
+    lib.banded_identity.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int64]
+    lib.banded_identity_batch.restype = None
+    lib.banded_identity_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
+    lib.kmer_codes.restype = ctypes.c_int64
+    lib.kmer_codes.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                               ctypes.c_int64, ctypes.c_void_p]
+    lib.sorted_intersect_count.restype = ctypes.c_int64
+    lib.sorted_intersect_count.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
+    lib.fasta_scan.restype = ctypes.c_int64
+    lib.fasta_scan.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    _lib = lib
+    return lib
+
+
+def available():
+    return load() is not None
+
+
+def banded_identity(a_codes: np.ndarray, b_codes: np.ndarray, band=64):
+    lib = load()
+    if lib is None:
+        from ..cluster.greedy import banded_identity as py_impl
+        return py_impl(a_codes, b_codes, band)
+    a = np.ascontiguousarray(a_codes, np.int8)
+    b = np.ascontiguousarray(b_codes, np.int8)
+    return lib.banded_identity(a.ctypes.data, len(a), b.ctypes.data, len(b),
+                               band)
+
+
+def kmer_codes(codes: np.ndarray, k=8):
+    lib = load()
+    if lib is None:
+        from ..cluster.greedy import kmer_set
+        return kmer_set(codes, k)
+    c = np.ascontiguousarray(codes, np.int8)
+    out = np.empty(max(len(c), 1), np.int64)
+    n = lib.kmer_codes(c.ctypes.data, len(c), k, out.ctypes.data)
+    return out[:n]
+
+
+def intersect_count(a: np.ndarray, b: np.ndarray) -> int:
+    lib = load()
+    if lib is None:
+        return int(np.intersect1d(a, b, assume_unique=True).size)
+    return int(lib.sorted_intersect_count(
+        np.ascontiguousarray(a, np.int64).ctypes.data, len(a),
+        np.ascontiguousarray(b, np.int64).ctypes.data, len(b)))
+
+
+def read_fasta_packed(path):
+    """-> (ids, list of int8 code arrays) via the native scanner."""
+    lib = load()
+    data = open(path, "rb").read()
+    if lib is None:
+        ids, seqs = [], []
+        from ..cluster.greedy import _encode
+        name, cur = None, []
+        for line in data.decode().splitlines():
+            if line.startswith(">"):
+                if name is not None:
+                    seqs.append(_encode("".join(cur)))
+                name = line[1:].split(" ")[0]
+                ids.append(name)
+                cur = []
+            else:
+                cur.append(line.strip())
+        if name is not None:
+            seqs.append(_encode("".join(cur)))
+        return ids, seqs
+    max_rec = max(16, data.count(b">") + 1)
+    out = np.empty(len(data), np.int8)
+    starts = np.empty(max_rec, np.int64)
+    ends = np.empty(max_rec, np.int64)
+    hs = np.empty(max_rec, np.int64)
+    he = np.empty(max_rec, np.int64)
+    n = lib.fasta_scan(data, len(data), out.ctypes.data, starts.ctypes.data,
+                       ends.ctypes.data, hs.ctypes.data, he.ctypes.data,
+                       max_rec)
+    ids = [data[hs[i]:he[i]].split(b" ")[0].decode() for i in range(n)]
+    seqs = [out[starts[i]:ends[i]].copy() for i in range(n)]
+    return ids, seqs

@@ -1,0 +1,141 @@
+// seqlib — native sequence runtime for multiprime_tpu.
+//
+// The reference pipeline leans on C/C++ tools (cd-hit, MAFFT, bowtie,
+// fastANI) for its host-side heavy lifting.  The TPU build moves the
+// data-parallel compute onto the chip; this library covers the remaining
+// host-serial hot paths with native code:
+//
+//   * banded match-maximising global alignment (greedy clustering inner
+//     loop — the cd-hit replacement's identity measure)
+//   * batched identity of one query vs many references
+//   * k-mer set extraction + sorted-set intersection (word filter / ANI)
+//   * FASTA scanning into contiguous 2-bit-padded buffers
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 in this image).
+// Build: g++ -O3 -march=native -shared -fPIC seqlib.cpp -o libseqlib.so
+
+#include <cstdint>
+#include <cstring>
+#include <cstdio>
+#include <vector>
+#include <algorithm>
+
+extern "C" {
+
+// Banded global alignment maximising matches; identity = matches / len_a
+// with a the shorter sequence.  codes: 0..3 = ACGT, >=4 = ambiguous.
+double banded_identity(const int8_t* a, int64_t la,
+                       const int8_t* b, int64_t lb, int64_t band) {
+    if (la > lb) { std::swap(a, b); std::swap(la, lb); }
+    if (la == 0) return 0.0;
+    const int64_t width = 2 * band + (lb - la) + 1;
+    const int32_t NEG = -1000000;
+    std::vector<int32_t> dp(width, NEG), nxt(width, NEG);
+    dp[band] = 0;
+    for (int64_t i = 0; i < la; i++) {
+        const int8_t ai = a[i];
+        int32_t running = NEG;           // left-move propagation
+        for (int64_t w = 0; w < width; w++) {
+            const int64_t j = i + w - band;
+            if (j < 0 || j >= lb) { nxt[w] = NEG; continue; }
+            const int32_t match = (ai < 4 && b[j] == ai) ? 1 : 0;
+            int32_t best = dp[w] + match;                   // diagonal
+            const int32_t up = (w + 1 < width) ? dp[w + 1] : NEG;  // skip a[i]
+            if (up > best) best = up;
+            if (running > best) best = running;             // skip b[j]
+            nxt[w] = best;
+            if (best > running) running = best;
+        }
+        dp.swap(nxt);
+    }
+    const int64_t end = lb - la + band;
+    int32_t m = dp[end];
+    if (m < 0) m = 0;
+    return (double)m / (double)la;
+}
+
+// Identity of one query against n references (concatenated codes + offsets).
+// out[i] = identity(query, ref_i).  Skips references where the k-mer filter
+// says identity can't reach `threshold` (shared[i] precomputed by caller;
+// pass shared = NULL to skip filtering).
+void banded_identity_batch(const int8_t* q, int64_t lq,
+                           const int8_t* refs, const int64_t* offsets,
+                           int64_t n, int64_t band, double* out) {
+    for (int64_t i = 0; i < n; i++) {
+        const int8_t* r = refs + offsets[i];
+        const int64_t lr = offsets[i + 1] - offsets[i];
+        out[i] = banded_identity(q, lq, r, lr, band);
+    }
+}
+
+// Sorted unique k-mer codes of a sequence; returns count (codes buffer must
+// hold len entries).  Positions containing ambiguous bases are skipped.
+int64_t kmer_codes(const int8_t* seq, int64_t len, int64_t k,
+                   int64_t* codes) {
+    if (len < k) return 0;
+    int64_t n = 0;
+    uint64_t code = 0;
+    const uint64_t mask = (k >= 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    int64_t valid_run = 0;
+    for (int64_t i = 0; i < len; i++) {
+        if (seq[i] >= 4) { valid_run = 0; code = 0; continue; }
+        code = ((code << 2) | (uint64_t)seq[i]) & mask;
+        valid_run++;
+        if (valid_run >= k) codes[n++] = (int64_t)code;
+    }
+    std::sort(codes, codes + n);
+    return std::unique(codes, codes + n) - codes;
+}
+
+// |A ∩ B| for sorted unique arrays.
+int64_t sorted_intersect_count(const int64_t* a, int64_t na,
+                               const int64_t* b, int64_t nb) {
+    int64_t i = 0, j = 0, c = 0;
+    while (i < na && j < nb) {
+        if (a[i] < b[j]) i++;
+        else if (a[i] > b[j]) j++;
+        else { c++; i++; j++; }
+    }
+    return c;
+}
+
+// Scan a FASTA buffer: writes 0..3/4 codes into out (same size as buf),
+// sequence boundaries into starts/ends (record i spans [starts[i], ends[i])
+// in out), header offsets into hdr_starts/hdr_ends (into buf).  Returns the
+// number of records, or -1 if max_records would be exceeded.
+int64_t fasta_scan(const char* buf, int64_t len, int8_t* out,
+                   int64_t* starts, int64_t* ends,
+                   int64_t* hdr_starts, int64_t* hdr_ends,
+                   int64_t max_records) {
+    static int8_t lut[256];
+    static bool init = false;
+    if (!init) {
+        memset(lut, 4, 256);
+        lut['A'] = lut['a'] = 0; lut['C'] = lut['c'] = 1;
+        lut['G'] = lut['g'] = 2; lut['T'] = lut['t'] = 3;
+        lut['\n'] = lut['\r'] = -1;
+        init = true;
+    }
+    int64_t n = -1, w = 0;
+    for (int64_t i = 0; i < len; i++) {
+        const char c = buf[i];
+        if (c == '>') {
+            if (n >= 0) ends[n] = w;
+            n++;
+            if (n >= max_records) return -1;
+            hdr_starts[n] = i + 1;
+            int64_t j = i + 1;
+            while (j < len && buf[j] != '\n') j++;
+            hdr_ends[n] = (j > i + 1 && buf[j - 1] == '\r') ? j - 1 : j;
+            starts[n] = w;
+            i = j;
+        } else {
+            const int8_t v = lut[(uint8_t)c];
+            if (v >= 0) out[w++] = v;
+        }
+    }
+    if (n >= 0) ends[n] = w;
+    return n + 1;
+}
+
+}  // extern "C"

@@ -1,0 +1,89 @@
+"""Tests for the alternative design backends and auxiliary validators."""
+
+import numpy as np
+
+from multiprime_tpu.models import global_opt, wrc
+from multiprime_tpu.validate import ont, update, findimer
+from multiprime_tpu.utils import iupac
+
+
+def test_global_opt_elements_roundtrip():
+    els = global_opt.mismatch_elements("ACGTACGT", "ACGAACGT")
+    assert els == ["3|A"]
+    merged = global_opt.merge_elements("ACGTACGT", els)
+    assert merged == "ACGWACGT"      # T+A -> W
+    # already-member base is a no-op
+    assert global_opt.merge_elements("ACGW", ["3|A"]) == "ACGW"
+
+
+def test_global_opt_refine_covers_variants():
+    base = "ACGTACGTACGTACGTAC"
+    cover = {base: 10}
+    # two variants, each 2 mismatches sharing position 0
+    v1 = "T" + "A" + base[2:]
+    v2 = "T" + base[1:9] + "C" + base[10:]
+    cover[v1] = 3
+    cover[v2] = 4
+    primer, coverage = global_opt.refine_global(base, cover, dege_number=4,
+                                                variation=1, cover_number=17)
+    # merging position 0 leaves each variant with <= 1 residual mismatch
+    assert coverage >= 7
+    assert iupac.degeneracy(primer) >= 2
+
+
+def test_wrc_window_finds_union():
+    mers = ["ACGTAC", "ACGTAT", "ACGTAA", "TTTTTT"]
+    counts = [10, 8, 5, 1]
+    primer, matching = wrc.wrc_window(mers, counts, max_deg=4,
+                                      iterations=50, seed=1)
+    assert matching >= 18            # covers at least the top two variants
+    assert len(primer) == 6
+
+
+def test_trim_alignment():
+    rows = ["A-CG", "A-CG", "ATCG", "A--G"]
+    trimmed, keep = wrc.trim_alignment(rows, min_occupancy=0.5)
+    assert list(keep) == [0, 2, 3]
+    assert trimmed[0] == "ACG"
+
+
+def test_ont_classification(tmp_path):
+    primers = tmp_path / "p.fa"
+    primers.write_text(">P1\nACGTACGTACGTACGTAA\n")
+    reads = tmp_path / "r.fa"
+    # read starts with P1 and ends with RC(P1)
+    mid = "GGGTTTCCCAAAGGGTTT" * 3
+    seq = "ACGTACGTACGTACGTAA" + mid + iupac.rc("ACGTACGTACGTACGTAA")
+    reads.write_text(">r1\n" + seq + "\n")
+    counts = ont.run(str(reads), str(primers), str(tmp_path / "out"),
+                     primer_len=18, min_ident=0.8, fmt="fa")
+    assert list(counts.values()) == [1]
+    key = list(counts)[0]
+    assert key.count(">P1") == 2
+    assert (tmp_path / "out.num").read_text().startswith("Primer_F")
+
+
+def test_update_dimer_check(tmp_path):
+    core = tmp_path / "core.fa"
+    core.write_text(">C1\nACGGTCAGTACGGTCAGT\n")
+    new = tmp_path / "new.fa"
+    # new primer ends with RC of core primer's 3' end -> dimer hit expected
+    new.write_text(">N1\n" + "TTGATG" + iupac.rc("ACGGTCAGTACGG") [:12] + "\n")
+    rows = update.check_new_primers(str(new), str(core),
+                                    str(tmp_path / "d.out"))
+    assert (tmp_path / "d.out").exists()
+
+
+def test_native_matches_python():
+    from multiprime_tpu import native
+    from multiprime_tpu.cluster import greedy
+    if not native.available():
+        import pytest
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 5, 800).astype(np.int8)   # includes ambiguity codes
+    b = a.copy()
+    b[rng.integers(0, 800, 25)] = rng.integers(0, 4, 25)
+    assert abs(native.banded_identity(a, b)
+               - greedy.banded_identity(a, b)) < 1e-12
+    assert np.array_equal(native.kmer_codes(a, 8), greedy.kmer_set(a, 8))
