@@ -206,6 +206,12 @@ class Pipeline:
         by_id = dict(zip(ids, seqs))
         order, clusters = greedy.greedy_cluster(ids, seqs,
                                                 threshold=cfg.identity)
+        with open(self._p("cluster.identities.txt"), "w") as f:
+            for ci, cl in enumerate(clusters):
+                for si, ident in cl.members:
+                    if ident is not None:
+                        f.write("Cluster_%d\t%s\t%.2f%%\n"
+                                % (ci, ids[si], 100.0 * ident))
         member_lists = [[ids[si] for si, _ in cl.members] for cl in clusters]
         seq_lists = [[by_id[m] for m in members]
                      for members in member_lists]
@@ -236,6 +242,12 @@ class Pipeline:
                 with open(self._p("Clusters_fa", name + ".tfa"), "w") as f:
                     for m in sample:
                         f.write(">" + m + "\n" + by_id[m] + "\n")
+                # Clusters_target: full headers of members (the reference's
+                # extract_value_from_dict output consumed for reporting)
+                with open(self._p("Clusters_target", name + ".txt"),
+                          "w") as f:
+                    for m in sample:
+                        f.write(m + "\n")
 
     def _per_cluster_stages(self):
         from ..align import centerstar

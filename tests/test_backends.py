@@ -87,3 +87,16 @@ def test_native_matches_python():
     assert abs(native.banded_identity(a, b)
                - greedy.banded_identity(a, b)) < 1e-12
     assert np.array_equal(native.kmer_codes(a, 8), greedy.kmer_set(a, 8))
+
+
+def test_roc_metrics_golden():
+    import pathlib
+    import pytest
+    csv = pathlib.Path("/root/reference/test_data/ROC/ROC.csv")
+    if not csv.exists():
+        pytest.skip("reference not mounted")
+    from multiprime_tpu.validate import metrics
+    r = metrics.roc_analysis(str(csv))
+    # the golden plot filename encodes the AUC to full precision
+    assert r["auc"] == 0.9070961718020542
+    assert r["acc"] == 0.89
