@@ -35,6 +35,8 @@ from ..utils import iupac
 
 BASES = ("A", "C", "G", "T")
 _BASE2IDX = {"A": 0, "C": 1, "G": 2, "T": 3}
+_MEMBER_COUNT = {ch: len(m) for ch, m in iupac.CODE_MEMBERS.items()}
+_PURE_BYTES = np.frombuffer(b"ACGT-", np.uint8)
 _ASCII_BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 
 # Tri/di-nucleotide run patterns (multiPrime-core.py:196-207): XXXX, XYXYXYXY,
@@ -190,20 +192,20 @@ class MSAWindows:
         c_start = self.before[:, p]
         c_end = self.before[:, p + plen - 1] + (self.chars[:, p + plen - 1] != ord("-"))
         use_lead = (~allgap) & (lead > 0) & (c_start >= lead)
+        row_base = (np.arange(self.n, dtype=np.int64)
+                    * self.length)[:, None, None]
+        packed_flat = self.packed.reshape(-1)
         use_trail = (~allgap) & (trail > 0) & \
             ((self.total[:, None] - c_end) >= trail)
-        lead_idx = np.clip(c_start[:, :, None] - lead[:, :, None] + j, 0,
-                           self.length - 1)
-        lead_vals = np.take_along_axis(
-            self.packed, lead_idx.reshape(self.n, -1), axis=1
-        ).reshape(win.shape)
+        # Flat gathers with C-level bound clipping; clipped entries are always
+        # masked out by use_lead/use_trail, so only in-boundsness matters.
+        lead_idx = row_base + c_start[:, :, None] - lead[:, :, None] + j
+        lead_vals = np.take(packed_flat, lead_idx, mode="clip")
         win = np.where(use_lead[:, :, None] & (j < lead[:, :, None]),
                        lead_vals, win)
         trail_off = j - (plen - trail[:, :, None])
-        trail_idx = np.clip(c_end[:, :, None] + trail_off, 0, self.length - 1)
-        trail_vals = np.take_along_axis(
-            self.packed, trail_idx.reshape(self.n, -1), axis=1
-        ).reshape(win.shape)
+        trail_idx = row_base + c_end[:, :, None] + trail_off
+        trail_vals = np.take(packed_flat, trail_idx, mode="clip")
         win = np.where(use_trail[:, :, None] & (trail_off >= 0),
                        trail_vals, win)
         return win
@@ -277,16 +279,39 @@ class DesignEngine:
         return set(f), set(r)
 
     # -- per-primer string filters (reference semantics) -----------------------
+    @staticmethod
+    def _substring_maxstart(primer, min_len=5):
+        """{substring: max start offset} over all expansions, lengths
+        min_len..len(primer).  Every expansion of any primer substring /
+        suffix is a substring of some full expansion, so one index serves
+        the hairpin and self-dimer scans."""
+        idx = {}
+        for exp in iupac.expand(primer):
+            n = len(exp)
+            for start in range(n):
+                hi = n - start
+                for ln in range(min_len, hi + 1):
+                    sub = exp[start:start + ln]
+                    prev = idx.get(sub, -1)
+                    if start > prev:
+                        idx[sub] = start
+        return idx
+
     def hairpin_check(self, primer: str) -> bool:
-        """Sliding 5-mer vs downstream tail RC search (core.py:387-398)."""
+        """Sliding 5-mer vs downstream tail RC search (core.py:387-398),
+        evaluated against the expansion substring index: RC(kmer) occurs in
+        an expansion of the tail iff it occurs in a full expansion at an
+        offset >= n+5+distance."""
         d = self.p.hairpin_distance
+        if len(primer) < 10 + d:
+            return False
+        index = self._substring_maxstart(primer, 5)
         n = 0
         while n <= len(primer) - 10 - d:
             for k in iupac.expand(primer[n:n + 5]):
-                rck = iupac.rc(k)
-                for tail in iupac.expand(primer[n + 5 + d:]):
-                    if rck in tail:
-                        return True
+                ms = index.get(iupac.rc(k), -1)
+                if ms >= n + 5 + d:
+                    return True
             n += 1
         return False
 
@@ -314,12 +339,17 @@ class DesignEngine:
 
     def dimer_check(self, primer: str) -> bool:
         """Self-dimer 3'-end scan (core.py:487-503).  v15 uses the linear
-        penalty denominator (core_V15.py:240-242), v20 the exponential one."""
+        penalty denominator (core_V15.py:240-242), v20 the exponential one.
+        The expansion substring index screens out ends whose RC cannot occur
+        anywhere; the exact find loop only runs on real candidates."""
         ends = sorted(self.current_end(primer), key=len, reverse=True)
         expansions = iupac.expand(primer)
+        index = self._substring_maxstart(primer, 5)
         linear = self.p.algo in ("v15", "v16")
         for end in ends:
             rce = iupac.rc(end)
+            if rce not in index:
+                continue
             for p in expansions:
                 idx = p.find(rce)
                 if idx >= 0:
@@ -401,6 +431,7 @@ class DesignEngine:
         plen = p.primer_length
         gapcnt = (win_chars == ord("-")).sum(axis=1)
         is_gap = gapcnt > p.variation
+        needs_expand = ~np.isin(win_chars, _PURE_BYTES).all(axis=1)
 
         # Gap gate: the reference checks the running rounded fraction after
         # each gappy sequence and at the end; the fraction is monotone, so it
@@ -430,12 +461,13 @@ class DesignEngine:
             row = uniq[ui].tobytes().decode("ascii")
             members = by_raw[bounds[ui]:bounds[ui + 1]]   # ascending seq idx
             count = int(u_counts[ui])
+            expansions = iupac.expand(row) if needs_expand[members[0]] \
+                else (row,)
             if is_gap[members[0]]:
                 gap_sequence[row] = count
-                for e in iupac.expand(row):
+                for e in expansions:
                     gap_seq_id.setdefault(e, []).append(members)
             else:
-                expansions = iupac.expand(row)
                 for e in expansions:
                     if e in cover:
                         cover[e] += count
@@ -707,13 +739,12 @@ class DesignEngine:
         best = cand_cov.index(max(cand_cov))
         chosen = cand_primers[best]
         dege = 1
+        n_dege = 0
         for ch in chosen:
-            dege *= max(1, int(iupac.popcount4(
-                np.array([iupac.CHAR_TO_MASK[ch]], np.uint8))[0]))
-        n_dege = sum(
-            1 for ch in chosen
-            if int(iupac.popcount4(np.array([iupac.CHAR_TO_MASK[ch]],
-                                            np.uint8))[0]) > 1)
+            m = _MEMBER_COUNT[ch]
+            dege *= m
+            if m > 1:
+                n_dege += 1
         return (chosen, cand_cov[best], cand_nncov[best], cand_nn[best],
                 dege, n_dege)
 
