@@ -51,33 +51,70 @@ def current_end(primer, adaptor="", num=5, length=14):
     return out
 
 
+def _substring_first_index(primers):
+    """Global inverted index: substring -> [(primer_pos, expansion_order,
+    first occurrence idx)], lengths 5..max.  One pass over all expansions;
+    first-occurrence-only matches the reference's str.find semantics."""
+    index = {}
+    for pos, primer in enumerate(primers):
+        for p_order, exp in enumerate(iupac.expand(primer)):
+            n = len(exp)
+            seen = {}
+            for start in range(n):
+                top = n - start
+                for ln in range(5, top + 1):
+                    sub = exp[start:start + ln]
+                    if sub not in seen:
+                        seen[sub] = start
+            for sub, start in seen.items():
+                index.setdefault(sub, []).append((pos, p_order, start))
+    return index
+
+
 def scan(primers, threshold=3.96, adaptor=""):
-    """Yield dimer hit rows in the reference's sequential order."""
+    """Dimer hit rows in the reference's sequential order (finDimer.py
+    :191-224): for each primer (file order), walk every primer at or after
+    it; the reported hit is the first (end, expansion) pair in
+    longest-end-first / expansion order whose first occurrence triggers.
+
+    Implemented over a global substring index, so cost scales with actual
+    occurrences instead of |primers|^2 * |ends| string searches.
+    """
     seqs = list(primers.keys())
+    index = _substring_first_index(seqs)
+    exp_lens = [
+        [len(e) for e in iupac.expand(s)] for s in seqs]
     rows = []
     for pos, primer in enumerate(seqs):
         ends = sorted(current_end(primer, adaptor), key=len, reverse=True)
-        for other in seqs[pos:]:
-            expansions = iupac.expand(other)
-            hit = None
-            for end in ends:
-                rce = iupac.rc(end)
-                for p in expansions:
-                    idx = p.find(rce)
-                    if idx >= 0:
-                        d2 = len(p) - len(end) - idx
-                        loss = thermo.penalty_points(
-                            len(end), end.count("G") + end.count("C"), 0, d2)
-                        dg = thermo.delta_g(end, both_ends=True)
-                        if loss >= threshold or (dg < -5 and d2 == 0):
-                            hit = (primers[primer], primer, end, dg,
-                                   len(end), 0, end.count("G") + end.count("C"),
-                                   primers[other], other, d2, loss)
-                            break
-                if hit:
-                    break
-            if hit:
-                rows.append(hit)
+        # best (end_order, p_order) triggering pair per downstream primer
+        best = {}
+        for e_order, end in enumerate(ends):
+            occurrences = index.get(iupac.rc(end))
+            if not occurrences:
+                continue
+            gc = end.count("G") + end.count("C")
+            dg = None
+            for (other_pos, p_order, idx) in occurrences:
+                if other_pos < pos:
+                    continue
+                key = other_pos
+                if key in best and best[key][0] <= (e_order, p_order):
+                    continue
+                d2 = exp_lens[other_pos][p_order] - len(end) - idx
+                loss = thermo.penalty_points(len(end), gc, 0, d2)
+                if dg is None:
+                    dg = thermo.delta_g(end, both_ends=True)
+                if loss >= threshold or (dg < -5 and d2 == 0):
+                    cand = ((e_order, p_order),
+                            (primers[primer], primer, end, dg, len(end), 0,
+                             gc, primers[seqs[other_pos]], seqs[other_pos],
+                             d2, loss))
+                    if key not in best or cand[0] < best[key][0]:
+                        best[key] = cand
+        for other_pos in range(pos, len(seqs)):
+            if other_pos in best:
+                rows.append(best[other_pos][1])
     return rows
 
 

@@ -100,3 +100,17 @@ def test_roc_metrics_golden():
     # the golden plot filename encodes the AUC to full precision
     assert r["auc"] == 0.9070961718020542
     assert r["acc"] == 0.89
+
+
+def test_dimer_matrix_matches_host():
+    import os
+    from multiprime_tpu.ops import dimer
+    rng = np.random.default_rng(9)
+    lut = np.array(list("ACGT"))
+    primers = ["".join(rng.choice(lut, size=18)) for _ in range(16)]
+    primers[2] = primers[2][:6] + iupac.rc(primers[1][-12:])
+    primers[5] = primers[5][:8] + "R" + primers[5][9:]
+    dev = dimer.dimer_hit_matrix(primers, threshold=3.96)
+    host = dimer.verify_against_host(primers, threshold=3.96)
+    assert np.array_equal(dev, host)
+    assert dev[1, 2]
