@@ -24,6 +24,7 @@ import numpy as np
 from ..cluster.greedy import _encode, kmer_set
 
 MATCH, MISMATCH, GAP = 2, -1, -2
+GAP_OPEN, GAP_EXT = -4, -1
 
 
 def pick_center(seqs, k=12, sample=200):
@@ -50,14 +51,95 @@ def pick_center(seqs, k=12, sample=200):
     return best
 
 
-def align_ops(a, b):
+def align_ops(a, b, affine=True):
     """Global alignment op string between code arrays a (center) and b.
 
     Returns a list of ops: 'M' consumes one char of each, 'D' consumes only
     the center (gap in member), 'I' consumes only the member (gap in
-    center).  Linear gap penalty; each DP row is vectorised, with the
-    within-row left dependency folded into a prefix-max relaxation.
+    center).  Affine gaps (Gotoh) by default; each DP row is vectorised —
+    the within-row left dependency of both the linear and the affine E
+    matrix folds into a prefix-max relaxation.
     """
+    if not affine:
+        return _align_ops_linear(a, b)
+    la, lb = len(a), len(b)
+    if la == 0:
+        return ["I"] * lb
+    if lb == 0:
+        return ["D"] * la
+    NEG = np.int32(-1 << 28)
+    jar = np.arange(lb + 1, dtype=np.int32)
+    # V = best score, F = gap-in-b (vertical) state
+    v_prev = np.empty(lb + 1, np.int32)
+    v_prev[0] = 0
+    v_prev[1:] = GAP_OPEN + GAP_EXT * jar[1:]
+    f_prev = np.full(lb + 1, NEG, np.int32)
+    # packed backpointers: 2 bits state ptr + flags for gap continuations
+    ptr = np.zeros((la + 1, lb + 1), np.uint8)   # 0 diag, 1 up, 2 left
+    fcont = np.zeros((la + 1, lb + 1), bool)     # F came from F (extend up)
+    econt = np.zeros((la + 1, lb + 1), bool)     # E came from E (extend left)
+    ptr[0, 1:] = 2
+    econt[0, 2:] = True
+    for i in range(1, la + 1):
+        sub = np.where((b == a[i - 1]) & (a[i - 1] < 4), MATCH,
+                       MISMATCH).astype(np.int32)
+        f_cur = np.maximum(f_prev + GAP_EXT, v_prev + GAP_OPEN + GAP_EXT)
+        fcont[i] = f_prev + GAP_EXT >= v_prev + GAP_OPEN + GAP_EXT
+        diag = v_prev[:-1] + sub
+        vert = np.empty(lb + 1, np.int32)
+        vert[0] = f_cur[0]
+        vert[1:] = np.maximum(diag, f_cur[1:])
+        p = np.empty(lb + 1, np.uint8)
+        p[0] = 1
+        p[1:] = np.where(diag >= f_cur[1:], 0, 1)
+        # E (gap in center): E[j] = max(E[j-1]+ext, V[j-1]+open+ext); with
+        # t[j] = cand[j] - ext*j the recurrence is a running prefix max.
+        t = vert + GAP_OPEN - GAP_EXT * jar      # candidate openings at j'
+        run = np.maximum.accumulate(t[:-1])
+        e_cur = np.full(lb + 1, NEG, np.int32)
+        e_cur[1:] = run + GAP_EXT * jar[1:]
+        # econt: E[j] extends an E (i.e. the opening was before j-1)
+        open_here = vert[:-1] + GAP_OPEN - GAP_EXT * jar[:-1]
+        econt[i, 1:] = open_here < run
+        v_cur = np.maximum(vert, e_cur)
+        p = np.where(e_cur > vert, 2, p).astype(np.uint8)
+        ptr[i] = p
+        v_prev, f_prev = v_cur, f_cur
+    ops = []
+    i, j = la, lb
+    state = 0      # 0 main, 1 in-F, 2 in-E
+    while i > 0 or j > 0:
+        if i == 0:
+            m = 2
+        elif j == 0:
+            m = 1
+        elif state == 1:
+            m = 1
+        elif state == 2:
+            m = 2
+        else:
+            m = ptr[i, j]
+        if m == 0:
+            ops.append("M")
+            i -= 1
+            j -= 1
+            state = 0
+        elif m == 1:
+            ops.append("D")
+            state = 1 if fcont[i, j] else 0
+            i -= 1
+        else:
+            ops.append("I")
+            if i > 0 and j > 0:
+                state = 2 if econt[i, j] else 0
+            else:
+                state = 0
+            j -= 1
+    ops.reverse()
+    return ops
+
+
+def _align_ops_linear(a, b):
     la, lb = len(a), len(b)
     if la == 0:
         return ["I"] * lb

@@ -114,3 +114,51 @@ def test_dimer_matrix_matches_host():
     host = dimer.verify_against_host(primers, threshold=3.96)
     assert np.array_equal(dev, host)
     assert dev[1, 2]
+
+
+def test_affine_alignment_optimal():
+    from multiprime_tpu.align import centerstar as cs
+
+    def scalar_gotoh(a, b):
+        NEG = -10**9
+        la, lb = len(a), len(b)
+        V = [[NEG] * (lb+1) for _ in range(la+1)]
+        E = [[NEG] * (lb+1) for _ in range(la+1)]
+        F = [[NEG] * (lb+1) for _ in range(la+1)]
+        V[0][0] = 0
+        for j in range(1, lb+1):
+            E[0][j] = V[0][j] = cs.GAP_OPEN + cs.GAP_EXT * j
+        for i in range(1, la+1):
+            F[i][0] = V[i][0] = cs.GAP_OPEN + cs.GAP_EXT * i
+            for j in range(1, lb+1):
+                F[i][j] = max(F[i-1][j], V[i-1][j] + cs.GAP_OPEN) + cs.GAP_EXT
+                E[i][j] = max(E[i][j-1], V[i][j-1] + cs.GAP_OPEN) + cs.GAP_EXT
+                sub = cs.MATCH if (a[i-1] == b[j-1] and a[i-1] < 4) \
+                    else cs.MISMATCH
+                V[i][j] = max(V[i-1][j-1] + sub, E[i][j], F[i][j])
+        return V[la][lb]
+
+    def ops_score(a, b, ops):
+        score, i, j, prev = 0, 0, 0, None
+        for op in ops:
+            if op == "M":
+                score += cs.MATCH if (a[i] == b[j] and a[i] < 4) \
+                    else cs.MISMATCH
+                i += 1
+                j += 1
+            elif op == "D":
+                score += cs.GAP_EXT + (cs.GAP_OPEN if prev != "D" else 0)
+                i += 1
+            else:
+                score += cs.GAP_EXT + (cs.GAP_OPEN if prev != "I" else 0)
+                j += 1
+            prev = op
+        assert i == len(a) and j == len(b)
+        return score
+
+    rng = np.random.default_rng(4)
+    for _ in range(15):
+        a = rng.integers(0, 4, rng.integers(3, 40)).astype(np.int8)
+        b = rng.integers(0, 4, rng.integers(3, 40)).astype(np.int8)
+        ops = cs.align_ops(a, b)
+        assert ops_score(a, b, ops) == scalar_gotoh(a, b)
