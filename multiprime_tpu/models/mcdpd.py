@@ -281,37 +281,18 @@ class DesignEngine:
     # -- per-primer string filters (reference semantics) -----------------------
     @staticmethod
     def _substring_maxstart(primer, min_len=5):
-        """{substring: max start offset} over all expansions, lengths
-        min_len..len(primer).  Every expansion of any primer substring /
-        suffix is a substring of some full expansion, so one index serves
-        the hairpin and self-dimer scans."""
-        idx = {}
-        for exp in iupac.expand(primer):
-            n = len(exp)
-            for start in range(n):
-                hi = n - start
-                for ln in range(min_len, hi + 1):
-                    sub = exp[start:start + ln]
-                    prev = idx.get(sub, -1)
-                    if start > prev:
-                        idx[sub] = start
-        return idx
+        return _substring_maxstart_cached(primer, min_len)
 
     def hairpin_check(self, primer: str) -> bool:
-        """Sliding 5-mer vs downstream tail RC search (core.py:387-398),
-        evaluated against the expansion substring index: RC(kmer) occurs in
-        an expansion of the tail iff it occurs in a full expansion at an
-        offset >= n+5+distance."""
+        """Sliding 5-mer vs downstream tail RC search (core.py:387-398)."""
         d = self.p.hairpin_distance
-        if len(primer) < 10 + d:
-            return False
-        index = self._substring_maxstart(primer, 5)
         n = 0
         while n <= len(primer) - 10 - d:
             for k in iupac.expand(primer[n:n + 5]):
-                ms = index.get(iupac.rc(k), -1)
-                if ms >= n + 5 + d:
-                    return True
+                rck = iupac.rc(k)
+                for tail in iupac.expand(primer[n + 5 + d:]):
+                    if rck in tail:
+                        return True
             n += 1
         return False
 
@@ -815,6 +796,29 @@ class DesignEngine:
                     else:
                         r_mis += counts[i]
         return f_mis, f_non, r_mis, r_non
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=100000)
+def _substring_maxstart_cached(primer, min_len=5):
+    """{substring: max start offset} over all expansions, lengths
+    min_len..len(primer).  Every expansion of any primer substring / suffix
+    is a substring of some full expansion, so one index serves the hairpin
+    and self-dimer scans.  Cached per primer string — the pairing engine
+    consults the same primers across thousands of pair candidates."""
+    idx = {}
+    for exp in iupac.expand(primer):
+        n = len(exp)
+        for start in range(n):
+            hi = n - start
+            for ln in range(min_len, hi + 1):
+                sub = exp[start:start + ln]
+                prev = idx.get(sub, -1)
+                if start > prev:
+                    idx[sub] = start
+    return idx
 
 
 def _viterbi(freq, nn):

@@ -127,8 +127,11 @@ class PairingEngine:
             | set(self._helper.current_end(primer_r))
         for pp in (primer_f, primer_r):
             expansions = iupac.expand(pp)
+            index = self._helper._substring_maxstart(pp, 5)
             for end in ends:
                 rce = iupac.rc(end)
+                if rce not in index:
+                    continue
                 for p in expansions:
                     idx = p.find(rce)
                     if idx >= 0:
