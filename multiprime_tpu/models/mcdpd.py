@@ -78,6 +78,10 @@ class DesignParams:
       full-degenerate short-circuit, perfect-coverage-driven refinement,
       coordinate as a single int margin, unrounded Y-distance floats, linear
       dimer penalty denominator.
+    * ``"v2"`` — the multiPrime2 "global optimum" designer
+      (multiPrime2_onstep.py): consensus + combination-search refinement
+      (models/global_opt.py) instead of the greedy NN walk; rows carry an
+      extra degeneracy column.
     """
 
     primer_length: int = 18
@@ -248,7 +252,7 @@ class DesignEngine:
     def __init__(self, params: DesignParams):
         self.p = params
         plen = params.primer_length
-        if params.algo in ("v20", "v16"):
+        if params.algo in ("v20", "v16", "v2"):
             self.y_strict, self.y_strict_r = self._forbidden_sets()
             self._y_strict_arr = np.zeros(plen, dtype=bool)
             self._y_strict_r_arr = np.zeros(plen, dtype=bool)
@@ -260,7 +264,8 @@ class DesignEngine:
                     self._y_strict_r_arr[y] = True
         else:
             self.y_strict = self.y_strict_r = None
-        self._covered = _COVERED_V20 if params.algo == "v20" else _COVERED_V15
+        self._covered = _COVERED_V20 if params.algo in ("v20", "v2") \
+            else _COVERED_V15
         self._di_pats = _di_nucleotide_patterns()
 
     # -- parameter-derived sets ------------------------------------------------
@@ -522,6 +527,12 @@ class DesignEngine:
 
         viterbi_path = _viterbi(freq, nn)
 
+        if self.p.algo == "v2":
+            return self._design_window_v2(
+                position, c_bit, t_bit, viterbi_path, cover, cover_for_mm,
+                keys, key_chars, counts_list, non_gap_seq_id, cover_number,
+                gap_seq_id)
+
         if cover_for_mm:
             # stable max with insertion-order tie-break == sorted(reverse=True)[0]
             best = None
@@ -554,6 +565,55 @@ class DesignEngine:
         return self._finalize(position, c_bit, t_bit, primer, f_mis, r_mis,
                               info, f_non, r_non, cover, cover_extra,
                               gap_seq_id)
+
+    def _design_window_v2(self, position, c_bit, t_bit, viterbi_path, cover,
+                          cover_for_mm, keys, key_chars, counts_list,
+                          non_gap_seq_id, cover_number, gap_seq_id):
+        """multiPrime2 "global optimum" flow (refine_by_multiPrime2,
+        multiPrime2_onstep.py:1156-1237): combination-search refinement of
+        the consensus instead of the greedy NN walk; the branch choice uses
+        the refined coverage, NM winning ties."""
+        from . import global_opt
+        consensus_nm = "".join(BASES[i] for i in viterbi_path)
+        if cover_for_mm:
+            best = None
+            for k, v in cover_for_mm.items():
+                if best is None or v > best[1]:
+                    best = (k, v)
+            consensus_mm = best[0]
+            if consensus_nm == consensus_mm:
+                primer, coverage = global_opt.refine_global(
+                    consensus_nm, cover, self.p.dege_number,
+                    self.p.variation, cover_number)
+            else:
+                p_nm, cov_nm = global_opt.refine_global(
+                    consensus_nm, cover, self.p.dege_number,
+                    self.p.variation, cover_number)
+                p_mm, cov_mm = global_opt.refine_global(
+                    consensus_mm, cover, self.p.dege_number,
+                    self.p.variation, cover_number)
+                primer, coverage = (p_nm, cov_nm) if cov_nm >= cov_mm \
+                    else (p_mm, cov_mm)
+        else:
+            primer, coverage = global_opt.refine_global(
+                consensus_nm, cover, self.p.dege_number, self.p.variation,
+                cover_number)
+        f_mis, f_non, r_mis, r_non = self._mis_primer_check(
+            keys, key_chars, counts_list, primer, non_gap_seq_id)
+        expansions = iupac.expand(primer)
+        nonsense = len(set(expansions) - set(cover.keys()))
+        dege_n = iupac.num_degenerate_positions(primer)
+        degeneracy = iupac.degeneracy(primer)
+        tm_avg = thermo.tm_degenerate_mean(primer)
+        perfect = sum(cover.get(e, 0) for e in expansions)
+        info = self.pre_filter_info(primer)
+        if self.dimer_check(primer):
+            return None
+        res = WindowResult(position, c_bit, t_bit, primer, dege_n, nonsense,
+                           perfect, perfect + f_mis, perfect + r_mis, tm_avg,
+                           info, f_non, r_non, gap_seq_id)
+        res.degeneracy = degeneracy
+        return res
 
     def _finalize(self, position, c_bit, t_bit, primer, f_mis, r_mis, info,
                   f_non, r_non, cover, cover_extra, gap_seq_id):
@@ -848,14 +908,21 @@ HEADERS = ["Position", "Entropy of cover (bit)", "Entropy of total (bit)",
 
 def write_outputs(results, outfile):
     """Write the .top.primer.out TSV and the two JSON sidecars with the
-    reference's formats (core.py:1146-1177)."""
+    reference's formats (core.py:1146-1177).  v2 rows carry the extra
+    degeneracy column after primer_degenerate_number."""
     import json
     results = sorted(results, key=lambda r: r.position)
+    v2 = results and hasattr(results[0], "degeneracy")
+    headers = HEADERS if not v2 else \
+        HEADERS[:5] + ["degeneracy"] + HEADERS[5:]
     with open(outfile, "w") as fo:
-        fo.write("\t".join(HEADERS) + "\n")
+        fo.write("\t".join(headers) + "\n")
         for r in results:
+            row = r.row()[1:]
+            if v2:
+                row = row[:4] + [r.degeneracy] + row[4:]
             fo.write(str(r.position) + "\t"
-                     + "\t".join(map(str, r.row()[1:])) + "\n")
+                     + "\t".join(map(str, row)) + "\n")
     with open(outfile + ".non_coverage_seq_id_json", "w") as fj:
         json.dump({r.position: [r.f_non_cover, r.r_non_cover]
                    for r in results}, fj, indent=4)

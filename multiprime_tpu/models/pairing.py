@@ -259,6 +259,76 @@ class PairingEngine:
         return pairs, candidates
 
 
+def parse_degeprime_table(path, number):
+    """DEGEPRIME/WRC 8-column output -> {position: [primer, fraction,
+    matching]} (get_degePrimer.py:252-264: column 5 = primer, 6 = matches)."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            if line.startswith("Pos"):
+                continue
+            parts = line.strip().split("\t")
+            position = int(parts[0])
+            matching = int(parts[6])
+            out[position] = [parts[5], round(matching / number, 2), matching]
+    return out
+
+
+def pair_degeprime(engine: "PairingEngine", primers):
+    """Pair enumeration for the DEGEPRIME backend (get_degePrimer.py
+    :462-525): same gates as get_multiPrime but the pair score is
+    min(F matches, R matches) and there is no Tm/coverage-union filter."""
+    p = engine.p
+    lo_gc, hi_gc = float(p.gc[0]), float(p.gc[1])
+    min_len, max_len = int(p.size[0]), int(p.size[1])
+    candidates = []
+    for pos in primers:
+        primer = primers[pos][0]
+        if engine.hairpin(primer):
+            continue
+        gc = engine._gc_mean(primer)
+        if gc > hi_gc or gc < lo_gc:
+            continue
+        if engine._helper.di_nucleotide(primer):
+            continue
+        candidates.append(pos)
+    candidates.sort()
+    pairs = []
+    if not candidates or candidates[-1] - candidates[0] < min_len:
+        return pairs, candidates
+    for start_pos in candidates:
+        primer_f = primers[start_pos][0]
+        if engine.hairpin(p.adaptor[0] + primer_f) \
+                or engine.has_3prime_degenerate(primer_f) \
+                or engine.gc_clamp(primer_f):
+            continue
+        left = bisect_left(candidates, start_pos + min_len)
+        if start_pos + max_len > candidates[-1]:
+            right = len(candidates) - 1
+        else:
+            right = bisect_left(candidates, start_pos + max_len) - 1
+        if left > right:
+            break       # reference breaks the outer loop here (:483-484)
+        for stop_pos in candidates[left:right + 1]:
+            primer_r = iupac.rc(primers[stop_pos][0])
+            if engine.hairpin(p.adaptor[1] + primer_r) \
+                    or engine.has_3prime_degenerate(primer_r) \
+                    or engine.gc_clamp(primer_r):
+                continue
+            distance = stop_pos - start_pos + 1
+            if distance > max_len:
+                break
+            if min_len <= distance <= max_len:
+                if engine.dimer_check(primer_f, primer_r):
+                    continue
+                pairs.append((primer_f, primer_r, distance,
+                              min(primers[start_pos][2],
+                                  primers[stop_pos][2]),
+                              "%d:%d" % (start_pos, stop_pos)))
+    pairs.sort(key=lambda k: k[3], reverse=True)
+    return pairs, candidates
+
+
 def write_outputs(pairs, outfile):
     """txt/xls/fa triple with the reference's exact formatting
     (get_multiPrime.py:638-662), including the trailing-tab txt row and the

@@ -334,6 +334,10 @@ class Pipeline:
         stages.primerset_format(final, final_fa)
         rows = findimer.scan(findimer.parse_primer_fasta(final_fa))
         findimer.write_outputs(rows, final_fa + ".findimer")
+        from ..validate import reports
+        reports.hairpin_report(final_fa, final_fa + ".hairpin",
+                               distance=cfg.distance)
+        reports.dimer_report(final_fa, final_fa + ".dimer")
         # core set (clusters with >= core_number members)
         core_txt = self._p("Core_primers_set", "core_candidate_primers_sets.txt")
         stages.core_extraction(agg, core_txt, cfg.core_number)

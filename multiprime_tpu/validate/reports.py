@@ -1,0 +1,92 @@
+"""Hairpin / dimer QC reports (mfeprimer-3 replacement).
+
+The reference shells out to the closed mfeprimer Go binary for independent
+hairpin and dimer reports (multiPrime.py:396-438).  This module produces the
+same report structure — per-expansion primer table (length, GC%, Tm, dG)
+followed by structure findings — using the in-package thermodynamics: the
+framework's own hairpin/dimer engines are the analysis, so the report lists
+their findings rather than mfeprimer's (values differ from mfeprimer's own
+parameterisation; the role — an at-a-glance QC sheet — is the same).
+"""
+
+from __future__ import annotations
+
+import time
+
+from ..thermo import exact as thermo
+from ..utils import iupac
+from ..models import mcdpd
+from . import findimer
+
+
+def _expansion_table(primers):
+    """[(id, expansion, length, gc%, tm, dg)] per expansion, mfeprimer-style
+    .N suffixes."""
+    rows = []
+    for name, seq in primers:
+        for j, e in enumerate(iupac.expand(seq)):
+            gc = 100.0 * (e.count("G") + e.count("C")) / len(e)
+            rows.append(("%s.%d" % (name.lstrip(">"), j + 1), e, len(e),
+                         gc, thermo.tm(e), thermo.delta_g(e)))
+    return rows
+
+
+def _write_header(f, kind):
+    f.write("multiprime-tpu %s Reports (%s)\n\n" % (
+        kind, time.strftime("%Y-%m-%d %H:%M:%S")))
+    f.write("%-30s %-35s %8s %7s %7s %10s\n" % (
+        "Primer ID", "Sequence (5'-->3')", "Length", "GC", "Tm", "Dg"))
+    f.write("%-30s %-35s %8s %7s %7s %10s\n\n" % (
+        "", "", "(bp)", "(%)", "(degC)", "(kcal/mol)"))
+
+
+def hairpin_report(primer_fa, outfile, distance=4):
+    """Per-expansion table + hairpin verdicts."""
+    primers = []
+    name = None
+    for line in open(primer_fa):
+        if line.startswith(">"):
+            name = line.strip()
+        elif line.strip():
+            primers.append((name, line.strip()))
+    eng = mcdpd.DesignEngine(mcdpd.DesignParams(hairpin_distance=distance))
+    with open(outfile, "w") as f:
+        _write_header(f, "Hairpin")
+        for pid, e, ln, gc, tm, dg in _expansion_table(primers):
+            f.write("%-30s %-35s %8d %7.2f %7.2f %10.2f\n"
+                    % (pid, e, ln, gc, tm, dg))
+        f.write("\n\nHairpin findings\n----------------\n")
+        n_found = 0
+        for name, seq in primers:
+            if eng.hairpin_check(seq):
+                n_found += 1
+                f.write("%s\t%s\thairpin (min stem 5 bp, loop >= %d)\n"
+                        % (name.lstrip(">"), seq, distance))
+        if n_found == 0:
+            f.write("No hairpins found.\n")
+    return outfile
+
+
+def dimer_report(primer_fa, outfile, threshold=3.96):
+    """Per-expansion table + cross-dimer rows from the finDimer engine."""
+    primers = []
+    name = None
+    for line in open(primer_fa):
+        if line.startswith(">"):
+            name = line.strip()
+        elif line.strip():
+            primers.append((name, line.strip()))
+    rows = findimer.scan(findimer.parse_primer_fasta(primer_fa),
+                         threshold=threshold)
+    with open(outfile, "w") as f:
+        _write_header(f, "Dimer")
+        for pid, e, ln, gc, tm, dg in _expansion_table(primers):
+            f.write("%-30s %-35s %8d %7.2f %7.2f %10.2f\n"
+                    % (pid, e, ln, gc, tm, dg))
+        f.write("\n\nDimer findings\n--------------\n")
+        if not rows:
+            f.write("No dimers found.\n")
+        for r in rows:
+            f.write("%s x %s\tend %s\tDg %.2f\tLoss %.2f\n"
+                    % (r[0].lstrip(">"), r[7].lstrip(">"), r[2], r[3], r[10]))
+    return outfile

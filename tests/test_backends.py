@@ -162,3 +162,26 @@ def test_affine_alignment_optimal():
         b = rng.integers(0, 4, rng.integers(3, 40)).astype(np.int8)
         ops = cs.align_ops(a, b)
         assert ops_score(a, b, ops) == scalar_gotoh(a, b)
+
+
+def test_v2_design_mode(tmp_path):
+    from multiprime_tpu.models import mcdpd
+    rng = np.random.default_rng(12)
+    lut = np.array(list("ACGT"))
+    base = rng.integers(0, 4, size=320)
+    chars = np.zeros((30, 320), dtype=np.uint8)
+    ascii_lut = np.frombuffer(b"ACGT", np.uint8)
+    for i in range(30):
+        s = base.copy()
+        s[rng.integers(0, 320, size=4)] = rng.integers(0, 4, size=4)
+        chars[i] = ascii_lut[s]
+    ids = [">v%d" % i for i in range(30)]
+    eng = mcdpd.DesignEngine(mcdpd.DesignParams(
+        coverage=0.5, min_product=100, coordinate="2,3,-1", algo="v2"))
+    res = eng.design(ids, chars)
+    assert res, "v2 mode produced no windows"
+    assert all(hasattr(r, "degeneracy") for r in res)
+    out = tmp_path / "v2.out"
+    mcdpd.write_outputs(res, str(out))
+    header = out.read_text().splitlines()[0].split("\t")
+    assert "degeneracy" in header
