@@ -32,7 +32,8 @@ def bench_pipeline():
     params = mcdpd.DesignParams(
         primer_length=18, coverage=0.7, dege_number=4, degeneracy=10,
         variation=1, entropy_threshold=3.6, gc=(0.2, 0.7), min_product=150,
-        coordinate="2,3,-1", hairpin_distance=4, algo="v16")
+        coordinate="2,3,-1", hairpin_distance=4, algo="v16",
+        nproc=min(4, os.cpu_count() or 1))
     tmp = tempfile.mkdtemp()
     out = os.path.join(tmp, "Cluster_0_20727.top.primer.out")
 

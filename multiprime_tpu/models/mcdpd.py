@@ -390,14 +390,21 @@ class DesignEngine:
 
     # -- main ------------------------------------------------------------------
     def design(self, seq_ids, chars, progress=None):
-        """Run the full engine. Returns list[WindowResult] sorted by position."""
+        """Run the full engine. Returns list[WindowResult] sorted by position.
+
+        Windows are independent; with nproc > 1 the per-window Stage B fans
+        out over forked workers (the reference's -p flag, whose own pool is
+        accidentally serial — multiPrime-core.py:1143 submits call results)."""
         plen = self.p.primer_length
         n = len(seq_ids)
         start, stop = self.usable_span(chars)
         threshold = self.entropy_threshold(stop - start)
         extractor = MSAWindows(seq_ids, chars, plen)
-        results = []
         positions = np.arange(start, stop - plen)
+        if self.p.nproc > 1 and len(positions) >= 64:
+            return self._design_parallel(extractor, positions, seq_ids, n,
+                                         threshold)
+        results = []
         block = 256
         for b0 in range(0, len(positions), block):
             pos_block = positions[b0:b0 + block]
@@ -409,6 +416,19 @@ class DesignEngine:
                     results.append(res)
             if progress:
                 progress(min(b0 + block, len(positions)), len(positions))
+        return results
+
+    def _design_parallel(self, extractor, positions, seq_ids, n, threshold):
+        import concurrent.futures as cf
+        import multiprocessing as mp
+        nw = self.p.nproc
+        chunks = [c for c in np.array_split(positions, nw * 4) if len(c)]
+        ctx = mp.get_context("fork")
+        worker = _DesignWorker(self, extractor, seq_ids, n, threshold)
+        results = []
+        with cf.ProcessPoolExecutor(max_workers=nw, mp_context=ctx) as pool:
+            for part in pool.map(worker, chunks):
+                results.extend(part)
         return results
 
     # -- per-window Stage B ----------------------------------------------------
@@ -856,6 +876,29 @@ class DesignEngine:
                     else:
                         r_mis += counts[i]
         return f_mis, f_non, r_mis, r_non
+
+
+class _DesignWorker:
+    """Picklable per-chunk design worker (fork start method: the engine and
+    extractor arrive via copy-on-write, not pickling)."""
+
+    def __init__(self, engine, extractor, seq_ids, n, threshold):
+        self.engine = engine
+        self.extractor = extractor
+        self.seq_ids = seq_ids
+        self.n = n
+        self.threshold = threshold
+
+    def __call__(self, chunk):
+        out = []
+        wins = self.extractor.windows(chunk)
+        for wi, position in enumerate(chunk):
+            res = self.engine._design_window(
+                int(position), wins[:, wi, :], self.seq_ids, self.n,
+                self.threshold)
+            if res is not None:
+                out.append(res)
+        return out
 
 
 import functools
