@@ -244,10 +244,17 @@ class Pipeline:
                         f.write(">" + m + "\n" + by_id[m] + "\n")
                 # Clusters_target: full headers of members (the reference's
                 # extract_value_from_dict output consumed for reporting)
+                dict_pkl = self._p("Total_fa", self.v + ".format.dict")
+                headers = {}
+                if os.path.exists(dict_pkl):
+                    import pickle as _pickle
+                    with open(dict_pkl, "rb") as df:
+                        rec = _pickle.load(df)
+                    headers = {k: v.splitlines()[0] for k, v in rec.items()}
                 with open(self._p("Clusters_target", name + ".txt"),
                           "w") as f:
                     for m in sample:
-                        f.write(m + "\n")
+                        f.write(headers.get(m, ">" + m).lstrip(">") + "\n")
 
     def _per_cluster_stages(self):
         from ..align import centerstar
