@@ -242,6 +242,30 @@ def find_hits(targets_1h, lengths, primers_1h, suffix_1h, *, mm=1, term=4,
     return idx, n_hits, mism_flat
 
 
+def find_hits_numpy(targets_1h, lengths, primers_1h, suffix_1h, *, mm=1,
+                    term=4):
+    """Pure NumPy scan for small workloads (identical hits).  Correlation via
+    einsum over uint8 one-hots; avoids device compile latency when
+    N*O*P is tiny relative to the compile cost."""
+    n, length, _ = targets_1h.shape
+    p, plen, _ = primers_1h.shape
+    n_out = length - plen + 1
+    if n_out <= 0:
+        return np.empty((0, 4), np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(
+        targets_1h, plen, axis=1)               # [N, O, 4, plen]
+    counts = np.einsum("nobl,plb->nop", win.astype(np.int32),
+                       primers_1h.astype(np.int32))
+    suffix = np.einsum("nobl,plb->nop", win.astype(np.int32),
+                       suffix_1h.astype(np.int32))
+    mism = plen - counts
+    ok = (mism <= mm) & (suffix >= term)
+    o_idx = np.arange(n_out)[None, :, None]
+    ok &= (o_idx + plen) <= lengths[:, None, None]
+    s, o, pi = np.nonzero(ok)
+    return np.stack([s, o, pi, mism[s, o, pi]], axis=1)
+
+
 def decode_hits(idx, mism, n_out, p):
     """Host-side: flat indices -> (seq, window, primer, mismatches) arrays."""
     idx = np.asarray(idx)

@@ -42,7 +42,7 @@ class ScanParams:
     mm: int = 1                 # -m: max mismatches
     product_size: tuple = (100, 1500)
     batch_seqs: int = 512       # device tile over the target axis
-    backend: str = "conv"
+    backend: str = "auto"       # auto: numpy below ~2e10 MACs, device above
 
 
 def expand_primer_fasta(primer_fa, term_len=0, term_fa_out=None):
@@ -119,14 +119,38 @@ def scan_hits(target_seqs, patterns, params: ScanParams):
         s1h[:, :-params.term, :] = 0
     else:
         s1h[:] = 0
+    # Bucket the pattern axis to a multiple of 8 so F/R scans (and most
+    # clusters) share one compiled executable; zero rows can never hit.
+    n_real = p1h.shape[0]
+    pad_p = -n_real % 8
+    if pad_p:
+        z = np.zeros((pad_p,) + p1h.shape[1:], p1h.dtype)
+        p1h = np.concatenate([p1h, z])
+        s1h = np.concatenate([s1h, z])
     hits = []
     bs = params.batch_seqs
+    # Canonical shapes (pad N to the batch size, L to one global 512-multiple)
+    # so every batch — and the F/R orientations — reuse one executable.
+    global_max = max((len(s) for s in target_seqs), default=0)
+    pad_len = max(-global_max % 512 + global_max, 512)
+    backend = params.backend
+    if backend == "auto":
+        macs = (len(target_seqs) * pad_len * len(patterns) * plen * 4)
+        backend = "numpy" if macs < 2e10 else "conv"
+    if backend == "numpy":
+        for lo in range(0, len(target_seqs), bs):
+            chunk = target_seqs[lo:lo + bs]
+            t1h, lens = ms.encode_targets(chunk)
+            if t1h.shape[1] < plen:
+                continue
+            out = ms.find_hits_numpy(t1h, lens, p1h, s1h, mm=params.mm,
+                                     term=max(params.term, 0))
+            for s, o, pi, m in out:
+                if pi < n_real:
+                    hits.append((lo + int(s), int(o), int(pi), int(m)))
+        return hits
     for lo in range(0, len(target_seqs), bs):
         chunk = target_seqs[lo:lo + bs]
-        # Canonical shapes (pad N to the batch size, L to a 512 multiple) so
-        # every batch reuses one compiled executable.
-        max_len = max((len(s) for s in chunk), default=0)
-        pad_len = max(-max_len % 512 + max_len, 512)
         if len(chunk) < bs:
             chunk = chunk + [""] * (bs - len(chunk))
         t1h, lens = ms.encode_targets(chunk, length=pad_len)
@@ -145,7 +169,8 @@ def scan_hits(target_seqs, patterns, params: ScanParams):
         n_out = t1h.shape[1] - plen + 1
         seq, pos, pat, mm_ = ms.decode_hits(idx, mism, n_out, p1h.shape[0])
         for s, o, p, m in zip(seq, pos, pat, mm_):
-            hits.append((lo + int(s), int(o), int(p), int(m)))
+            if p < n_real:      # drop bucket-padding rows
+                hits.append((lo + int(s), int(o), int(p), int(m)))
     return hits
 
 
