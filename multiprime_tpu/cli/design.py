@@ -29,8 +29,6 @@ def build_parser():
     p.add_argument("-a", "--away", type=int, default=4)
     p.add_argument("-o", "--out", required=True)
     p.add_argument("--algo", choices=["v20", "v16", "v15", "v2"], default="v20")
-    p.add_argument("--stage-a", choices=["numpy", "jax"], default="numpy",
-                   help="Batched window-stat backend")
     return p
 
 

@@ -14,6 +14,11 @@ Subcommands map 1:1 onto the reference's script zoo:
   expand       degenerate expansion           (dege_expand.py)
   kmer-filter  k-mer prefilter                (kmer_filter.py)
   seq-format   fasta normalisation            (seq_format.py)
+  ont          classify ONT read ends         (FindONTprimerV3.py)
+  update       check new primers vs core set  (Primer_set_update.py)
+  specificity  background off-target scan     (primer_specificity.py)
+  roc          capture-prediction metrics     (test_data/ROC/ROC.py)
+  wrc          DEGEPRIME-style WRC design     (DegePrime.pl)
 """
 
 import sys
@@ -55,6 +60,16 @@ def main(argv=None):
         return tools.kmer_filter_main(rest)
     if cmd == "seq-format":
         return _seq_format(rest)
+    if cmd == "ont":
+        return _ont(rest)
+    if cmd == "update":
+        return _update(rest)
+    if cmd == "specificity":
+        return _specificity(rest)
+    if cmd == "roc":
+        return _roc(rest)
+    if cmd == "wrc":
+        return _wrc(rest)
     print("unknown subcommand: " + cmd)
     print(__doc__)
     return 2
@@ -182,6 +197,97 @@ def _seq_format(argv):
     stages.seq_format(args.input, args.out, gc_threshold=args.gc,
                       min_length=args.length,
                       complete_only=args.complete == "T")
+    return 0
+
+
+def _ont(argv):
+    import argparse
+    from ..validate import ont
+    p = argparse.ArgumentParser(prog="mptpu ont")
+    p.add_argument("-i", "--input", required=True, help="reads (fa/fq[.gz])")
+    p.add_argument("-s", "--set", required=True, help="primer fasta")
+    p.add_argument("-l", "--len", type=int, default=18)
+    p.add_argument("-m", "--min-ident", type=float, default=0.8)
+    p.add_argument("-f", "--format", default="fq", choices=["fq", "fa"])
+    p.add_argument("--metric", default="difflib",
+                   choices=["difflib", "banded"])
+    p.add_argument("-o", "--out", required=True)
+    a = p.parse_args(argv)
+    ont.run(a.input, a.set, a.out, a.len, a.min_ident, a.format, a.metric)
+    return 0
+
+
+def _update(argv):
+    import argparse
+    from ..validate import update
+    p = argparse.ArgumentParser(prog="mptpu update")
+    p.add_argument("-i", "--input", required=True, help="new primer fasta")
+    p.add_argument("-c", "--core", required=True, help="core set fasta")
+    p.add_argument("-r", "--ref", default="", help="reference DB fasta")
+    p.add_argument("-f", "--func", default="DO",
+                   choices=["DO", "dimer", "offtarget"])
+    p.add_argument("-o", "--out", required=True, help="output prefix")
+    a = p.parse_args(argv)
+    update.run(a.input, a.core, a.ref, a.out, a.func)
+    return 0
+
+
+def _specificity(argv):
+    import argparse
+    from ..validate import specificity
+    p = argparse.ArgumentParser(prog="mptpu specificity")
+    p.add_argument("-i", "--input", required=True, help="primer fasta")
+    p.add_argument("-r", "--ref", required=True, help="background DB fasta")
+    p.add_argument("-m", "--seedmms", type=int, default=2)
+    p.add_argument("-t", "--term", type=int, default=0)
+    p.add_argument("-s", "--size", default="50,2000")
+    p.add_argument("-o", "--out", required=True)
+    a = p.parse_args(argv)
+    specificity.run(a.input, a.ref, a.out, mm=a.seedmms, term=a.term,
+                    product_size=tuple(int(x) for x in a.size.split(",")))
+    return 0
+
+
+def _roc(argv):
+    import argparse
+    from ..validate import metrics
+    p = argparse.ArgumentParser(prog="mptpu roc")
+    p.add_argument("-i", "--input", required=True,
+                   help="csv: sample,real,predict")
+    p.add_argument("-o", "--out", default=None)
+    a = p.parse_args(argv)
+    result = metrics.roc_analysis(a.input, a.out)
+    print("acc={acc} mcc={mcc} auc={auc}".format(**result))
+    return 0
+
+
+def _wrc(argv):
+    import argparse
+    from ..models import wrc, mcdpd
+    p = argparse.ArgumentParser(prog="mptpu wrc")
+    p.add_argument("-i", "--input", required=True, help="MSA fasta")
+    p.add_argument("-l", "--plen", type=int, default=18)
+    p.add_argument("-d", "--maxdeg", type=int, default=96)
+    p.add_argument("-n", "--iterations", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--trim", type=float, default=0.1,
+                   help="min column occupancy (TrimAlignment)")
+    p.add_argument("-o", "--out", required=True)
+    a = p.parse_args(argv)
+    ids, chars = mcdpd.parse_msa(a.input)
+    rows = ["".join(chr(c) for c in row) for row in chars]
+    trimmed, kept = wrc.trim_alignment(rows, a.trim)
+    table = wrc.design_windows(trimmed, a.plen, a.maxdeg, a.iterations,
+                               a.seed)
+    from ..utils import iupac
+    with open(a.out, "w") as f:
+        f.write("Pos\tTrimPos\tWin\tType\tPrimerDeg\tPrimerMatching\t"
+                "PrimerSeq\tTotal\n")
+        for pos, primer, matching, total in table:
+            orig = int(kept[pos]) if pos < len(kept) else pos
+            f.write("%d\t%d\t%d\tW\t%d\t%d\t%s\t%d\n" % (
+                orig, pos, a.plen, iupac.degeneracy(primer), matching,
+                primer, total))
     return 0
 
 
