@@ -24,8 +24,6 @@ see multiprime_tpu.parallel.
 
 from __future__ import annotations
 
-import math
-import sys
 from dataclasses import dataclass, field
 
 import numpy as np

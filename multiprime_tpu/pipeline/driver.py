@@ -161,6 +161,11 @@ class Pipeline:
                                                    cluster_txt))
         self._per_cluster_stages()
         self._aggregate_and_solve()
+        with open(self._p("pipeline_metrics.json"), "w") as f:
+            json.dump({"stages": [list(row) for row in self.log],
+                       "timings_s": self.cfg.timings,
+                       "clusters": getattr(self, "cluster_names", [])},
+                      f, indent=2)
         return self.log
 
     def _seq_format(self, out):

@@ -23,7 +23,6 @@ device-scale sets.
 from __future__ import annotations
 
 import sys
-from dataclasses import dataclass
 
 from ..thermo import exact as thermo
 from ..utils import iupac

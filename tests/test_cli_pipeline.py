@@ -79,3 +79,34 @@ def test_pipeline_mini(tmp_path):
     assert len(rows) >= 2, "no primer pair survived on a clean toy cluster"
     cov = (tmp_path / "res" / "Primers_set" / "Coverage_stast.xls").read_text()
     assert "Total number of sequences:\t12" in cov
+
+
+def test_pipeline_two_clusters(tmp_path):
+    rng = np.random.default_rng(77)
+    lut = np.array(list("ACGT"))
+    base_a = "".join(rng.choice(lut, size=600))
+    base_b = "".join(rng.choice(lut, size=550))
+
+    def mut(s, n=8):
+        s = list(s)
+        for _ in range(n):
+            s[rng.integers(0, len(s))] = str(rng.choice(lut))
+        return "".join(s)
+
+    fa = tmp_path / "two.fa"
+    with open(fa, "w") as f:
+        for i in range(15):
+            f.write(">A%d\n%s\n" % (i, mut(base_a)))
+        for i in range(12):
+            f.write(">B%d\n%s\n" % (i, mut(base_b)))
+    from multiprime_tpu.pipeline.driver import run_pipeline
+    pipe, log = run_pipeline(
+        None, input_fa=str(fa), results_dir=str(tmp_path / "res"),
+        virus_name="two", coverage=0.5, min_seq_length=100,
+        product_size=(100, 500), algo="v20")
+    clusters = (tmp_path / "res" / "cluster.txt").read_text().splitlines()
+    assert len(clusters) == 3          # header + 2 clusters
+    xls = (tmp_path / "res" / "Primers_set" /
+           "final_maxprimers_set.xls").read_text().splitlines()
+    assert len(xls) >= 3               # one pair per cluster
+    assert (tmp_path / "res" / "pipeline_metrics.json").exists()
