@@ -281,13 +281,13 @@ def _wrc(argv):
                                a.seed)
     from ..utils import iupac
     with open(a.out, "w") as f:
-        f.write("Pos\tTrimPos\tWin\tType\tPrimerDeg\tPrimerMatching\t"
-                "PrimerSeq\tTotal\n")
+        f.write("Pos\tTrimPos\tWin\tType\tPrimerDeg\tPrimerSeq\t"
+                "PrimerMatching\tTotal\n")
         for pos, primer, matching, total in table:
             orig = int(kept[pos]) if pos < len(kept) else pos
-            f.write("%d\t%d\t%d\tW\t%d\t%d\t%s\t%d\n" % (
-                orig, pos, a.plen, iupac.degeneracy(primer), matching,
-                primer, total))
+            f.write("%d\t%d\t%d\tW\t%d\t%s\t%d\t%d\n" % (
+                orig, pos, a.plen, iupac.degeneracy(primer), primer,
+                matching, total))
     return 0
 
 

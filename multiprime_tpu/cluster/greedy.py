@@ -50,36 +50,54 @@ def kmer_set(codes, k=8):
     return np.unique(packed[vv])
 
 
-def banded_identity(a_codes, b_codes, band=64):
-    """Match-maximising banded global alignment; returns
-    max_matches / min(len_a, len_b) — cd-hit's identity definition.
+ALN_MATCH, ALN_MISMATCH, ALN_GAP = 2, -2, -3
 
-    a is the shorter sequence.  DP over rows of a with the band vectorised.
+
+def banded_identity(a_codes, b_codes, band=64):
+    """Identity = matches on the best-scoring banded global alignment divided
+    by the shorter length (cd-hit's definition; +2/-2/-3 scoring, so
+    gap detours cannot profitably chase matches in unrelated sequences).
+
+    A pure match-max (free-gap) formulation degenerates into banded LCS and
+    reports ~0.65 for *random* DNA, so the DP maximises (score, matches)
+    lexicographically — both packed into one integer so the in-row gap
+    propagation stays a prefix-max.
     """
     la, lb = len(a_codes), len(b_codes)
     if la > lb:
         a_codes, b_codes, la, lb = b_codes, a_codes, lb, la
+    if la == 0:
+        return 0.0
     width = 2 * band + (lb - la) + 1
-    # dp[j] = best matches ending at (i, i + offset) where offset = j - band
-    neg = -10 ** 6
-    dp = np.full(width, neg, np.int32)
-    dp[band] = 0
-    offsets = np.arange(width) - band
+    SCALE = np.int64(1 << 20)       # matches < 2^20; key = score*SCALE + m
+    neg = np.int64(-1) << 40
+    offsets = np.arange(width)
+    j_of = offsets - band           # j = i + (w - band)
+    key = np.full(width, neg, np.int64)
+    key[band] = 0
+    # row 0 boundary: empty a vs b prefix (gaps)
+    j0 = j_of
+    ok0 = (j0 >= 0) & (j0 <= lb)
+    key[ok0] = (ALN_GAP * j0[ok0]).astype(np.int64) * SCALE
+    gap_step = np.int64(ALN_GAP) * SCALE
     for i in range(la):
-        j = i + offsets
-        valid = (j >= 0) & (j < lb)
-        match = np.zeros(width, np.int32)
-        jj = np.clip(j, 0, lb - 1)
-        match[valid] = (b_codes[jj[valid]] == a_codes[i]) & (a_codes[i] < 4)
-        diag = dp + match                       # consume a[i] and b[j]
-        up = np.concatenate([dp[1:], [neg]])    # gap in b (skip a[i]) -> same j
+        j = i + 1 + j_of            # column indices this row
+        valid = (j >= 0) & (j <= lb)
+        jj = np.clip(j - 1, 0, lb - 1)
+        is_match = ((b_codes[jj] == a_codes[i]) & (a_codes[i] < 4)) & \
+            (j >= 1)
+        sub = np.where(is_match, ALN_MATCH, ALN_MISMATCH).astype(np.int64)
+        diag = key + sub * SCALE + is_match      # consume a[i] and b[j-1]
+        diag = np.where(j >= 1, diag, neg)
+        up = np.concatenate([key[1:], [neg]]) + gap_step   # skip a[i]
         new = np.maximum(diag, up)
-        # gap in a (skip b[j]): within-row left-to-right propagation
-        new = np.maximum.accumulate(
-            np.where(valid, new, neg))
-        dp = np.where(valid, new, neg)
+        # skip b[j]: within-row left propagation with gap cost
+        t = new - gap_step * j
+        run = np.maximum.accumulate(np.where(valid, t, neg))
+        new = np.maximum(new, run + gap_step * j)
+        key = np.where(valid, new, neg)
     end = lb - la + band
-    return max(0, int(dp[end])) / la
+    return int(key[end] % SCALE) / la if key[end] > neg else 0.0
 
 
 @dataclass
@@ -114,11 +132,16 @@ def greedy_cluster(ids, seqs, threshold=0.7, k=8, band=64,
             placed = True
         else:
             q_kmers = kmer_set(codes[i], k)
-            need = threshold * len(seq) - k * ((1 - threshold) * len(seq) + 1)
+            # Word filter (the cd-hit short-word screen): a pair at identity c
+            # over shorter length L shares ~L*c^k k-mers when mismatches are
+            # spread out, far more when they cluster; unrelated sequences
+            # share ~L^2/4^k.  Require a conservative fraction of the
+            # expectation before paying for an alignment — without this, the
+            # scored alignment alone cannot reject unrelated pairs (optimally
+            # placed length-difference gaps chase spurious matches).
+            need = 0.25 * (threshold ** k) * max(len(seq) - k + 1, 1)
             for ci, cl in enumerate(clusters):
                 shared = isect(q_kmers, rep_kmers[ci])
-                # word filter: identity c over the shorter seq allows at most
-                # floor((1-c)*L) mismatches; each destroys <= k k-mers.
                 if shared * word_filter_slack < need:
                     continue
                 ident = ident_fn(codes[i], codes[cl.rep_index], band)

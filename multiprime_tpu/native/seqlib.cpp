@@ -22,35 +22,48 @@
 
 extern "C" {
 
-// Banded global alignment maximising matches; identity = matches / len_a
-// with a the shorter sequence.  codes: 0..3 = ACGT, >=4 = ambiguous.
+// Identity = matches on the best-scoring banded global alignment (+2 match,
+// -2 mismatch, -3 gap) divided by the shorter length; (score, matches) are
+// maximised lexicographically via a packed 64-bit key.  codes: 0..3 = ACGT,
+// >=4 = ambiguous (never matches).
 double banded_identity(const int8_t* a, int64_t la,
                        const int8_t* b, int64_t lb, int64_t band) {
     if (la > lb) { std::swap(a, b); std::swap(la, lb); }
     if (la == 0) return 0.0;
     const int64_t width = 2 * band + (lb - la) + 1;
-    const int32_t NEG = -1000000;
-    std::vector<int32_t> dp(width, NEG), nxt(width, NEG);
-    dp[band] = 0;
+    const int64_t SCALE = 1LL << 20;
+    const int64_t NEG = -(1LL << 40);
+    const int64_t GAP_STEP = -3 * SCALE;         // gap cost in the key
+    std::vector<int64_t> key(width, NEG), nxt(width, NEG);
+    // row 0: empty a vs b prefix
+    for (int64_t w = 0; w < width; w++) {
+        const int64_t j = w - band;
+        if (j >= 0 && j <= lb) key[w] = (int64_t)(-3 * j) * SCALE;
+    }
     for (int64_t i = 0; i < la; i++) {
         const int8_t ai = a[i];
-        int32_t running = NEG;           // left-move propagation
+        int64_t running = NEG;           // left (skip b[j]) propagation
         for (int64_t w = 0; w < width; w++) {
-            const int64_t j = i + w - band;
-            if (j < 0 || j >= lb) { nxt[w] = NEG; continue; }
-            const int32_t match = (ai < 4 && b[j] == ai) ? 1 : 0;
-            int32_t best = dp[w] + match;                   // diagonal
-            const int32_t up = (w + 1 < width) ? dp[w + 1] : NEG;  // skip a[i]
+            const int64_t j = i + 1 + w - band;  // column of cell (i+1, j)
+            if (j < 0 || j > lb) { nxt[w] = NEG; running = NEG; continue; }
+            int64_t best = NEG;
+            if (j >= 1) {
+                const bool m = (ai < 4 && b[j - 1] == ai);
+                best = key[w] + (m ? 2 * SCALE + 1 : -2 * SCALE);
+            }
+            const int64_t up = (w + 1 < width) ?
+                key[w + 1] + GAP_STEP : NEG;     // skip a[i]
             if (up > best) best = up;
-            if (running > best) best = running;             // skip b[j]
+            const int64_t left = running + GAP_STEP;
+            if (left > best) best = left;
             nxt[w] = best;
-            if (best > running) running = best;
+            running = best > running + GAP_STEP ? best : running + GAP_STEP;
         }
-        dp.swap(nxt);
+        key.swap(nxt);
     }
     const int64_t end = lb - la + band;
-    int32_t m = dp[end];
-    if (m < 0) m = 0;
+    if (key[end] <= NEG) return 0.0;
+    int64_t m = ((key[end] % SCALE) + SCALE) % SCALE;
     return (double)m / (double)la;
 }
 

@@ -73,6 +73,9 @@ class PipelineConfig:
     scan_mm: int = 1
     nproc: int = 1
     align_backend: str = "centerstar"    # or "external"
+    design_backend: str = "mcdpd"        # or "wrc" (the multi-DegePrime flow)
+    wrc_max_deg: int = 96
+    wrc_iterations: int = 100
     timings: dict = field(default_factory=dict)
 
     @classmethod
@@ -282,6 +285,9 @@ class Pipeline:
                 centerstar.write_msa(ids, rows, msa_path)
                 self.cfg.timings.setdefault("align", 0)
                 self.cfg.timings["align"] += time.time() - t0
+            if cfg.design_backend == "wrc":
+                self._wrc_cluster(name, msa_path, tfa)
+                continue
             out = self._p("Clusters_primer", name + ".top.primer.out")
             if not os.path.exists(out):
                 params = mcdpd.DesignParams(
@@ -316,6 +322,41 @@ class Pipeline:
                     pairing.write_empty_output(cand)
                 else:
                     pairing.write_outputs(pairs, cand)
+
+    def _wrc_cluster(self, name, msa_path, tfa):
+        """multi-DegePrime flow: trim + WRC design + get_degePrimer pairing
+        (multi-DegePrime.py:154-228)."""
+        from ..models import wrc, pairing, mcdpd
+        cfg = self.cfg
+        out = self._p("Clusters_primer", name + ".wrc.out")
+        if not os.path.exists(out):
+            ids, chars = mcdpd.parse_msa(msa_path)
+            rows = ["".join(chr(c) for c in row) for row in chars]
+            trimmed, kept = wrc.trim_alignment(rows)
+            table = wrc.design_windows(
+                trimmed, cfg.primer_len, cfg.wrc_max_deg,
+                cfg.wrc_iterations, cfg.sample_seed)
+            from ..utils import iupac
+            with open(out, "w") as f:
+                f.write("Pos\tTrimPos\tWin\tType\tPrimerDeg\t"
+                        "PrimerSeq\tPrimerMatching\tTotal\n")
+                for pos, primer, matching, total in table:
+                    orig = int(kept[pos]) if pos < len(kept) else pos
+                    f.write("%d\t%d\t%d\tW\t%d\t%s\t%d\t%d\n" % (
+                        orig, pos, cfg.primer_len,
+                        iupac.degeneracy(primer), primer, matching, total))
+        cand = self._p("Clusters_cprimer", name + ".candidate.primers.txt")
+        if not os.path.exists(cand):
+            number = pairing.count_ref_seqs(tfa, 0)
+            primers = pairing.parse_degeprime_table(out, number)
+            eng = pairing.PairingEngine(pairing.PairingParams(
+                size=cfg.product_size, fraction=cfg.coverage,
+                end_dege=cfg.end, hairpin_distance=cfg.distance,
+                diff_tm=cfg.diff_tm, adaptor=cfg.adaptor))
+            pairs, _ = pairing.pair_degeprime(eng, primers)
+            rows = [(f, r, "%d:%s" % (dist, cnt), cnt, pos)
+                    for f, r, dist, cnt, pos in pairs]
+            pairing.write_outputs(rows, cand)
 
     def _aggregate_and_solve(self):
         from ..solve import maxset

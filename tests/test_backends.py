@@ -185,3 +185,50 @@ def test_v2_design_mode(tmp_path):
     mcdpd.write_outputs(res, str(out))
     header = out.read_text().splitlines()[0].split("\t")
     assert "degeneracy" in header
+
+
+def test_clustering_rejects_unrelated():
+    from multiprime_tpu.cluster import greedy
+    rng = np.random.default_rng(3)
+    lut = np.array(list("ACGT"))
+    base = "".join(rng.choice(lut, size=400))
+
+    def mutate(s, subs=10, indels=2):
+        s = list(s)
+        for _ in range(subs):
+            i = rng.integers(0, len(s))
+            s[i] = str(rng.choice(lut))
+        for _ in range(indels):
+            i = rng.integers(0, len(s))
+            if rng.random() < 0.5:
+                s.insert(i, str(rng.choice(lut)))
+            else:
+                del s[i]
+        return "".join(s)
+
+    seqs = [base] + [mutate(base) for _ in range(9)]
+    far = "".join(rng.choice(lut, size=380))
+    rand_single = "".join(rng.choice(lut, size=400))
+    all_seqs = seqs + [far, mutate(far)] + [rand_single]
+    _, clusters = greedy.greedy_cluster(
+        [f"q{i}" for i in range(len(all_seqs))], all_seqs, threshold=0.8)
+    sizes = sorted(len(c.members) for c in clusters)
+    assert sizes == [1, 2, 10]
+    # an unrelated random sequence must never report >= 0.8 identity
+    a = greedy._encode(base)
+    r = greedy._encode(rand_single)
+    assert greedy.banded_identity(a, r) < 0.8
+
+
+def test_native_identity_matches_numpy_after_rescore():
+    from multiprime_tpu import native
+    from multiprime_tpu.cluster import greedy
+    if not native.available():
+        import pytest
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(13)
+    for _ in range(20):
+        a = rng.integers(0, 5, rng.integers(10, 300)).astype(np.int8)
+        b = rng.integers(0, 5, rng.integers(10, 300)).astype(np.int8)
+        assert abs(native.banded_identity(a, b)
+                   - greedy.banded_identity(a, b)) < 1e-12
