@@ -106,7 +106,7 @@ class Cluster:
     members: list           # (seq_index, identity_or_None) in join order
 
 
-def greedy_cluster(ids, seqs, threshold=0.7, k=8, band=64,
+def greedy_cluster(ids, seqs, threshold=0.7, k=10, band=64,
                    word_filter_slack=1.0):
     """-> (order, clusters): cd-hit-style greedy clustering.
 
@@ -116,14 +116,12 @@ def greedy_cluster(ids, seqs, threshold=0.7, k=8, band=64,
     from .. import native
     use_native = native.available()
     ident_fn = native.banded_identity if use_native else banded_identity
-    isect = native.intersect_count if use_native else (
-        lambda a, b: np.intersect1d(a, b, assume_unique=True).size)
     n = len(seqs)
     order = sorted(range(n), key=lambda i: (-len(seqs[i]), i))
     codes = {i: _encode(seqs[i]) for i in order}
     clusters = []
     exact = {}              # full-sequence hash fast path
-    rep_kmers = []
+    posting = {}            # inverted index: kmer -> [cluster ids]
     for i in order:
         seq = seqs[i]
         placed = False
@@ -139,11 +137,18 @@ def greedy_cluster(ids, seqs, threshold=0.7, k=8, band=64,
             # expectation before paying for an alignment — without this, the
             # scored alignment alone cannot reject unrelated pairs (optimally
             # placed length-difference gaps chase spurious matches).
+            # k must keep L^2/4^k below 0.25*c^k*L for the longest inputs:
+            # k=10 holds to L ~ 30 kb at c = 0.7.  The shared counts come
+            # from one pass over the inverted index, not per-rep
+            # intersections.
             need = 0.25 * (threshold ** k) * max(len(seq) - k + 1, 1)
-            for ci, cl in enumerate(clusters):
-                shared = isect(q_kmers, rep_kmers[ci])
-                if shared * word_filter_slack < need:
-                    continue
+            shared = {}
+            for km in q_kmers.tolist():
+                for ci in posting.get(km, ()):
+                    shared[ci] = shared.get(ci, 0) + 1
+            for ci in sorted(c for c, s in shared.items()
+                             if s * word_filter_slack >= need):
+                cl = clusters[ci]
                 ident = ident_fn(codes[i], codes[cl.rep_index], band)
                 if ident >= threshold:
                     cl.members.append((i, ident))
@@ -151,8 +156,10 @@ def greedy_cluster(ids, seqs, threshold=0.7, k=8, band=64,
                     break
         if not placed:
             exact[seq] = len(clusters)
+            ci = len(clusters)
             clusters.append(Cluster(rep_index=i, members=[(i, None)]))
-            rep_kmers.append(kmer_set(codes[i], k))
+            for km in kmer_set(codes[i], k).tolist():
+                posting.setdefault(km, []).append(ci)
     return order, clusters
 
 
