@@ -181,34 +181,54 @@ def write_representatives(clusters, ids, seqs, fa_path):
             f.write(">" + ids[cl.rep_index] + "\n" + seqs[cl.rep_index] + "\n")
 
 
+_ANCHOR = 32        # anchor length/stride for the containment index (long
+                    # enough that homolog families rarely share one exactly)
+
+
 def dedup(ids, seqs):
     """cd-hit -c 1.0 equivalent: drop exact duplicates and exact substrings
-    of longer sequences (containment at 100% identity)."""
+    of longer sequences (containment at 100% identity).
+
+    Containment candidates come from a strided anchor index: each rep indexes
+    its 16-mers at stride 16; a contained query must share one of its first
+    16 offset-shifted 16-mers with the rep, so ~16 dict probes replace a scan
+    over every representative.
+    """
     order = sorted(range(len(seqs)), key=lambda i: (-len(seqs[i]), i))
-    reps = []
     clusters = []
     seen = {}
+    anchor_posting = {}     # anchor -> [(cluster id, position in rep)]
+
     for i in order:
         seq = seqs[i]
         placed = False
         if seq in seen:
             clusters[seen[seq]].members.append((i, 1.0))
             placed = True
-        else:
-            for ci in _containment_candidates(seq, reps, clusters, seqs):
-                clusters[ci].members.append((i, 1.0))
-                placed = True
-                break
+        elif len(seq) >= _ANCHOR:
+            # A contained query aligns one of its first 16 offset-shifted
+            # anchors (one per stride offset) with a rep anchor; the stored position pins
+            # the alignment, so verification is a single early-exit
+            # startswith instead of a full substring search.
+            hits = []
+            for off in range(min(_ANCHOR, max(len(seq) - _ANCHOR + 1, 0))):
+                for ci, pos in anchor_posting.get(
+                        seq[off:off + _ANCHOR], ()):
+                    start = pos - off
+                    if start >= 0:
+                        hits.append((ci, start))
+            for ci, start in sorted(set(hits)):
+                rep = seqs[clusters[ci].rep_index]
+                if start + len(seq) <= len(rep) \
+                        and rep.startswith(seq, start):
+                    clusters[ci].members.append((i, 1.0))
+                    placed = True
+                    break
         if not placed:
             seen[seq] = len(clusters)
+            ci = len(clusters)
             clusters.append(Cluster(rep_index=i, members=[(i, None)]))
-            reps.append(i)
+            for off in range(0, max(len(seq) - _ANCHOR + 1, 0), _ANCHOR):
+                anchor_posting.setdefault(
+                    seq[off:off + _ANCHOR], []).append((ci, off))
     return order, clusters
-
-
-def _containment_candidates(seq, reps, clusters, seqs):
-    # plain substring containment scan; the rep list is usually much smaller
-    # than the input.  (cd-hit -c 1.0 finds these via its word index.)
-    for ci, ri in enumerate(reps):
-        if seq in seqs[ri]:
-            yield ci

@@ -296,7 +296,7 @@ class Pipeline:
                     variation=cfg.variation, entropy_threshold=cfg.entropy,
                     gc=cfg.gc_content, min_product=cfg.product_size[0],
                     coordinate=cfg.coordinate, hairpin_distance=cfg.distance,
-                    algo=cfg.algo)
+                    algo=cfg.algo, nproc=cfg.nproc)
                 ids, chars = mcdpd.parse_msa(msa_path)
                 eng = mcdpd.DesignEngine(params)
                 try:
