@@ -211,9 +211,13 @@ def _ont(argv):
     p.add_argument("-f", "--format", default="fq", choices=["fq", "fa"])
     p.add_argument("--metric", default="difflib",
                    choices=["difflib", "banded"])
+    p.add_argument("--variant", action="store_true",
+                   help="report the matching expansion variant "
+                        "(FindONTexpandprimer behaviour)")
     p.add_argument("-o", "--out", required=True)
     a = p.parse_args(argv)
-    ont.run(a.input, a.set, a.out, a.len, a.min_ident, a.format, a.metric)
+    ont.run(a.input, a.set, a.out, a.len, a.min_ident, a.format, a.metric,
+            a.variant)
     return 0
 
 

@@ -173,6 +173,76 @@ def greedy_maximal(primers, output, next_candidate_file, step=5):
     return clique
 
 
+def greedy_maximal_with_offtarget(primers, output, next_candidate_file,
+                                  background_fa, step=5, mm=1, term=4,
+                                  product_size=(50, 2000)):
+    """Maximal mode with an in-loop off-target screen — the abandoned-but-
+    intended extension of get_Maxprimerset_V3.py:300-645: a candidate pair is
+    also rejected when it predicts an amplicon on a background database.
+    """
+    from ..validate import scan as vscan
+
+    gene_ids, bg_seqs = vscan.parse_fasta(background_fa)
+    params = vscan.ScanParams(term=term, mm=mm, product_size=product_size)
+    cache = {}
+
+    def off_target(primer_f, primer_r):
+        key = (primer_f, primer_r)
+        if key in cache:
+            return cache[key]
+        from ..utils import iupac
+        f_pats = list(iupac.expand(primer_f))
+        r_pats = [iupac.rc(e) for e in iupac.expand(primer_r)]
+        f_hits = vscan.scan_hits(bg_seqs, f_pats, params)
+        r_hits = vscan.scan_hits(bg_seqs, r_pats, params)
+        rows = vscan.pcr_join(gene_ids, f_hits, r_hits,
+                              ["F"] * len(f_pats) + ["R"] * len(r_pats),
+                              product_size)
+        cache[key] = bool(rows)
+        return cache[key]
+
+    ledger = DimerLedger()
+    clique = []
+    row_pointer, column_pointer = 0, 1
+    with open(next_candidate_file, "w") as next_f:
+        while row_pointer < len(primers):
+            row = primers[row_pointer]
+            if len(row) <= 1:
+                next_f.write("\t".join(row) + "\n")
+                row_pointer += 1
+                column_pointer = 1
+                continue
+            while column_pointer <= len(row) - step:
+                bad = ledger.pair_is_dimer(row[column_pointer],
+                                           row[column_pointer + 1]) \
+                    or off_target(row[column_pointer],
+                                  row[column_pointer + 1])
+                if bad:
+                    column_pointer += step
+                    if column_pointer > len(row) - step:
+                        clique.append({"#Primer": row[0]})
+                        next_f.write("\t".join(row) + "\n")
+                        row_pointer += 1
+                        column_pointer = 1
+                        break
+                else:
+                    clique.append({
+                        "#Primer": row[0],
+                        "Primer_rank": str(column_pointer),
+                        "Primer_F": row[column_pointer],
+                        "Primer_R": row[column_pointer + 1],
+                        COLUMNS[4]: row[column_pointer + 2],
+                        COLUMNS[5]: row[column_pointer + 3],
+                        COLUMNS[6]: row[column_pointer + 4],
+                    })
+                    ledger.accept(row[column_pointer], row[column_pointer + 1])
+                    row_pointer += 1
+                    column_pointer = 1
+                    break
+    _write_tsv(clique, output)
+    return clique
+
+
 def greedy_maximum(primers, output, step=5):
     """Maximum mode with backtracking (get_Maxprimerset.py:218-282).
 

@@ -49,12 +49,17 @@ def _similarity(a, b, metric):
     return round(2 * matches / (len(a) + len(b)), 2)
 
 
-def classify_end(seq, expand_dict, min_ident, metric="difflib"):
+def classify_end(seq, expand_dict, min_ident, metric="difflib",
+                 report_variant=False):
+    """Best-matching primer label for a read end.  With report_variant=True
+    the full '<header> | j' expansion label is returned
+    (FindONTexpandprimer.py behaviour) instead of the primer name."""
     best_label, best = "NA", -1.0
     for cand, label in expand_dict.items():
         r = _similarity(seq, cand, metric)
         if r > best:
-            best, best_label = r, label.split(" | ")[0]
+            best = r
+            best_label = label if report_variant else label.split(" | ")[0]
     return best_label if best > min_ident else "NA"
 
 
@@ -68,15 +73,16 @@ def iter_reads(path, fmt="fq"):
 
 
 def run(read_file, primer_fa, outfile, primer_len=18, min_ident=0.8,
-        fmt="fq", metric="difflib"):
+        fmt="fq", metric="difflib", report_variant=False):
     expand = expand_primer_set(primer_fa,
                                primer_fa.strip("fa") + "expand.fa")
     counts = {}
     for read in iter_reads(read_file, fmt):
         head = read[:primer_len]
         tail = read[-primer_len:]
-        pair = sorted([classify_end(head, expand, min_ident, metric),
-                       classify_end(tail, expand, min_ident, metric)])
+        pair = sorted([
+            classify_end(head, expand, min_ident, metric, report_variant),
+            classify_end(tail, expand, min_ident, metric, report_variant)])
         key = "\t".join(pair)
         counts[key] = counts.get(key, 0) + 1
     with open(outfile + ".num", "w") as fo:

@@ -232,3 +232,23 @@ def test_native_identity_matches_numpy_after_rescore():
         b = rng.integers(0, 5, rng.integers(10, 300)).astype(np.int8)
         assert abs(native.banded_identity(a, b)
                    - greedy.banded_identity(a, b)) < 1e-12
+
+
+def test_solve_with_offtarget(tmp_path):
+    from multiprime_tpu.solve import maxset
+    rng = np.random.default_rng(5)
+    lut = np.array(list("ACGT"))
+    F = "".join(rng.choice(lut, 18))
+    R = "".join(rng.choice(lut, 18))
+    F2 = "".join(rng.choice(lut, 18))
+    R2 = "".join(rng.choice(lut, 18))
+    mid = "".join(rng.choice(lut, 150))
+    bg = tmp_path / "bg.fa"
+    bg.write_text(">bg1\n" + F + mid + iupac.rc(R) + "\n")
+    rows = [["c1", F, R, "186:50:0.9", "9", "0:168"],
+            ["c2", F2, R2, "186:50:0.9", "9", "0:168"]]
+    clique = maxset.greedy_maximal_with_offtarget(
+        rows, str(tmp_path / "o.xls"), str(tmp_path / "o.next"), str(bg))
+    c1_rows = [c for c in clique if c.get("#Primer") == "c1"]
+    assert all("Primer_F" not in c for c in c1_rows)
+    assert any(c.get("#Primer") == "c2" and "Primer_F" in c for c in clique)
