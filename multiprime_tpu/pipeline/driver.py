@@ -208,19 +208,32 @@ class Pipeline:
     def _extract_clusters(self, member_fa, uniq_fa, cluster_txt):
         """Per-cluster fa/tfa with top-N sampling (extract_cluster.py:178-255:
         keep the representative, sample the rest with the seeded RNG)."""
-        from ..cluster import greedy, ani as ani_mod
+        from ..cluster import ani as ani_mod
         cfg = self.cfg
         ids, seqs = self._read_fasta(member_fa)
         by_id = dict(zip(ids, seqs))
-        order, clusters = greedy.greedy_cluster(ids, seqs,
-                                                threshold=cfg.identity)
+        # Reuse the cluster stage's .clstr instead of re-clustering.
+        clstr = self._p("Total_fa",
+                        self.v + ".format.rmdup.cluster.uniq.fa.clstr")
+        member_lists = []
+        identities = []
+        with open(clstr) as f:
+            for line in f:
+                if line.startswith(">Cluster"):
+                    member_lists.append([])
+                    identities.append([])
+                else:
+                    body = line.strip().split(">", 1)[1]
+                    acc = body.split("... ")[0]
+                    tail = body.split("... ")[1]
+                    member_lists[-1].append(acc)
+                    identities[-1].append(
+                        None if tail == "*" else tail.lstrip("at +/"))
         with open(self._p("cluster.identities.txt"), "w") as f:
-            for ci, cl in enumerate(clusters):
-                for si, ident in cl.members:
+            for ci, members in enumerate(member_lists):
+                for acc, ident in zip(members, identities[ci]):
                     if ident is not None:
-                        f.write("Cluster_%d\t%s\t%.2f%%\n"
-                                % (ci, ids[si], 100.0 * ident))
-        member_lists = [[ids[si] for si, _ in cl.members] for cl in clusters]
+                        f.write("Cluster_%d\t%s\t%s\n" % (ci, acc, ident))
         seq_lists = [[by_id[m] for m in members]
                      for members in member_lists]
         merged, history = ani_mod.merge_small_clusters(
