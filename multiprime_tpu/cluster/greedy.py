@@ -50,18 +50,21 @@ def kmer_set(codes, k=8):
     return np.unique(packed[vv])
 
 
-ALN_MATCH, ALN_MISMATCH, ALN_GAP = 2, -2, -3
+ALN_MATCH, ALN_MISMATCH = 2, -2
+ALN_OPEN, ALN_EXT = -6, -1
 
 
 def banded_identity(a_codes, b_codes, band=64):
     """Identity = matches on the best-scoring banded global alignment divided
-    by the shorter length (cd-hit's definition; +2/-2/-3 scoring, so
-    gap detours cannot profitably chase matches in unrelated sequences).
+    by the shorter length (cd-hit's definition).  Affine gaps (+2 match,
+    -2 mismatch, -6 open, -1 extend): long biological indels stay cheap while
+    single-gap detours cannot profitably chase matches in unrelated DNA (a
+    free-gap match-max formulation degenerates into banded LCS and reports
+    ~0.7 for random pairs).
 
-    A pure match-max (free-gap) formulation degenerates into banded LCS and
-    reports ~0.65 for *random* DNA, so the DP maximises (score, matches)
-    lexicographically — both packed into one integer so the in-row gap
-    propagation stays a prefix-max.
+    The DP maximises (score, matches) lexicographically — packed into one
+    int64 key so every row stays vectorised; the within-row E-state
+    propagation is the usual prefix-max-with-drift trick.
     """
     la, lb = len(a_codes), len(b_codes)
     if la > lb:
@@ -71,33 +74,37 @@ def banded_identity(a_codes, b_codes, band=64):
     width = 2 * band + (lb - la) + 1
     SCALE = np.int64(1 << 20)       # matches < 2^20; key = score*SCALE + m
     neg = np.int64(-1) << 40
-    offsets = np.arange(width)
-    j_of = offsets - band           # j = i + (w - band)
-    key = np.full(width, neg, np.int64)
-    key[band] = 0
-    # row 0 boundary: empty a vs b prefix (gaps)
-    j0 = j_of
-    ok0 = (j0 >= 0) & (j0 <= lb)
-    key[ok0] = (ALN_GAP * j0[ok0]).astype(np.int64) * SCALE
-    gap_step = np.int64(ALN_GAP) * SCALE
+    j_of = np.arange(width) - band  # j = row + (w - band)
+    ext = np.int64(ALN_EXT) * SCALE
+    opn = np.int64(ALN_OPEN) * SCALE
+    v = np.full(width, neg, np.int64)     # best key
+    f = np.full(width, neg, np.int64)     # gap-in-b (vertical) state
+    v[band] = 0
+    ok0 = (j_of >= 1) & (j_of <= lb)
+    v[ok0] = opn + ext * j_of[ok0]
     for i in range(la):
-        j = i + 1 + j_of            # column indices this row
+        j = i + 1 + j_of
         valid = (j >= 0) & (j <= lb)
         jj = np.clip(j - 1, 0, lb - 1)
-        is_match = ((b_codes[jj] == a_codes[i]) & (a_codes[i] < 4)) & \
-            (j >= 1)
+        is_match = ((b_codes[jj] == a_codes[i]) & (a_codes[i] < 4)) & (j >= 1)
         sub = np.where(is_match, ALN_MATCH, ALN_MISMATCH).astype(np.int64)
-        diag = key + sub * SCALE + is_match      # consume a[i] and b[j-1]
-        diag = np.where(j >= 1, diag, neg)
-        up = np.concatenate([key[1:], [neg]]) + gap_step   # skip a[i]
-        new = np.maximum(diag, up)
-        # skip b[j]: within-row left propagation with gap cost
-        t = new - gap_step * j
-        run = np.maximum.accumulate(np.where(valid, t, neg))
-        new = np.maximum(new, run + gap_step * j)
-        key = np.where(valid, new, neg)
+        # F (skip a[i], same column): source cells sit one band slot right
+        f_shift = np.concatenate([f[1:], [neg]])
+        v_shift = np.concatenate([v[1:], [neg]])
+        f_new = np.maximum(f_shift + ext, v_shift + opn + ext)
+        diag = np.where(j >= 1, v + sub * SCALE + is_match, neg)
+        vert = np.maximum(diag, f_new)
+        # E (skip b[j], within row): E[w] = max over w'<w of
+        # (vert[w'] + open) or continuing E, each + ext per step.
+        t = np.where(valid, vert + opn - ext * j, neg)
+        run = np.maximum.accumulate(
+            np.concatenate([[neg], t[:-1]]))
+        e_new = run + ext * j
+        v_new = np.where(valid, np.maximum(vert, e_new), neg)
+        f = np.where(valid, f_new, neg)
+        v = v_new
     end = lb - la + band
-    return int(key[end] % SCALE) / la if key[end] > neg else 0.0
+    return int(v[end] % SCALE) / la if v[end] > neg else 0.0
 
 
 @dataclass

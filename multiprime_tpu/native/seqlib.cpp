@@ -22,10 +22,10 @@
 
 extern "C" {
 
-// Identity = matches on the best-scoring banded global alignment (+2 match,
-// -2 mismatch, -3 gap) divided by the shorter length; (score, matches) are
-// maximised lexicographically via a packed 64-bit key.  codes: 0..3 = ACGT,
-// >=4 = ambiguous (never matches).
+// Identity = matches on the best-scoring banded global alignment divided by
+// the shorter length; affine gaps (+2 match, -2 mismatch, -6 open,
+// -1 extend); (score, matches) maximised lexicographically via a packed
+// 64-bit key.  codes: 0..3 = ACGT, >=4 = ambiguous (never matches).
 double banded_identity(const int8_t* a, int64_t la,
                        const int8_t* b, int64_t lb, int64_t band) {
     if (la > lb) { std::swap(a, b); std::swap(la, lb); }
@@ -33,37 +33,49 @@ double banded_identity(const int8_t* a, int64_t la,
     const int64_t width = 2 * band + (lb - la) + 1;
     const int64_t SCALE = 1LL << 20;
     const int64_t NEG = -(1LL << 40);
-    const int64_t GAP_STEP = -3 * SCALE;         // gap cost in the key
-    std::vector<int64_t> key(width, NEG), nxt(width, NEG);
-    // row 0: empty a vs b prefix
+    const int64_t EXT = -1 * SCALE, OPN = -6 * SCALE;
+    std::vector<int64_t> v(width, NEG), f(width, NEG);
+    std::vector<int64_t> v_new(width, NEG), f_new(width, NEG);
     for (int64_t w = 0; w < width; w++) {
         const int64_t j = w - band;
-        if (j >= 0 && j <= lb) key[w] = (int64_t)(-3 * j) * SCALE;
+        if (j == 0) v[w] = 0;
+        else if (j >= 1 && j <= lb) v[w] = OPN + EXT * j;
     }
     for (int64_t i = 0; i < la; i++) {
         const int8_t ai = a[i];
-        int64_t running = NEG;           // left (skip b[j]) propagation
+        int64_t e_state = NEG;     // Gotoh E at the current cell
+        int64_t prev_vert = NEG;   // vert (diag/F max) of the previous cell
         for (int64_t w = 0; w < width; w++) {
-            const int64_t j = i + 1 + w - band;  // column of cell (i+1, j)
-            if (j < 0 || j > lb) { nxt[w] = NEG; running = NEG; continue; }
-            int64_t best = NEG;
+            const int64_t j = i + 1 + w - band;
+            if (j < 0 || j > lb) {
+                v_new[w] = NEG; f_new[w] = NEG;
+                e_state = NEG; prev_vert = NEG;
+                continue;
+            }
+            const int64_t f_src = (w + 1 < width) ? f[w + 1] : NEG;
+            const int64_t v_src = (w + 1 < width) ? v[w + 1] : NEG;
+            const int64_t fn = std::max(f_src + EXT, v_src + OPN + EXT);
+            int64_t vert = fn;
             if (j >= 1) {
                 const bool m = (ai < 4 && b[j - 1] == ai);
-                best = key[w] + (m ? 2 * SCALE + 1 : -2 * SCALE);
+                const int64_t diag =
+                    v[w] + (m ? 2 * SCALE + 1 : -2 * SCALE);
+                if (diag > vert) vert = diag;
             }
-            const int64_t up = (w + 1 < width) ?
-                key[w + 1] + GAP_STEP : NEG;     // skip a[i]
-            if (up > best) best = up;
-            const int64_t left = running + GAP_STEP;
-            if (left > best) best = left;
-            nxt[w] = best;
-            running = best > running + GAP_STEP ? best : running + GAP_STEP;
+            // E opens from the previous cell's vert (opening from a previous
+            // E is dominated by extending it), or extends.
+            e_state = std::max(e_state + EXT, prev_vert + OPN + EXT);
+            const int64_t best = std::max(vert, e_state);
+            prev_vert = vert;
+            f_new[w] = fn;
+            v_new[w] = best;
         }
-        key.swap(nxt);
+        v.swap(v_new);
+        f.swap(f_new);
     }
     const int64_t end = lb - la + band;
-    if (key[end] <= NEG) return 0.0;
-    int64_t m = ((key[end] % SCALE) + SCALE) % SCALE;
+    if (v[end] <= NEG) return 0.0;
+    int64_t m = ((v[end] % SCALE) + SCALE) % SCALE;
     return (double)m / (double)la;
 }
 
