@@ -58,7 +58,13 @@ def bench_pipeline():
     elapsed = time.time() - t0
 
     identical = open(out, "rb").read() == open(REF_OUT, "rb").read()
-    return elapsed, identical, len(pairs)
+    gold_cand = ("/root/reference/test_data/results/Clusters_cprimer/"
+                 "Cluster_0_20727.candidate.primers.txt")
+    mine_cand = os.path.join(tmp, "Cluster_0_20727.candidate.primers.txt")
+    # field 0 is a machine-dependent absolute path in both files
+    pairs_identical = (open(mine_cand).read().split("\t")[1:]
+                       == open(gold_cand).read().split("\t")[1:])
+    return elapsed, identical and pairs_identical, len(pairs)
 
 
 def bench_scan():

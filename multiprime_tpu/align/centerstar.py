@@ -189,6 +189,87 @@ def _align_ops_linear(a, b):
     return ops
 
 
+def align_ops_batch(c, member_codes):
+    """align_ops for many members at once: one vectorised row loop over
+    [M, lb+1] state arrays (identical results to per-member align_ops)."""
+    la = len(c)
+    ms = len(member_codes)
+    lbs = np.array([len(b) for b in member_codes])
+    lb_max = int(lbs.max())
+    bmat = np.full((ms, lb_max), 4, np.int8)
+    for i, b in enumerate(member_codes):
+        bmat[i, :len(b)] = b
+    NEG = np.int32(-1 << 28)
+    jar = np.arange(lb_max + 1, dtype=np.int32)
+    valid = jar[None, :] <= lbs[:, None]
+    v_prev = np.where(valid, GAP_OPEN + GAP_EXT * jar[None, :], NEG
+                      ).astype(np.int32)
+    v_prev[:, 0] = 0
+    f_prev = np.full((ms, lb_max + 1), NEG, np.int32)
+    ptr = np.zeros((la + 1, ms, lb_max + 1), np.uint8)
+    fcont = np.zeros((la + 1, ms, lb_max + 1), bool)
+    econt = np.zeros((la + 1, ms, lb_max + 1), bool)
+    ptr[0, :, 1:] = 2
+    econt[0, :, 2:] = True
+    for i in range(1, la + 1):
+        sub = np.where((bmat == c[i - 1]) & (c[i - 1] < 4), MATCH,
+                       MISMATCH).astype(np.int32)
+        f_cur = np.maximum(f_prev + GAP_EXT, v_prev + GAP_OPEN + GAP_EXT)
+        fcont[i] = f_prev + GAP_EXT >= v_prev + GAP_OPEN + GAP_EXT
+        diag = v_prev[:, :-1] + sub
+        vert = np.empty_like(v_prev)
+        vert[:, 0] = f_cur[:, 0]
+        vert[:, 1:] = np.maximum(diag, f_cur[:, 1:])
+        p = np.empty_like(ptr[0])
+        p[:, 0] = 1
+        p[:, 1:] = np.where(diag >= f_cur[:, 1:], 0, 1)
+        t = vert + GAP_OPEN - GAP_EXT * jar[None, :]
+        run = np.maximum.accumulate(t[:, :-1], axis=1)
+        e_cur = np.full_like(v_prev, NEG)
+        e_cur[:, 1:] = run + GAP_EXT * jar[None, 1:]
+        open_here = vert[:, :-1] + GAP_OPEN - GAP_EXT * jar[None, :-1]
+        econt[i, :, 1:] = open_here < run
+        v_cur = np.where(valid, np.maximum(vert, e_cur), NEG)
+        p = np.where(e_cur > vert, 2, p).astype(np.uint8)
+        ptr[i] = p
+        v_prev, f_prev = v_cur, np.where(valid, f_cur, NEG)
+    out = []
+    for mi in range(ms):
+        ops = []
+        i, j = la, int(lbs[mi])
+        state = 0
+        while i > 0 or j > 0:
+            if i == 0:
+                mv = 2
+            elif j == 0:
+                mv = 1
+            elif state == 1:
+                mv = 1
+            elif state == 2:
+                mv = 2
+            else:
+                mv = ptr[i, mi, j]
+            if mv == 0:
+                ops.append("M")
+                i -= 1
+                j -= 1
+                state = 0
+            elif mv == 1:
+                ops.append("D")
+                state = 1 if fcont[i, mi, j] else 0
+                i -= 1
+            else:
+                ops.append("I")
+                if i > 0 and j > 0:
+                    state = 2 if econt[i, mi, j] else 0
+                else:
+                    state = 0
+                j -= 1
+        ops.reverse()
+        out.append(ops)
+    return out
+
+
 def center_star_msa(ids, seqs):
     """-> (ids, aligned rows as equal-length strings)."""
     if len(seqs) == 1:
@@ -196,10 +277,16 @@ def center_star_msa(ids, seqs):
     center = pick_center(seqs)
     codes = [_encode(s) for s in seqs]
     c = codes[center]
+    member_idx = [m for m in range(len(seqs)) if m != center]
     per_member = [None] * len(seqs)
-    for m in range(len(seqs)):
-        if m != center:
-            per_member[m] = align_ops(c, codes[m])
+    # Chunk so the [la, M, lb] pointer tensors stay within ~1 GB.
+    lb_max = max(len(codes[m]) for m in member_idx)
+    chunk = max(1, int(1e9 // max((len(c) + 1) * (lb_max + 1) * 3, 1)))
+    for lo in range(0, len(member_idx), chunk):
+        part = member_idx[lo:lo + chunk]
+        batch = align_ops_batch(c, [codes[m] for m in part])
+        for m, ops in zip(part, batch):
+            per_member[m] = ops
     la = len(c)
     # master gap slot before each center position (+ one trailing slot)
     slot = np.zeros(la + 1, np.int64)
