@@ -161,7 +161,7 @@ def scan_hits(target_seqs, patterns, params: ScanParams):
             idx, n_hits, mism = ms.find_hits(
                 t1h, lens, p1h, s1h, mm=params.mm,
                 term=max(params.term, 0), max_hits=max_hits,
-                backend=params.backend)
+                backend=backend)
             n_hits = int(n_hits)
             if n_hits <= max_hits:
                 break
