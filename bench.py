@@ -107,8 +107,8 @@ def main():
                           "note": "reference data not mounted"}))
         return
     elapsed, identical, n_pairs = bench_pipeline()
-    scan = bench_scan()
-    print(json.dumps({"scan_throughput": scan}), file=sys.stderr)
+    # primary metric first — the scan warm-up below may take minutes of
+    # (remote) compile time and must not delay the driver's one JSON line
     print(json.dumps({
         "metric": "CDS_20727 design+pairing wall-clock (bit-identical v16)",
         "value": round(elapsed, 3),
@@ -116,7 +116,10 @@ def main():
         "vs_baseline": round(BASELINE_SECONDS / elapsed, 2),
         "bit_identical": identical,
         "pairs": n_pairs,
-    }))
+    }), flush=True)
+    if os.environ.get("MPTPU_BENCH_SCAN", "1") != "0":
+        scan = bench_scan()
+        print(json.dumps({"scan_throughput": scan}), file=sys.stderr)
 
 
 if __name__ == "__main__":
