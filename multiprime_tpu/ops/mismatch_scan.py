@@ -242,6 +242,52 @@ def find_hits(targets_1h, lengths, primers_1h, suffix_1h, *, mm=1, term=4,
     return idx, n_hits, mism_flat
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("mm", "term", "max_hits", "backend",
+                                    "want_mism"))
+def find_hits_packed(targets_1h, lengths, primers_1h, suffix_1h, *, mm=1,
+                     term=4, max_hits=1 << 18, backend="conv",
+                     want_mism=True):
+    """find_hits with everything packed into ONE int32 array so callers pay a
+    single device->host transfer: out[0] = n_hits, out[1:max_hits+1] = flat
+    hit indices (-1 padding), out[max_hits+1:] = mismatch counts.  On
+    high-latency device links each fetch costs ~seconds, so one round-trip
+    instead of three matters more than the bytes.
+
+    Caller contract: N * O * P must stay below 2**31 (JAX's default x64-off
+    mode truncates int64) — use safe_batch_size().
+    """
+    idx, n_hits, mism_flat = find_hits.__wrapped__(
+        targets_1h, lengths, primers_1h, suffix_1h, mm=mm, term=term,
+        max_hits=max_hits, backend=backend)
+    parts = [n_hits[None].astype(jnp.int32), idx.astype(jnp.int32)]
+    if want_mism:
+        parts.append(mism_flat.astype(jnp.int32))
+    return jnp.concatenate(parts)
+
+
+def safe_batch_size(requested, n_out, p):
+    """Largest batch <= requested keeping flat index space under 2**31."""
+    cap = max(1, ((1 << 31) - 1) // max(n_out * p, 1))
+    return max(1, min(requested, cap))
+
+
+def decode_packed(packed, n_out, p, max_hits):
+    """Host-side decode of find_hits_packed output (with or without the
+    mismatch block)."""
+    packed = np.asarray(packed)
+    n_hits = int(packed[0])
+    idx = packed[1:max_hits + 1].astype(np.int64)
+    has_mism = len(packed) > max_hits + 1
+    mism_blk = packed[max_hits + 1:] if has_mism else None
+    keep = idx >= 0
+    idx = idx[keep]
+    mism = mism_blk[keep] if has_mism else np.zeros(len(idx), np.int32)
+    seq = idx // (n_out * p)
+    rem = idx % (n_out * p)
+    return seq, rem // p, rem % p, mism.astype(np.int32), n_hits
+
+
 def find_hits_numpy(targets_1h, lengths, primers_1h, suffix_1h, *, mm=1,
                     term=4):
     """Pure NumPy scan for small workloads (identical hits).  Correlation via

@@ -41,8 +41,11 @@ class ScanParams:
     term: int = 4               # -t: no mismatch within 3' terminal N bases
     mm: int = 1                 # -m: max mismatches
     product_size: tuple = (100, 1500)
-    batch_seqs: int = 512       # device tile over the target axis
+    batch_seqs: int = 512       # numpy-path tile over the target axis
+    device_batch_seqs: int = 2048   # device-path tile (fewer round-trips)
     backend: str = "auto"       # auto: numpy below ~2e10 MACs, device above
+    want_mism: bool = False     # per-hit mismatch counts (the F/R join
+                                # doesn't need them; halves transfer bytes)
 
 
 def expand_primer_fasta(primer_fa, term_len=0, term_fa_out=None):
@@ -149,6 +152,9 @@ def scan_hits(target_seqs, patterns, params: ScanParams):
                 if pi < n_real:
                     hits.append((lo + int(s), int(o), int(pi), int(m)))
         return hits
+    n_out_global = pad_len - plen + 1
+    bs = ms.safe_batch_size(params.device_batch_seqs, n_out_global,
+                            p1h.shape[0])
     for lo in range(0, len(target_seqs), bs):
         chunk = target_seqs[lo:lo + bs]
         if len(chunk) < bs:
@@ -156,21 +162,24 @@ def scan_hits(target_seqs, patterns, params: ScanParams):
         t1h, lens = ms.encode_targets(chunk, length=pad_len)
         if t1h.shape[1] < plen:
             continue
-        max_hits = 1 << 18
+        n_out = t1h.shape[1] - plen + 1
+        # initial cap balances transfer bytes (device->host links can be
+        # slow) against retry recompiles
+        max_hits = 1 << 19
         while True:
-            idx, n_hits, mism = ms.find_hits(
+            packed = ms.find_hits_packed(
                 t1h, lens, p1h, s1h, mm=params.mm,
                 term=max(params.term, 0), max_hits=max_hits,
-                backend=backend)
-            n_hits = int(n_hits)
+                backend=backend, want_mism=params.want_mism)
+            seq, pos, pat, mm_, n_hits = ms.decode_packed(
+                packed, n_out, p1h.shape[0], max_hits)
             if n_hits <= max_hits:
                 break
             max_hits = 1 << (n_hits - 1).bit_length()
-        n_out = t1h.shape[1] - plen + 1
-        seq, pos, pat, mm_ = ms.decode_hits(idx, mism, n_out, p1h.shape[0])
-        for s, o, p, m in zip(seq, pos, pat, mm_):
+        for s, o, p, m in zip(seq.tolist(), pos.tolist(), pat.tolist(),
+                              mm_.tolist()):
             if p < n_real:      # drop bucket-padding rows
-                hits.append((lo + int(s), int(o), int(p), int(m)))
+                hits.append((lo + s, o, p, m))
     return hits
 
 
