@@ -19,6 +19,7 @@ Subcommands map 1:1 onto the reference's script zoo:
   specificity  background off-target scan     (primer_specificity.py)
   roc          capture-prediction metrics     (test_data/ROC/ROC.py)
   wrc          DEGEPRIME-style WRC design     (DegePrime.pl)
+  onestep      design + pair + coverage scan  (multiPrime_onestep_all.py)
 """
 
 import sys
@@ -70,6 +71,8 @@ def main(argv=None):
         return _roc(rest)
     if cmd == "wrc":
         return _wrc(rest)
+    if cmd == "onestep":
+        return _onestep(rest)
     print("unknown subcommand: " + cmd)
     print(__doc__)
     return 2
@@ -81,15 +84,22 @@ def _run(argv):
     p = argparse.ArgumentParser(prog="mptpu run")
     p.add_argument("-c", "--config", help="multiPrime.yaml-compatible config")
     p.add_argument("-i", "--input")
-    p.add_argument("-r", "--results", default="results")
-    p.add_argument("--algo", default="v20", choices=["v20", "v16", "v15"])
+    p.add_argument("-r", "--results",
+                   help="results dir (default: 'results', or the config's)")
+    p.add_argument("--algo", choices=["v20", "v16", "v15"],
+                   help="design engine generation (default: v20/config)")
     p.add_argument("--coverage", type=float)
     args = p.parse_args(argv)
+    # only explicit flags override the config file
     overrides = {}
     if args.input:
         overrides["input_fa"] = args.input
-    overrides["results_dir"] = args.results
-    overrides["algo"] = args.algo
+    if args.results is not None:
+        overrides["results_dir"] = args.results
+    elif not args.config:
+        overrides["results_dir"] = "results"
+    if args.algo is not None:
+        overrides["algo"] = args.algo
     if args.coverage is not None:
         overrides["coverage"] = args.coverage
     pipe, log = run_pipeline(args.config, **overrides)
@@ -292,6 +302,77 @@ def _wrc(argv):
             f.write("%d\t%d\t%d\tW\t%d\t%s\t%d\t%d\n" % (
                 orig, pos, a.plen, iupac.degeneracy(primer), primer,
                 matching, total))
+    return 0
+
+
+def _onestep(argv):
+    """MSA -> design -> pair -> mismatch coverage scan in one process
+    (multiPrime_onestep_all.py:63-122,1846-1864: NN_degenerate then
+    Primers_filter — diff_Tm IS forwarded here, default 4, unlike
+    get_multiPrime's main() — then off_targets on the pair fasta with
+    term_length = full primer length)."""
+    import argparse
+    import json
+    import os
+    from ..models import mcdpd, pairing
+    from ..validate import scan as vscan
+    p = argparse.ArgumentParser(prog="mptpu onestep")
+    p.add_argument("-i", "--input", required=True, help="MSA fasta")
+    p.add_argument("-r", "--ref", required=True,
+                   help="all cluster sequences in one fasta (.tfa)")
+    p.add_argument("-l", "--plen", type=int, default=18)
+    p.add_argument("-n", "--dnum", type=int, default=4)
+    p.add_argument("-d", "--degeneracy", type=int, default=10)
+    p.add_argument("-v", "--variation", type=int, default=1)
+    p.add_argument("--entropy", type=float, default=3.6)
+    p.add_argument("-e", "--end", type=int, default=4)
+    p.add_argument("-g", "--gc", default="0.2,0.7")
+    p.add_argument("-s", "--size", default="250,500")
+    p.add_argument("--predictSize", default="50,1500")
+    p.add_argument("-t", "--Tm", type=float, default=4)
+    p.add_argument("--adaptor",
+                   default="TCTTTCCCTACACGACGCTCTTCCGATCT,"
+                           "TGGAGTTCAGACGTGTGCTCTTCCGATCT")
+    p.add_argument("-f", "--fraction", type=float, default=0.6)
+    p.add_argument("-c", "--coordinate", default="1,2,-1")
+    p.add_argument("-p", "--proc", type=int, default=1)
+    p.add_argument("-a", "--away", type=int, default=4)
+    p.add_argument("--algo", default="v20", choices=["v20", "v16", "v15"])
+    p.add_argument("--out1", required=True, help="design table")
+    p.add_argument("-o", "--out2", required=True, help="candidate pairs .txt")
+    a = p.parse_args(argv)
+
+    size = tuple(int(x) for x in a.size.split(","))
+    ids, chars = mcdpd.parse_msa(a.input)
+    dparams = mcdpd.DesignParams(
+        primer_length=a.plen, coverage=a.fraction, dege_number=a.dnum,
+        degeneracy=a.degeneracy, variation=a.variation,
+        entropy_threshold=a.entropy,
+        gc=tuple(float(x) for x in a.gc.split(",")),
+        min_product=size[0], coordinate=a.coordinate,
+        hairpin_distance=a.away, algo=a.algo, nproc=a.proc)
+    results = mcdpd.DesignEngine(dparams).design(ids, chars)
+    mcdpd.write_outputs(results, a.out1)
+
+    pparams = pairing.PairingParams(
+        size=size, fraction=a.fraction, end_dege=a.end,
+        hairpin_distance=a.away, diff_tm=a.Tm, max_seq=0,
+        adaptor=tuple(a.adaptor.split(",")), nproc=a.proc)
+    primers = pairing.parse_primer_table(a.out1)
+    gap_ids = json.load(open(a.out1 + ".gap_seq_id_json"))
+    non_cover = json.load(open(a.out1 + ".non_coverage_seq_id_json"))
+    number = pairing.count_ref_seqs(a.ref, 0)
+    pairs, _ = pairing.PairingEngine(pparams).pair(
+        primers, gap_ids, non_cover, number)
+    pairing.write_outputs(pairs, a.out2)
+
+    stem = a.out2.strip(".txt")    # reference's char-set strip, replicated
+    sparams = vscan.ScanParams(
+        term_len=a.plen, term=a.end, mm=a.variation,
+        product_size=tuple(int(x) for x in a.predictSize.split(",")))
+    vscan.run(stem + ".fa", a.ref, stem + "_target", sparams)
+    print("onestep: %d pairs -> %s, coverage -> %s_target"
+          % (len(pairs), a.out2, stem))
     return 0
 
 

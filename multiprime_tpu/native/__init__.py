@@ -21,7 +21,8 @@ _tried = False
 
 
 def _build():
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+           _SRC, "-o", _SO]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
@@ -56,6 +57,11 @@ def load():
     lib.sorted_intersect_count.restype = ctypes.c_int64
     lib.sorted_intersect_count.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
+    lib.refine_realign.restype = None
+    lib.refine_realign.argtypes = [
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_float, ctypes.c_float, ctypes.c_int64,
+        ctypes.c_void_p]
     lib.fasta_scan.restype = ctypes.c_int64
     lib.fasta_scan.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
@@ -97,6 +103,23 @@ def intersect_count(a: np.ndarray, b: np.ndarray) -> int:
     return int(lib.sorted_intersect_count(
         np.ascontiguousarray(a, np.int64).ctypes.data, len(a),
         np.ascontiguousarray(b, np.int64).ctypes.data, len(b)))
+
+
+def refine_realign(rows_bytes, codes, counts, gap_open, gap_ext, nthreads=0):
+    """Native profile realignment (align/refine.py semantics).  Returns the
+    new [M, C] row buffer as bytes, or None when the library is missing."""
+    lib = load()
+    if lib is None:
+        return None
+    m, c = codes.shape
+    codes = np.ascontiguousarray(codes, np.int8)
+    counts = np.ascontiguousarray(counts, np.int32)
+    out = ctypes.create_string_buffer(m * c)
+    if nthreads <= 0:
+        nthreads = min(os.cpu_count() or 1, 16)
+    lib.refine_realign(rows_bytes, codes.ctypes.data, m, c,
+                       counts.ctypes.data, gap_open, gap_ext, nthreads, out)
+    return out.raw
 
 
 def read_fasta_packed(path):

@@ -14,9 +14,11 @@
 // Exposed as a plain C ABI consumed via ctypes (no pybind11 in this image).
 // Build: g++ -O3 -march=native -shared -fPIC seqlib.cpp -o libseqlib.so
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <cstdio>
+#include <thread>
 #include <vector>
 #include <algorithm>
 
@@ -161,6 +163,125 @@ int64_t fasta_scan(const char* buf, int64_t len, int8_t* out,
     }
     if (n >= 0) ends[n] = w;
     return n + 1;
+}
+
+// Profile realignment of MSA rows (mirror of align/refine.py's
+// _realign_chunk): place each row's residues back into the C fixed columns
+// against the exclude-self column profile.  Two-state (place/skip) DP with
+// occupancy-weighted affine skip costs and free end skips.  rows/out are
+// [m, c] ASCII; codes [m, c] with 0..3 = ACGT, 4 = gap, 5 = other;
+// counts [c, 6] = global per-column code counts.  float32 arithmetic in the
+// same operation order as the NumPy path so both backends agree exactly.
+static void refine_one(const char* rows, const int8_t* codes,
+                       int64_t m, int64_t c, const int32_t* counts,
+                       float gap_open, float gap_ext, int64_t mi,
+                       char* out) {
+    const float NEGF = -1e30f;
+    const char* row = rows + mi * c;
+    const int8_t* code = codes + mi * c;
+    std::vector<char> res_chars;
+    std::vector<int8_t> res_codes;
+    res_chars.reserve(c);
+    res_codes.reserve(c);
+    for (int64_t j = 0; j < c; j++) {
+        if (code[j] != 4) {
+            res_chars.push_back(row[j]);
+            res_codes.push_back(code[j]);
+        }
+    }
+    const int64_t L = (int64_t)res_chars.size();
+    char* orow = out + mi * c;
+    memset(orow, '-', c);
+    if (L == 0) return;
+    const float denom = (float)(m > 1 ? m - 1 : 1);
+    std::vector<float> v_prev(L + 1, NEGF), g_prev(L + 1, NEGF);
+    std::vector<float> v_cur(L + 1), g_cur(L + 1);
+    std::vector<uint8_t> ptr((size_t)(c + 1) * (L + 1), 0);
+    float best_v = NEGF;
+    int64_t best_j = 0;
+    v_prev[0] = 0.0f;
+    for (int64_t j = 1; j <= c; j++) {
+        const int64_t col = j - 1;
+        const int32_t* cnt = counts + col * 6;
+        const int8_t self = code[col];
+        float f[6];
+        for (int b = 0; b < 4; b++)
+            f[b] = (float)(cnt[b] - (self == b)) / denom;
+        f[4] = 0.0f;
+        f[5] = 0.0f;
+        const float occ =
+            1.0f - (float)(cnt[4] - (self == 4)) / denom;
+        uint8_t* pj = ptr.data() + (size_t)j * (L + 1);
+        for (int64_t i = 0; i <= L; i++) {
+            const float open_cand = v_prev[i] + gap_open * occ;
+            const bool gcont = g_prev[i] >= open_cand;
+            g_cur[i] = (gcont ? g_prev[i] : open_cand) + gap_ext * occ;
+            float diag = NEGF;
+            if (i > 0) {
+                const float s =
+                    2.0f * (2.0f * f[(int)res_codes[i - 1]] - occ);
+                diag = v_prev[i - 1] + s;
+            }
+            const bool take = g_cur[i] > diag;
+            v_cur[i] = take ? g_cur[i] : diag;
+            pj[i] = (uint8_t)take | ((uint8_t)gcont << 1);
+        }
+        v_cur[0] = 0.0f;
+        if (v_cur[L] > best_v) {
+            best_v = v_cur[L];
+            best_j = j;
+        }
+        v_prev.swap(v_cur);
+        g_prev.swap(g_cur);
+    }
+    int64_t i = L, j = best_j;
+    bool state_skip = false;
+    while (i > 0) {
+        const uint8_t p = ptr[(size_t)j * (L + 1) + i];
+        bool take;
+        if (j <= i) {
+            state_skip = false;
+            take = false;
+        } else if (state_skip) {
+            take = true;
+        } else {
+            take = (p & 1) != 0;
+        }
+        if (take) {
+            state_skip = (p & 2) != 0;
+            j--;
+        } else {
+            orow[j - 1] = res_chars[i - 1];
+            i--;
+            j--;
+            state_skip = false;
+        }
+    }
+}
+
+void refine_realign(const char* rows, const int8_t* codes,
+                    int64_t m, int64_t c, const int32_t* counts,
+                    float gap_open, float gap_ext, int64_t nthreads,
+                    char* out) {
+    if (nthreads <= 1 || m <= 1) {
+        for (int64_t mi = 0; mi < m; mi++)
+            refine_one(rows, codes, m, c, counts, gap_open, gap_ext, mi, out);
+        return;
+    }
+    std::vector<std::thread> pool;
+    std::atomic<int64_t> next(0);
+    const int64_t nt = nthreads < m ? nthreads : m;
+    for (int64_t t = 0; t < nt; t++) {
+        pool.emplace_back([&]() {
+            for (;;) {
+                const int64_t mi = next.fetch_add(1);
+                if (mi >= m) return;
+                refine_one(rows, codes, m, c, counts, gap_open, gap_ext,
+                           mi, out);
+            }
+        });
+    }
+    for (auto& th : pool) th.join();
 }
 
 }  // extern "C"

@@ -266,10 +266,15 @@ def find_hits_packed(targets_1h, lengths, primers_1h, suffix_1h, *, mm=1,
     return jnp.concatenate(parts)
 
 
-def safe_batch_size(requested, n_out, p):
-    """Largest batch <= requested keeping flat index space under 2**31."""
+def safe_batch_size(requested, n_out, p, mem_bytes=3 << 30):
+    """Largest batch <= requested keeping (a) the flat index space under
+    2**31 (jax x64 is off: bigger silently truncates, dropping hits) and
+    (b) one [N, n_out, p] f32 count tensor under ``mem_bytes`` (the scan
+    keeps ~3 such intermediates live — total + suffix counts + hit mask —
+    so 3 GiB per tensor stays well inside a 16 GiB-HBM chip)."""
     cap = max(1, ((1 << 31) - 1) // max(n_out * p, 1))
-    return max(1, min(requested, cap))
+    mem_cap = max(1, int(mem_bytes) // max(4 * n_out * p, 1))
+    return max(1, min(requested, cap, mem_cap))
 
 
 def decode_packed(packed, n_out, p, max_hits):

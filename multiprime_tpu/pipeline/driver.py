@@ -73,6 +73,8 @@ class PipelineConfig:
     scan_mm: int = 1
     nproc: int = 1
     align_backend: str = "centerstar"    # or "external"
+    msa_refine: int = 2                  # profile-realignment polish passes
+                                         # (0 disables; accept-if-better)
     design_backend: str = "mcdpd"        # or "wrc" (the multi-DegePrime flow)
     wrc_max_deg: int = 96
     wrc_iterations: int = 100
@@ -109,6 +111,8 @@ class PipelineConfig:
         if "virus" in raw:
             v = raw["virus"]
             cfg.virus_name = v[0] if isinstance(v, list) else str(v)
+        if "msa_refine" in raw:
+            cfg.msa_refine = int(raw["msa_refine"])
         return cfg
 
 
@@ -295,6 +299,9 @@ class Pipeline:
                 ids, seqs = self._read_fasta(tfa)
                 t0 = time.time()
                 _, rows = centerstar.center_star_msa(ids, seqs)
+                if cfg.msa_refine > 0:
+                    from ..align import refine
+                    rows = refine.refine_msa(rows, cfg.msa_refine)
                 centerstar.write_msa(ids, rows, msa_path)
                 self.cfg.timings.setdefault("align", 0)
                 self.cfg.timings["align"] += time.time() - t0

@@ -164,8 +164,10 @@ def scan_hits(target_seqs, patterns, params: ScanParams):
             continue
         n_out = t1h.shape[1] - plen + 1
         # initial cap balances transfer bytes (device->host links can be
-        # slow) against retry recompiles
-        max_hits = 1 << 19
+        # slow) against retry recompiles: a recompile costs minutes on
+        # tunneled devices, an extra 2^21 int32s costs ~8 MB, so start big
+        # and overshoot retries (4x) so later batches reuse the executable
+        max_hits = 1 << 21
         while True:
             packed = ms.find_hits_packed(
                 t1h, lens, p1h, s1h, mm=params.mm,
@@ -175,7 +177,7 @@ def scan_hits(target_seqs, patterns, params: ScanParams):
                 packed, n_out, p1h.shape[0], max_hits)
             if n_hits <= max_hits:
                 break
-            max_hits = 1 << (n_hits - 1).bit_length()
+            max_hits = 1 << (2 * n_hits - 1).bit_length()
         for s, o, p, m in zip(seq.tolist(), pos.tolist(), pat.tolist(),
                               mm_.tolist()):
             if p < n_real:      # drop bucket-padding rows
