@@ -86,7 +86,7 @@ def _run(argv):
     p.add_argument("-i", "--input")
     p.add_argument("-r", "--results",
                    help="results dir (default: 'results', or the config's)")
-    p.add_argument("--algo", choices=["v20", "v16", "v15"],
+    p.add_argument("--algo", choices=["v20", "v16", "v15", "v2"],
                    help="design engine generation (default: v20/config)")
     p.add_argument("--coverage", type=float)
     args = p.parse_args(argv)
@@ -337,7 +337,7 @@ def _onestep(argv):
     p.add_argument("-c", "--coordinate", default="1,2,-1")
     p.add_argument("-p", "--proc", type=int, default=1)
     p.add_argument("-a", "--away", type=int, default=4)
-    p.add_argument("--algo", default="v20", choices=["v20", "v16", "v15"])
+    p.add_argument("--algo", default="v20", choices=["v20", "v16", "v15", "v2"])
     p.add_argument("--out1", required=True, help="design table")
     p.add_argument("-o", "--out2", required=True, help="candidate pairs .txt")
     a = p.parse_args(argv)

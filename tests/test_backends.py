@@ -114,6 +114,14 @@ def test_dimer_matrix_matches_host():
     host = dimer.verify_against_host(primers, threshold=3.96)
     assert np.array_equal(dev, host)
     assert dev[1, 2]
+    # fused single-executable variant: identical verdicts, bucketed shapes
+    fused = dimer.dimer_hit_matrix_fused(primers, threshold=3.96)
+    assert np.array_equal(fused, host)
+    # also across mixed lengths + the linear (V15) penalty table
+    mixed = primers[:8] + [p[:15] for p in primers[8:12]]
+    assert np.array_equal(
+        dimer.dimer_hit_matrix_fused(mixed, threshold=3.6, linear=True),
+        dimer.verify_against_host(mixed, threshold=3.6, linear=True))
 
 
 def test_affine_alignment_optimal():
