@@ -1,0 +1,57 @@
+"""Coverage for the secondary standalone components (SURVEY.md section 2.2):
+kmer filter, specificity scan, gradient/dimer correlation metrics, dege
+expansion CLI."""
+
+import numpy as np
+
+from multiprime_tpu.cli import main as cli
+from multiprime_tpu.validate import metrics, specificity
+
+
+def test_kmer_filter_cli(tmp_path, capsys):
+    fa = tmp_path / "k.fa"
+    # k1 passes; k2 is all-G (GC + run filtered); k3 ends in 4 G/C (clamp)
+    fa.write_text(">k1\nACGTTGCACGTTGCACAT\n"
+                  ">k2\nGGGGGGGGGGGGGGGGGG\n"
+                  ">k3\nACGTTGCACGTTGCGCGC\n")
+    out = tmp_path / "k.filtered.fa"
+    rc = cli.main(["kmer-filter", "-i", str(fa), "-g", "0.2,0.7",
+                   "-o", str(out)])
+    kept = out.read_text() if out.exists() else capsys.readouterr().out
+    assert "k1" in kept
+    assert "k2" not in kept
+
+
+def test_specificity_scan(tmp_path):
+    prim = tmp_path / "p.fa"
+    prim.write_text(">P1F\nACGTACGTACGTACGTAC\n>P1R\nTTGCAGGCAATTCCGGAA\n")
+    bg = tmp_path / "bg.fa"
+    # background genome contains F and RC(R) 200 bp apart -> off-target hit
+    import multiprime_tpu.utils.iupac as iupac
+    mid = "".join(np.random.default_rng(0).choice(list("ACGT"), size=200))
+    bg.write_text(">G1\n" + "ACGTACGTACGTACGTAC" + mid
+                  + iupac.rc("TTGCAGGCAATTCCGGAA") + "AAAA\n")
+    out = tmp_path / "spec.out"
+    specificity.run(str(prim), str(bg), str(out), mm=1, term=0,
+                    product_size=(50, 2000))
+    body = out.read_text()
+    assert "G1" in body            # predicted off-target amplicon reported
+
+
+def test_gradient_and_dimer_correlation_metrics():
+    joined = metrics.pair_coverage_join(
+        [("F1", "R1", 120), ("F2", "R2", 30)],
+        {"F1\tR1": 118})
+    assert joined == [("F1", "R1", 120, 118), ("F2", "R2", 30, 0)]
+    r = metrics.dimer_correlation([1, 2, 3, 4], [1.1, 2.2, 2.9, 4.4])
+    assert r > 0.99
+    assert metrics.dimer_correlation([1, 1, 1], [1, 2, 3]) == 0.0
+
+
+def test_expand_cli(tmp_path, capsys):
+    fa = tmp_path / "d.fa"
+    fa.write_text(">D\nACR\n")
+    out = tmp_path / "d.exp.fa"
+    rc = cli.main(["expand", "-i", str(fa), "-o", str(out)])
+    text = out.read_text() if out.exists() else capsys.readouterr().out
+    assert "ACA" in text and "ACG" in text
