@@ -88,6 +88,9 @@ def _run(argv):
                    help="results dir (default: 'results', or the config's)")
     p.add_argument("--algo", choices=["v20", "v16", "v15", "v2"],
                    help="design engine generation (default: v20/config)")
+    p.add_argument("--backend", choices=["mcdpd", "wrc"],
+                   help="design backend: mcdpd (multiPrime) or wrc "
+                        "(multi-DegePrime flow)")
     p.add_argument("--coverage", type=float)
     args = p.parse_args(argv)
     # only explicit flags override the config file
@@ -100,6 +103,8 @@ def _run(argv):
         overrides["results_dir"] = "results"
     if args.algo is not None:
         overrides["algo"] = args.algo
+    if args.backend is not None:
+        overrides["design_backend"] = args.backend
     if args.coverage is not None:
         overrides["coverage"] = args.coverage
     pipe, log = run_pipeline(args.config, **overrides)

@@ -113,6 +113,9 @@ class PipelineConfig:
             cfg.virus_name = v[0] if isinstance(v, list) else str(v)
         if "msa_refine" in raw:
             cfg.msa_refine = int(raw["msa_refine"])
+        for key in ("design_backend", "align_backend", "algo"):
+            if key in raw:
+                setattr(cfg, key, str(raw[key]))
         return cfg
 
 
