@@ -46,6 +46,10 @@ class ScanParams:
     backend: str = "auto"       # auto: numpy below ~2e10 MACs, device above
     want_mism: bool = False     # per-hit mismatch counts (the F/R join
                                 # doesn't need them; halves transfer bytes)
+    seg_len: int = 1 << 16      # targets longer than this are scanned as
+                                # overlapping segments (the sequence-parallel
+                                # split of the position axis; the reference
+                                # warns at >100 kb, README.md:35)
 
 
 def expand_primer_fasta(primer_fa, term_len=0, term_fa_out=None):
@@ -185,6 +189,49 @@ def scan_hits(target_seqs, patterns, params: ScanParams):
     return hits
 
 
+def scan_hits_long(target_seqs, patterns, params: ScanParams):
+    """scan_hits with genome-scale targets: sequences longer than
+    params.seg_len are split into segments overlapping by (max pattern
+    length - 1), scanned batched, and hit positions mapped back to absolute
+    coordinates.  A hit in a segment's trailing overlap is reported by the
+    NEXT segment instead (dedup rule: keep local positions < stride, plus
+    everything in a target's last segment) so each occurrence appears
+    exactly once.  Short target sets pass straight through."""
+    if not patterns or not target_seqs:
+        return []
+    seg_len = params.seg_len
+    if max(len(s) for s in target_seqs) <= seg_len:
+        return scan_hits(target_seqs, patterns, params)
+    overlap = max(len(p) for p in patterns) - 1
+    if seg_len <= overlap:
+        raise ValueError(
+            "seg_len=%d must exceed the longest pattern (%d)"
+            % (seg_len, overlap + 1))
+    stride = seg_len - overlap
+    segs, origin = [], []            # origin: (target_idx, offset, is_last)
+    for ti, s in enumerate(target_seqs):
+        if len(s) <= seg_len:
+            segs.append(s)
+            origin.append((ti, 0, True))
+            continue
+        off = 0
+        while True:
+            chunk = s[off:off + seg_len]
+            last = off + seg_len >= len(s)
+            segs.append(chunk)
+            origin.append((ti, off, last))
+            if last:
+                break
+            off += stride
+    raw = scan_hits(segs, patterns, params)
+    hits = []
+    for si, o, pi, m in raw:
+        ti, off, last = origin[si]
+        if o < stride or last:
+            hits.append((ti, off + o, pi, m))
+    return hits
+
+
 def closest(sorted_list, lo_val, hi_val):
     """bisect window (primer_coverage_validation_by_BWT.py:162-169)."""
     left = bisect_left(sorted_list, lo_val)
@@ -271,8 +318,8 @@ def run(primer_fa, ref_fa, outfile, params: ScanParams, targets_dict=None):
     patterns, labels = expand_primer_fasta(primer_fa, params.term_len, term_fa)
     gene_ids, target_seqs = parse_fasta(ref_fa)
     rc_patterns = [iupac.rc(p) for p in patterns]
-    f_hits = scan_hits(target_seqs, patterns, params)
-    r_hits = scan_hits(target_seqs, rc_patterns, params)
+    f_hits = scan_hits_long(target_seqs, patterns, params)
+    r_hits = scan_hits_long(target_seqs, rc_patterns, params)
     rows = pcr_join(gene_ids, f_hits, r_hits, labels, params.product_size)
     write_outputs(rows, outfile, targets_dict)
     return rows

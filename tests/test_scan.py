@@ -96,3 +96,44 @@ def test_expand_primer_fasta(tmp_path):
     assert "ACGA" in seqs and "ACGG" in seqs
     merged = labels[seqs.index("ACGA")]
     assert "P1" in merged and "P2" in merged
+
+
+def test_scan_hits_long_segments_match_unsplit():
+    rng = np.random.default_rng(2)
+    lut = np.array(list("ACGT"))
+    genome = "".join(rng.choice(lut, size=5000))
+    prims = ["".join(rng.choice(lut, size=18)) for _ in range(20)]
+    # plant hits at a segment boundary, inside the overlap, and at the end
+    genome = genome[:582] + prims[0] + genome[600:]
+    genome = genome[:1182] + prims[1] + genome[1200:]
+    genome = genome[:4982] + prims[2] + genome[5000:]
+    targets = [genome, "ACGT" * 30]
+    base = dict(term_len=0, term=4, mm=1, backend="numpy")
+    nosplit = vscan.ScanParams(seg_len=1 << 20, **base)
+    split = vscan.ScanParams(seg_len=600, **base)
+    a = sorted(vscan.scan_hits_long(targets, prims, nosplit))
+    b = sorted(vscan.scan_hits_long(targets, prims, split))
+    assert a == b
+    found = {(s, o, p) for s, o, p, _ in a}
+    assert {(0, 582, 0), (0, 1182, 1), (0, 4982, 2)} <= found
+
+
+def test_genome_scale_pcr_join(tmp_path):
+    rng = np.random.default_rng(3)
+    lut = np.array(list("ACGT"))
+    genome = list("".join(rng.choice(lut, size=150_000)))
+    f_p = "".join(rng.choice(lut, size=18))
+    r_p = "".join(rng.choice(lut, size=18))
+    # plant F at 70000 and RC(R) ending the ~500bp product
+    genome[70000:70018] = f_p
+    genome[70482:70500] = iupac.rc(r_p)
+    genome = "".join(genome)
+    prim = tmp_path / "p.fa"
+    prim.write_text(">gF\n%s\n>gR\n%s\n" % (f_p, r_p))
+    ref = tmp_path / "g.fa"
+    ref.write_text(">chr1\n" + genome + "\n")
+    params = vscan.ScanParams(term_len=0, term=4, mm=1, backend="numpy",
+                              product_size=(100, 1500), seg_len=1 << 15)
+    rows = vscan.run(str(prim), str(ref), str(tmp_path / "o.out"), params)
+    assert any(r[1] == 70000 and r[2] == 70482 and r[5] == 483
+               for r in rows)
