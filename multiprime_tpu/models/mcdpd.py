@@ -328,12 +328,12 @@ class DesignEngine:
         anywhere; the exact find loop only runs on real candidates."""
         ends = sorted(self.current_end(primer), key=len, reverse=True)
         expansions = iupac.expand(primer)
-        index = self._substring_maxstart(primer, 5)
         linear = self.p.algo in ("v15", "v16")
         for end in ends:
             rce = iupac.rc(end)
-            if rce not in index:
-                continue
+            # no membership pre-screen: the find loop below IS the screen
+            # (the old substring index only paid off when a primer was
+            # checked many times; the design engine sees each one once)
             for p in expansions:
                 idx = p.find(rce)
                 if idx >= 0:

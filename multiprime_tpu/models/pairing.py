@@ -127,6 +127,9 @@ class PairingEngine:
             | set(self._helper.current_end(primer_r))
         for pp in (primer_f, primer_r):
             expansions = iupac.expand(pp)
+            # the cached substring index pays here: the same primers recur
+            # across thousands of pair candidates (unlike the design engine,
+            # which sees each primer once and scans directly)
             index = self._helper._substring_maxstart(pp, 5)
             for end in ends:
                 rce = iupac.rc(end)
