@@ -55,3 +55,23 @@ def test_expand_cli(tmp_path, capsys):
     rc = cli.main(["expand", "-i", str(fa), "-o", str(out)])
     text = out.read_text() if out.exists() else capsys.readouterr().out
     assert "ACA" in text and "ACG" in text
+
+
+def test_mfeprimer_style_reports(tmp_path):
+    from multiprime_tpu.validate import reports
+    from multiprime_tpu.utils import iupac
+    fa = tmp_path / "set.fa"
+    # H1 folds back on itself (stem = RC of its 5' 5-mer after a 9-nt loop);
+    # D2 carries the RC of D1's 3' end -> cross-dimer
+    stem5 = "GCACG"
+    h1 = stem5 + "TTTTAAAGG" + iupac.rc(stem5) + "AAT"
+    d1 = "ACGGTCAGTACGGTCAGT"
+    d2 = "TTGATGCA" + iupac.rc(d1[-10:])
+    fa.write_text(">H1\n%s\n>D1\n%s\n>D2\n%s\n" % (h1, d1, d2))
+    hp = reports.hairpin_report(str(fa), str(tmp_path / "set.hairpin"))
+    dm = reports.dimer_report(str(fa), str(tmp_path / "set.dimer"))
+    hp_text = open(hp).read()
+    dm_text = open(dm).read()
+    assert "H1" in hp_text and "hairpin" in hp_text
+    assert "Hairpin" in hp_text          # mfeprimer-style header
+    assert "D1" in dm_text.split("Dimer findings")[1]
