@@ -164,29 +164,35 @@ class MSAWindows:
         self.n, self.length = char_matrix.shape
         gap = char_matrix == ord("-")
         nz = ~gap
-        pos = np.arange(self.length)
+        pos = np.arange(self.length, dtype=np.int32)
         # Non-gap count strictly before each column.
-        cs = np.cumsum(nz, axis=1)
+        cs = np.cumsum(nz, axis=1, dtype=np.int32)
         self.before = np.concatenate(
-            [np.zeros((self.n, 1), np.int64), cs[:, :-1]], axis=1)
+            [np.zeros((self.n, 1), np.int32), cs[:, :-1]], axis=1)
         self.total = cs[:, -1]
         # Distance from p to the next non-gap at or after p.
-        nxt = np.where(nz, pos[None, :], self.length)
+        nxt = np.where(nz, pos[None, :], np.int32(self.length))
         nxt = np.minimum.accumulate(nxt[:, ::-1], axis=1)[:, ::-1]
         self.run_from = nxt - pos[None, :]          # gap-run length starting at p
-        prv = np.where(nz, pos[None, :], -1)
+        prv = np.where(nz, pos[None, :], np.int32(-1))
         prv = np.maximum.accumulate(prv, axis=1)
         self.run_to = pos[None, :] - prv            # gap-run length ending at p
         # Compressed (gapless) characters, left-packed per row.
         self.packed = np.zeros_like(char_matrix)
         rows, cols = np.nonzero(nz)
         self.packed[rows, self.before[rows, cols]] = char_matrix[rows, cols]
+        self._packed_flat = self.packed.reshape(-1)
 
     def windows(self, positions):
-        """Patched windows for the given start positions -> [N, W, plen] ASCII."""
+        """Patched windows for the given start positions -> [N, W, plen] ASCII.
+
+        Patching is sparse in real MSAs (most windows touch no gap run), so
+        the packed-character gathers run only on the (row, window) pairs that
+        actually need them instead of materialising dense [N, W, plen] index
+        tensors."""
         plen = self.plen
-        p = np.asarray(positions)
-        j = np.arange(plen)
+        p = np.asarray(positions, dtype=np.int32)
+        j = np.arange(plen, dtype=np.int32)
         win = self.chars[:, (p[:, None] + j[None, :])]   # [N, W, plen]
         lead = np.minimum(self.run_from[:, p], plen)        # [N, W]
         trail = np.minimum(self.run_to[:, p + plen - 1], plen)
@@ -194,22 +200,27 @@ class MSAWindows:
         c_start = self.before[:, p]
         c_end = self.before[:, p + plen - 1] + (self.chars[:, p + plen - 1] != ord("-"))
         use_lead = (~allgap) & (lead > 0) & (c_start >= lead)
-        row_base = (np.arange(self.n, dtype=np.int64)
-                    * self.length)[:, None, None]
-        packed_flat = self.packed.reshape(-1)
         use_trail = (~allgap) & (trail > 0) & \
             ((self.total[:, None] - c_end) >= trail)
-        # Flat gathers with C-level bound clipping; clipped entries are always
-        # masked out by use_lead/use_trail, so only in-boundsness matters.
-        lead_idx = row_base + c_start[:, :, None] - lead[:, :, None] + j
-        lead_vals = np.take(packed_flat, lead_idx, mode="clip")
-        win = np.where(use_lead[:, :, None] & (j < lead[:, :, None]),
-                       lead_vals, win)
-        trail_off = j - (plen - trail[:, :, None])
-        trail_idx = row_base + c_end[:, :, None] + trail_off
-        trail_vals = np.take(packed_flat, trail_idx, mode="clip")
-        win = np.where(use_trail[:, :, None] & (trail_off >= 0),
-                       trail_vals, win)
+        if use_lead.any():
+            r, w = np.nonzero(use_lead)
+            ld = lead[r, w].astype(np.int32)[:, None]            # [K, 1]
+            # use_lead guarantees c_start >= lead, so idx >= r*length >= 0.
+            idx = (r.astype(np.int64) * self.length)[:, None] \
+                + c_start[r, w][:, None] - ld + j
+            vals = self._packed_flat[idx]                         # [K, plen]
+            patched = np.where(j < ld, vals, win[r, w])
+            win[r, w] = patched
+        if use_trail.any():
+            r, w = np.nonzero(use_trail)
+            tr = trail[r, w].astype(np.int32)[:, None]
+            off = j - (plen - tr)                                 # [K, plen]
+            idx = (r.astype(np.int64) * self.length)[:, None] \
+                + c_end[r, w][:, None] + off
+            # off < 0 entries are masked below; clamp keeps the gather in-bounds.
+            vals = self._packed_flat[np.maximum(idx, 0)]
+            patched = np.where(off >= 0, vals, win[r, w])
+            win[r, w] = patched
         return win
 
 
@@ -329,11 +340,35 @@ class DesignEngine:
         ends = sorted(self.current_end(primer), key=len, reverse=True)
         expansions = iupac.expand(primer)
         linear = self.p.algo in ("v15", "v16")
+        # Bit-parallel offset screen on the degenerate pattern: occ[b] has
+        # bit i set iff position i of the primer admits base b.  An end can
+        # only hit some expansion if its RC matches the pattern at some
+        # offset; most ends fail this in a handful of shift/AND ops, so the
+        # exact first-occurrence find loop runs rarely.
+        plen_ = len(primer)
+        occ = {"A": 0, "C": 0, "G": 0, "T": 0}
+        for i, ch in enumerate(primer):
+            m = iupac.CHAR_TO_MASK.get(ch, 0)
+            if m & iupac.A:
+                occ["A"] |= 1 << i
+            if m & iupac.C:
+                occ["C"] |= 1 << i
+            if m & iupac.G:
+                occ["G"] |= 1 << i
+            if m & iupac.T:
+                occ["T"] |= 1 << i
         for end in ends:
             rce = iupac.rc(end)
-            # no membership pre-screen: the find loop below IS the screen
-            # (the old substring index only paid off when a primer was
-            # checked many times; the design engine sees each one once)
+            mlen = len(rce)
+            if mlen > plen_:
+                continue
+            ok = (1 << (plen_ - mlen + 1)) - 1
+            for j, ch in enumerate(rce):
+                ok &= occ[ch] >> j
+                if not ok:
+                    break
+            if not ok:
+                continue
             for p in expansions:
                 idx = p.find(rce)
                 if idx >= 0:
