@@ -270,8 +270,31 @@ def align_ops_batch(c, member_codes):
     return out
 
 
-def center_star_msa(ids, seqs):
-    """-> (ids, aligned rows as equal-length strings)."""
+def _use_device_backend(backend, n_members, la):
+    if backend == "device":
+        return True
+    if backend != "auto":
+        return False
+    # Device DP wins once the pointer tensor is big enough to amortise the
+    # dispatch; on a CPU-only jax it still beats the NumPy loop via scan
+    # fusion, but only clearly at scale.
+    if n_members * la < 64 * 256:
+        return False
+    try:
+        import jax
+        return jax.default_backend() != "cpu" or n_members * la > 512 * 1024
+    except Exception:  # pragma: no cover - jax is a hard dep in practice
+        return False
+
+
+def center_star_msa(ids, seqs, backend="auto"):
+    """-> (ids, aligned rows as equal-length strings).
+
+    ``backend``: "numpy" = vectorised host row loop, "device" = the
+    jax scan DP + on-device backtrace (align/device.py), "auto" picks the
+    device path when a TPU is attached and the cluster is big enough.
+    Both produce identical op strings, so the MSA is backend-invariant.
+    """
     if len(seqs) == 1:
         return ids, [seqs[0]]
     center = pick_center(seqs)
@@ -279,14 +302,20 @@ def center_star_msa(ids, seqs):
     c = codes[center]
     member_idx = [m for m in range(len(seqs)) if m != center]
     per_member = [None] * len(seqs)
-    # Chunk so the [la, M, lb] pointer tensors stay within ~1 GB.
-    lb_max = max(len(codes[m]) for m in member_idx)
-    chunk = max(1, int(1e9 // max((len(c) + 1) * (lb_max + 1) * 3, 1)))
-    for lo in range(0, len(member_idx), chunk):
-        part = member_idx[lo:lo + chunk]
-        batch = align_ops_batch(c, [codes[m] for m in part])
-        for m, ops in zip(part, batch):
+    if _use_device_backend(backend, len(member_idx), len(c)):
+        from .device import align_ops_batch_device
+        batch = align_ops_batch_device(c, [codes[m] for m in member_idx])
+        for m, ops in zip(member_idx, batch):
             per_member[m] = ops
+    else:
+        # Chunk so the [la, M, lb] pointer tensors stay within ~1 GB.
+        lb_max = max(len(codes[m]) for m in member_idx)
+        chunk = max(1, int(1e9 // max((len(c) + 1) * (lb_max + 1) * 3, 1)))
+        for lo in range(0, len(member_idx), chunk):
+            part = member_idx[lo:lo + chunk]
+            batch = align_ops_batch(c, [codes[m] for m in part])
+            for m, ops in zip(part, batch):
+                per_member[m] = ops
     la = len(c)
     # master gap slot before each center position (+ one trailing slot)
     slot = np.zeros(la + 1, np.int64)

@@ -72,7 +72,9 @@ class PipelineConfig:
     scan_term: int = 4
     scan_mm: int = 1
     nproc: int = 1
-    align_backend: str = "centerstar"    # or "external"
+    # "centerstar" (auto host/device), "centerstar-device", "centerstar-numpy",
+    # or "external" (ingest reference-produced .tmsa files)
+    align_backend: str = "centerstar"
     msa_refine: int = 2                  # profile-realignment polish passes
                                          # (0 disables; accept-if-better)
     design_backend: str = "mcdpd"        # or "wrc" (the multi-DegePrime flow)
@@ -301,7 +303,11 @@ class Pipeline:
                         "align.backend=external but missing " + msa_path)
                 ids, seqs = self._read_fasta(tfa)
                 t0 = time.time()
-                _, rows = centerstar.center_star_msa(ids, seqs)
+                _, rows = centerstar.center_star_msa(
+                    ids, seqs,
+                    backend="device" if cfg.align_backend == "centerstar-device"
+                    else "numpy" if cfg.align_backend == "centerstar-numpy"
+                    else "auto")
                 if cfg.msa_refine > 0:
                     from ..align import refine
                     rows = refine.refine_msa(rows, cfg.msa_refine)

@@ -1,0 +1,79 @@
+"""Device (jax scan) Gotoh aligner vs the NumPy row loop: identical ops.
+
+The device path keeps the pointer tensor in HBM and backtraces on device
+(align/device.py); these tests pin bit-identical op strings, including the
+affine-gap continuation tie-breaks, padding members, and the bucketed
+shapes, on the CPU backend the suite runs under.
+"""
+
+import numpy as np
+import pytest
+
+from multiprime_tpu.align import centerstar as cs
+from multiprime_tpu.align.device import align_ops_batch_device
+
+
+def _rand_members(rng, c, n, edits):
+    members = []
+    for _ in range(n):
+        b = list(c.copy())
+        for _ in range(rng.integers(0, edits)):
+            k = int(rng.integers(0, max(len(b), 1)))
+            r = rng.integers(0, 3)
+            if r == 0 and b:
+                b[k % len(b)] = int(rng.integers(0, 4))
+            elif r == 1 and len(b) > 5:
+                del b[k % len(b)]
+            else:
+                b.insert(k % (len(b) + 1), int(rng.integers(0, 4)))
+        members.append(np.array(b, np.int8))
+    return members
+
+
+def test_device_ops_match_numpy_random():
+    rng = np.random.default_rng(11)
+    c = rng.integers(0, 4, size=180).astype(np.int8)
+    members = _rand_members(rng, c, 40, 50)
+    members.append(rng.integers(0, 4, size=1).astype(np.int8))
+    members.append(rng.integers(0, 4, size=400).astype(np.int8))
+    ref = cs.align_ops_batch(c, members)
+    dev = align_ops_batch_device(c, members, member_block=24)
+    assert ref == dev
+
+
+def test_device_ops_gap_heavy():
+    rng = np.random.default_rng(3)
+    c = rng.integers(0, 4, size=90).astype(np.int8)
+    # members with long runs missing / inserted stress the affine states
+    members = [
+        c[30:],                       # long leading deletion
+        np.concatenate([c[:40], c[60:]]),   # internal deletion
+        np.concatenate([c[:50], rng.integers(0, 4, 35).astype(np.int8),
+                        c[50:]]),     # long insertion
+        np.repeat(c, 2)[:150].astype(np.int8),
+    ]
+    ref = cs.align_ops_batch(c, members)
+    dev = align_ops_batch_device(c, members)
+    assert ref == dev
+
+
+def test_center_star_backend_invariance():
+    rng = np.random.default_rng(5)
+    base = "".join("ACGT"[i] for i in rng.integers(0, 4, size=150))
+    seqs = []
+    for _ in range(9):
+        b = list(base)
+        for _ in range(int(rng.integers(0, 25))):
+            k = int(rng.integers(0, max(len(b), 1)))
+            r = rng.integers(0, 3)
+            if r == 0:
+                b[k % len(b)] = "ACGT"[int(rng.integers(0, 4))]
+            elif r == 1 and len(b) > 5:
+                del b[k % len(b)]
+            else:
+                b.insert(k % (len(b) + 1), "ACGT"[int(rng.integers(0, 4))])
+        seqs.append("".join(b))
+    ids = [str(i) for i in range(len(seqs))]
+    _, rows_np = cs.center_star_msa(ids, seqs, backend="numpy")
+    _, rows_dev = cs.center_star_msa(ids, seqs, backend="device")
+    assert rows_np == rows_dev
