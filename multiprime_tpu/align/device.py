@@ -117,6 +117,133 @@ def _build(la_pad: int, lb_pad: int, m_pad: int):
     return jax.jit(run)
 
 
+@functools.lru_cache(maxsize=None)
+def _build_refine(c_pad: int, lmax_pad: int, m_pad: int):
+    import jax
+    import jax.numpy as jnp
+
+    NEGF = jnp.float32(-1e30)
+
+    def run(res_codes, lens, s4_cols, go_cols, ge_cols, occ2_cols, c_true):
+        # res_codes [M, lmax] int32 (codes 0..5), lens [M]
+        # s4_cols  [C, M, 6]  = 4*f6 per column (host-rounded f32)
+        # go_cols/ge_cols/occ2_cols [C, M] = GAP_OPEN*occ, GAP_EXT*occ, 2*occ
+        iar = jnp.arange(lmax_pad + 1, dtype=jnp.int32)
+        active = iar[None, :] <= lens[:, None]
+        v0 = jnp.where(iar[None, :] == 0, 0.0, NEGF)
+        v0 = jnp.broadcast_to(v0, (m_pad, lmax_pad + 1)).astype(jnp.float32)
+        g0 = jnp.full((m_pad, lmax_pad + 1), NEGF, jnp.float32)
+        bv0 = jnp.full((m_pad,), NEGF, jnp.float32)
+        bj0 = jnp.zeros((m_pad,), jnp.int32)
+        marange = jnp.arange(m_pad)
+        # One-hot residue codes: the per-column profile lookup becomes an
+        # einsum (adds exact zeros -> identical f32 values to a gather, but
+        # batched-matmul shaped instead of a per-step gather).
+        res_oh = jax.nn.one_hot(res_codes, 6, dtype=jnp.float32)
+        end_mask = (iar[None, :] == lens[:, None]).astype(jnp.float32)
+
+        def col(carry, xs):
+            v_prev, g_prev, best_v, best_j, j = carry
+            s4_j, go_j, ge_j, occ2_j = xs
+            # s_col = 2*(2*f6_gather - occ): host pre-scales make every
+            # device op a single add/sub so rounding matches NumPy exactly.
+            gath = jnp.einsum("mlc,mc->ml", res_oh, s4_j)       # [M, lmax]
+            s_col = gath - occ2_j[:, None]
+            open_cand = v_prev + go_j[:, None]
+            gcont = g_prev >= open_cand
+            g_cur = jnp.maximum(g_prev, open_cand) + ge_j[:, None]
+            diag = jnp.concatenate(
+                [jnp.full((m_pad, 1), NEGF, jnp.float32),
+                 v_prev[:, :-1] + s_col], axis=1)
+            take_skip = g_cur > diag
+            v_cur = jnp.where(take_skip, g_cur, diag)
+            v_cur = v_cur.at[:, 0].set(0.0)
+            v_cur = jnp.where(active, v_cur, NEGF)
+            g_cur = jnp.where(active, g_cur, NEGF)
+            ptr_row = (take_skip.astype(jnp.uint8)
+                       | (gcont.astype(jnp.uint8) << 1))
+            # masked reduce instead of a per-step gather; exact because the
+            # mask has a single 1 per row and x + 0.0 == x (NEGF is finite)
+            v_end = jnp.sum(v_cur * end_mask, axis=1)
+            upd = (v_end > best_v) & (j <= c_true)
+            best_v = jnp.where(upd, v_end, best_v)
+            best_j = jnp.where(upd, j, best_j)
+            return (v_cur, g_cur, best_v, best_j, j + 1), ptr_row
+
+        xs = (s4_cols, go_cols, ge_cols, occ2_cols)
+        (_, _, _, best_j, _), ptr = jax.lax.scan(
+            col, (v0, g0, bv0, bj0, jnp.int32(1)), xs)
+        # ptr[j-1, m, i] for column j
+
+        def trace_step(carry, _):
+            i, j, skip = carry
+            done = i == 0
+            jj = jnp.maximum(j, 1)
+            p = ptr[jj - 1, marange, jnp.minimum(i, lmax_pad)].astype(jnp.int32)
+            take = jnp.where(j <= i, False,
+                             jnp.where(skip, True, (p & 1) == 1))
+            place = (~done) & (~take)
+            col_out = jnp.where(place, j - 1, -1)
+            skip2 = jnp.where(done, False,
+                              jnp.where(take, (p & 2) == 2, False))
+            i2 = jnp.where(done | take, i, i - 1)
+            j2 = jnp.where(done, j, j - 1)
+            return (i2, j2, skip2), col_out
+
+        _, cols = jax.lax.scan(trace_step, (lens, best_j, jnp.zeros(
+            (m_pad,), bool)), None, length=c_pad)
+        return cols.T                       # [M, c_pad]; -1 = no placement
+
+    return jax.jit(run)
+
+
+def refine_pass_device(res_chars, res_codes, lens, f6, occ, c,
+                       go=-4.0, ge=-1.0, member_block=256):
+    """Device twin of refine._realign_chunk: returns new row byte-strings.
+
+    f6 [M, C, 6], occ [M, C] float32 (self-excluded profile), res_codes
+    [M, lmax] int codes, lens [M].  Host pre-scales every multiply so the
+    device DP is add/max-only and rounds identically to the NumPy path.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    m = len(res_chars)
+    lmax = res_codes.shape[1]
+    rows = []
+    for lo in range(0, m, member_block):
+        sel = slice(lo, min(lo + member_block, m))
+        mc = sel.stop - sel.start
+        m_pad = _round_up(mc, 8)
+        lmax_pad = _round_up(max(lmax, 1), 128)
+        c_pad = _round_up(max(c, 1), 256)
+        s4 = np.zeros((c_pad, m_pad, 6), np.float32)
+        s4[:c, :mc] = (4.0 * f6[sel]).astype(np.float32).transpose(1, 0, 2)
+        occ_p = np.zeros((c_pad, m_pad), np.float32)
+        occ_p[:c, :mc] = occ[sel].astype(np.float32).T
+        go_c = (np.float32(go) * occ_p).astype(np.float32)
+        ge_c = (np.float32(ge) * occ_p).astype(np.float32)
+        occ2 = (np.float32(2.0) * occ_p).astype(np.float32)
+        rc = np.full((m_pad, lmax_pad), 5, np.int32)
+        rc[:mc, :lmax] = res_codes[sel]
+        ln = np.zeros(m_pad, np.int32)
+        ln[:mc] = lens[sel]
+        fn = _build_refine(c_pad, lmax_pad, m_pad)
+        cols = np.asarray(jax.device_get(fn(
+            jnp.asarray(rc), jnp.asarray(ln), jnp.asarray(s4),
+            jnp.asarray(go_c), jnp.asarray(ge_c), jnp.asarray(occ2),
+            jnp.int32(c))))
+        for k in range(mc):
+            out = bytearray(b"-" * c)
+            chars = res_chars[lo + k]
+            placed = cols[k][cols[k] >= 0]       # residue lens-1 .. 0 order
+            n = len(placed)
+            for r in range(n):
+                out[placed[r]] = chars[lens[lo + k] - 1 - r]
+            rows.append(bytes(out))
+    return rows
+
+
 def align_ops_batch_device(c, member_codes, member_block=512):
     """Drop-in device equivalent of ``centerstar.align_ops_batch``.
 

@@ -153,6 +153,15 @@ def refine_pass(rows, chunk_bytes=1 << 30, backend="auto"):
     codes = encode_rows(rows)
     c = codes.shape[1]
     int_counts = _column_counts(codes)
+    if backend == "auto" and m * c >= 64 * 512:
+        try:
+            import jax
+            if jax.default_backend() != "cpu":
+                backend = "device"
+        except Exception:  # pragma: no cover
+            pass
+    if backend == "device":
+        return _refine_pass_device(rows, codes, int_counts)
     if backend in ("auto", "native"):
         from .. import native
         raw = native.refine_realign("".join(rows).encode("ascii"), codes,
@@ -189,6 +198,36 @@ def refine_pass(rows, chunk_bytes=1 << 30, backend="auto"):
                              res_codes[sel], lens[sel], f6, occ)
         new_rows.extend(r.decode("ascii") for r in out)
     return new_rows
+
+
+def _refine_pass_device(rows, codes, int_counts):
+    """One pass on device (align/device.refine_pass_device); identical f32
+    rounding to the NumPy chunk DP (all multiplies pre-scaled on host)."""
+    from .device import refine_pass_device
+
+    m, c = codes.shape
+    counts = int_counts.astype(np.float32)
+    denom = max(m - 1, 1)
+    res_chars, res_code_list = [], []
+    for mi in range(m):
+        mask = codes[mi] != _GAP
+        res_chars.append(rows[mi].replace("-", "").encode("ascii"))
+        res_code_list.append(codes[mi][mask])
+    lens = np.array([len(r) for r in res_code_list])
+    lmax = int(lens.max())
+    res_codes = np.full((m, lmax), _OTHER, np.int8)
+    for mi, rc in enumerate(res_code_list):
+        res_codes[mi, :len(rc)] = rc
+    onehot = np.eye(6, dtype=np.float32)
+    self_oh = onehot[codes.astype(np.int64)]          # [m, C, 6]
+    cnt_ex = counts[None, :, :] - self_oh
+    f6 = cnt_ex / denom
+    f6[:, :, 4:] = 0.0
+    occ = 1.0 - cnt_ex[:, :, 4] / denom
+    out = refine_pass_device(res_chars, res_codes.astype(np.int32),
+                             lens.astype(np.int32), f6, occ, c,
+                             go=GAP_OPEN, ge=GAP_EXT)
+    return [r.decode("ascii") for r in out]
 
 
 def drop_gap_columns(rows):

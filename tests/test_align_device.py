@@ -77,3 +77,28 @@ def test_center_star_backend_invariance():
     _, rows_np = cs.center_star_msa(ids, seqs, backend="numpy")
     _, rows_dev = cs.center_star_msa(ids, seqs, backend="device")
     assert rows_np == rows_dev
+
+
+def test_refine_device_matches_numpy():
+    from multiprime_tpu.align import refine
+
+    rng = np.random.default_rng(13)
+    base = "".join("ACGT"[i] for i in rng.integers(0, 4, size=160))
+    seqs = []
+    for _ in range(14):
+        b = list(base)
+        for _ in range(int(rng.integers(5, 30))):
+            k = int(rng.integers(0, max(len(b), 1)))
+            r = rng.integers(0, 3)
+            if r == 0:
+                b[k % len(b)] = "ACGT"[int(rng.integers(0, 4))]
+            elif r == 1 and len(b) > 5:
+                del b[k % len(b)]
+            else:
+                b.insert(k % (len(b) + 1), "ACGT"[int(rng.integers(0, 4))])
+        seqs.append("".join(b))
+    ids = [str(i) for i in range(len(seqs))]
+    _, rows = cs.center_star_msa(ids, seqs, backend="numpy")
+    a = refine.refine_pass(rows, backend="numpy")
+    b = refine.refine_pass(rows, backend="device")
+    assert a == b
