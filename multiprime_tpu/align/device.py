@@ -36,6 +36,7 @@ def _round_up(x, mult):
 
 @functools.lru_cache(maxsize=None)
 def _build(la_pad: int, lb_pad: int, m_pad: int):
+    from .. import ops as _ops  # noqa: F401 — enables persistent compile cache
     import jax
     import jax.numpy as jnp
 
@@ -119,6 +120,7 @@ def _build(la_pad: int, lb_pad: int, m_pad: int):
 
 @functools.lru_cache(maxsize=None)
 def _build_refine(c_pad: int, lmax_pad: int, m_pad: int):
+    from .. import ops as _ops  # noqa: F401 — enables persistent compile cache
     import jax
     import jax.numpy as jnp
 

@@ -25,6 +25,7 @@ see multiprime_tpu.parallel.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 import numpy as np
 
@@ -58,6 +59,58 @@ def _di_nucleotide_patterns():
                         pats.add((i + j + k) * 3)
         _DI_PATTERNS = sorted(pats)
     return _DI_PATTERNS
+
+
+@lru_cache(maxsize=100000)
+def _occ_union(primer: str):
+    """Bit-parallel position-occurrence sets for a degenerate primer.
+
+    Returns ``(occ, masks)`` where ``occ[m]`` (for every 4-bit IUPAC mask
+    ``m``) has bit ``i`` set iff ``mask(primer[i]) & m != 0``, i.e. iff some
+    expansion of the primer can carry a base of ``m`` at position ``i``;
+    ``masks`` is the per-position mask tuple.  Returns ``None`` when the
+    primer has a non-IUPAC character (callers fall back to the string scan).
+
+    Because IUPAC expansion is a full cartesian product, "some expansion of X
+    contains some expansion of Y at offset o" is *exactly* "at every overlap
+    position the two masks intersect" — the shift/AND walk over these ints is
+    an exact replacement for the reference's expand-and-substring loops, not
+    merely a screen."""
+    occ_base = [0, 0, 0, 0]         # A, C, G, T planes
+    masks = []
+    for i, ch in enumerate(primer):
+        m = iupac.CHAR_TO_MASK.get(ch, 0)
+        if not m:
+            return None
+        masks.append(m)
+        bit = 1 << i
+        if m & iupac.A:
+            occ_base[0] |= bit
+        if m & iupac.C:
+            occ_base[1] |= bit
+        if m & iupac.G:
+            occ_base[2] |= bit
+        if m & iupac.T:
+            occ_base[3] |= bit
+    occ = [0] * 16
+    for mm in range(1, 16):
+        v = 0
+        if mm & iupac.A:
+            v |= occ_base[0]
+        if mm & iupac.C:
+            v |= occ_base[1]
+        if mm & iupac.G:
+            v |= occ_base[2]
+        if mm & iupac.T:
+            v |= occ_base[3]
+        occ[mm] = v
+    return occ, tuple(masks)
+
+
+# 4-bit mask complement (A<->T, C<->G) for RC arithmetic on masks.
+_COMP_MASK = [int(iupac._COMP4[m]) for m in range(16)]
+
+_BASE_OF = {"A": iupac.A, "C": iupac.C, "G": iupac.G, "T": iupac.T}
 
 
 @dataclass
@@ -298,7 +351,33 @@ class DesignEngine:
         return _substring_maxstart_cached(primer, min_len)
 
     def hairpin_check(self, primer: str) -> bool:
-        """Sliding 5-mer vs downstream tail RC search (core.py:387-398)."""
+        """Sliding 5-mer vs downstream tail RC search (core.py:387-398).
+
+        Exact bit-parallel form of the reference's expand-both-sides loop:
+        a hit exists iff at some offset every RC(5-mer) mask intersects the
+        tail mask (expansion choices are independent per position)."""
+        d = self.p.hairpin_distance
+        length = len(primer)
+        if length < 10 + d:
+            return False
+        prep = _occ_union(primer)
+        if prep is None:
+            return self._hairpin_check_ref(primer)
+        occ, masks = prep
+        for n in range(length - 10 - d + 1):
+            lo = n + 5 + d
+            window = ((1 << (length - 5 - lo + 1)) - 1) << lo
+            ok = window
+            for j in range(5):
+                ok &= occ[_COMP_MASK[masks[n + 4 - j]]] >> j
+                if not ok:
+                    break
+            if ok:
+                return True
+        return False
+
+    def _hairpin_check_ref(self, primer: str) -> bool:
+        """Reference string-scan oracle (core.py:387-398)."""
         d = self.p.hairpin_distance
         n = 0
         while n <= len(primer) - 10 - d:
@@ -311,6 +390,27 @@ class DesignEngine:
         return False
 
     def di_nucleotide(self, primer: str) -> bool:
+        """Di/tri-nucleotide run filter (core.py:196-207, 462-468) — exact
+        bit-parallel pattern match over the degenerate primer."""
+        prep = _occ_union(primer)
+        if prep is None:
+            return self._di_nucleotide_ref(primer)
+        occ, masks = prep
+        length = len(primer)
+        for pat in self._di_pats:
+            lp = len(pat)
+            if lp > length or "#" in pat:
+                continue
+            ok = (1 << (length - lp + 1)) - 1
+            for j, ch in enumerate(pat):
+                ok &= occ[_BASE_OF[ch]] >> j
+                if not ok:
+                    break
+            if ok:
+                return True
+        return False
+
+    def _di_nucleotide_ref(self, primer: str) -> bool:
         for m in iupac.expand(primer):
             for pat in self._di_pats:
                 if pat in m:
@@ -960,20 +1060,48 @@ def _substring_maxstart_cached(primer, min_len=5):
 def _viterbi(freq, nn):
     """Max-sum consensus path over the frequency/NN tensors
     (get_optimal_primer_by_viterbi, core.py:579-593).  Integer exact;
-    ties resolve to the lowest base index like np.argmax."""
-    nodes = freq.T                       # [L, 4]
-    length = nodes.shape[0]
-    scores = nodes[0].astype(np.int64).reshape(-1, 1)
-    backptr = np.zeros((length, 4), dtype=np.int64)
+    ties resolve to the lowest base index like np.argmax.
+
+    Pure-Python int loop: the DP is 4 states x primer_len steps, far below
+    NumPy's per-call overhead (the node/transition scores are exact small
+    ints, so arithmetic is identical)."""
+    nodes = freq.T.tolist()              # [L][4] ints
+    trans = nn.tolist()                  # [L-1][4][4]
+    length = len(nodes)
+    scores = nodes[0]
+    backptr = [None] * length
     for t in range(1, length):
-        m = scores + nn[t - 1] + nodes[t].reshape(1, -1)
-        backptr[t] = np.argmax(m, axis=0)
-        scores = np.max(m, axis=0).reshape(-1, 1)
-    path = np.zeros(length, dtype=np.int64)
-    path[-1] = int(np.argmax(scores))
+        tr = trans[t - 1]
+        nd = nodes[t]
+        s0, s1, s2, s3 = scores
+        new = [0, 0, 0, 0]
+        bp = [0, 0, 0, 0]
+        for j in range(4):
+            best = s0 + tr[0][j]
+            bi = 0
+            v = s1 + tr[1][j]
+            if v > best:
+                best, bi = v, 1
+            v = s2 + tr[2][j]
+            if v > best:
+                best, bi = v, 2
+            v = s3 + tr[3][j]
+            if v > best:
+                best, bi = v, 3
+            new[j] = best + nd[j]
+            bp[j] = bi
+        scores = new
+        backptr[t] = bp
+    best = scores[0]
+    bi = 0
+    for j in range(1, 4):
+        if scores[j] > best:
+            best, bi = scores[j], j
+    path = [0] * length
+    path[-1] = bi
     for t in range(length - 1, 0, -1):
-        path[t - 1] = backptr[t, path[t]]
-    return path
+        path[t - 1] = backptr[t][path[t]]
+    return np.array(path, dtype=np.int64)
 
 
 HEADERS = ["Position", "Entropy of cover (bit)", "Entropy of total (bit)",

@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 from bisect import bisect_left
 from dataclasses import dataclass
+from functools import lru_cache
 
 import numpy as np
 
@@ -109,6 +110,34 @@ class PairingEngine:
     def hairpin(self, primer):
         if not self.p.weak_hairpin:
             return self._helper.hairpin_check(primer)
+        # Weak variant: only the FIRST expansion of each 5-mer is probed
+        # (get_multiPrime.py:360-372 consumes a generator).  rck is then a
+        # concrete sequence, so "rck in some tail expansion" is exactly
+        # "every rck base intersects the tail mask at some offset" — the
+        # same bit-parallel walk as the full check, with first-member masks.
+        from .mcdpd import _occ_union, _BASE_OF
+        d = self.p.hairpin_distance
+        length = len(primer)
+        if length < 10 + d:
+            return False
+        prep = _occ_union(primer)
+        if prep is None:
+            return self._hairpin_weak_ref(primer)
+        occ, _ = prep
+        first = [iupac.CODE_MEMBERS.get(ch, ["A"])[0] for ch in primer]
+        comp = {"A": "T", "T": "A", "C": "G", "G": "C"}
+        for n in range(length - 10 - d + 1):
+            lo = n + 5 + d
+            ok = ((1 << (length - 5 - lo + 1)) - 1) << lo
+            for j in range(5):
+                ok &= occ[_BASE_OF[comp[first[n + 4 - j]]]] >> j
+                if not ok:
+                    break
+            if ok:
+                return True
+        return False
+
+    def _hairpin_weak_ref(self, primer):
         d = self.p.hairpin_distance
         n = 0
         while n <= len(primer) - 10 - d:
@@ -120,19 +149,26 @@ class PairingEngine:
             n += 1
         return False
 
+    @lru_cache(maxsize=200000)
+    def _ends_rc(self, primer):
+        """(end, RC(end)) tuples for a primer's 3'-end set — cached because
+        the same primers recur across thousands of pair candidates."""
+        ends = self._helper.current_end(primer)
+        return tuple((e, iupac.rc(e)) for e in dict.fromkeys(ends))
+
     def dimer_check(self, primer_f, primer_r):
         """F/R cross-dimer (get_multiPrime.py:419-437): Loss > 3.6 with the
         exponential penalty, dG with the single-end initiation variant."""
-        ends = set(self._helper.current_end(primer_f)) \
-            | set(self._helper.current_end(primer_r))
+        seen = dict.fromkeys(self._ends_rc(primer_f))
+        seen.update(dict.fromkeys(self._ends_rc(primer_r)))
+        ends = list(seen)
         for pp in (primer_f, primer_r):
             expansions = iupac.expand(pp)
             # the cached substring index pays here: the same primers recur
             # across thousands of pair candidates (unlike the design engine,
             # which sees each primer once and scans directly)
             index = self._helper._substring_maxstart(pp, 5)
-            for end in ends:
-                rce = iupac.rc(end)
+            for end, rce in ends:
                 if rce not in index:
                     continue
                 for p in expansions:

@@ -104,13 +104,24 @@ def tm_degenerate_mean(primer: str) -> float:
 
 
 def _stat_mean(values) -> float:
-    # statistics.mean uses exact rational arithmetic over floats; replicate via
-    # math.fsum-free exact Fraction sum for bit-parity.
-    from fractions import Fraction
-    total = Fraction(0)
+    # statistics.mean uses exact rational arithmetic over floats.  Every
+    # finite float is m / 2**k, so the exact sum is integer math over the
+    # largest denominator; CPython's int/int true division is correctly
+    # rounded, identical to float(Fraction(num, den)) — bit-parity without
+    # per-element Fraction/gcd overhead.
+    nums = []
+    dens = []
+    max_d = 1
     for v in values:
-        total += Fraction(v)
-    return float(total / len(values))
+        n, d = float(v).as_integer_ratio()
+        nums.append(n)
+        dens.append(d)
+        if d > max_d:
+            max_d = d
+    total = 0
+    for n, d in zip(nums, dens):
+        total += n * (max_d // d)
+    return total / (max_d * len(nums))
 
 
 @lru_cache(maxsize=None)

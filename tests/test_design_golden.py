@@ -101,3 +101,69 @@ def test_engine_smoke_synthetic():
     for r in res:
         assert len(r.primer) == 18
         assert r.coverage <= 20
+
+
+def _random_degenerate_primer(rng, length):
+    import random
+    codes = "ACGTRYMKSWHBVDN"
+    # bias towards pure bases like real primers
+    return "".join(
+        rng.choice(codes) if rng.random() < 0.25 else rng.choice("ACGT")
+        for _ in range(length))
+
+
+def test_bit_parallel_filters_match_reference_scan():
+    """hairpin_check / di_nucleotide bit-parallel forms vs the reference
+    expand-and-substring oracles, on random degenerate primers."""
+    import random
+    from multiprime_tpu.models import mcdpd
+    eng = mcdpd.DesignEngine(mcdpd.DesignParams())
+    rng = random.Random(123)
+    n_hairpin_true = n_di_true = 0
+    for _ in range(400):
+        primer = _random_degenerate_primer(rng, rng.randint(14, 24))
+        h_new, h_ref = eng.hairpin_check(primer), eng._hairpin_check_ref(primer)
+        assert h_new == h_ref, primer
+        d_new, d_ref = eng.di_nucleotide(primer), eng._di_nucleotide_ref(primer)
+        assert d_new == d_ref, primer
+        n_hairpin_true += h_ref
+        n_di_true += d_ref
+    assert n_hairpin_true and n_di_true    # both verdicts exercised
+
+
+def test_weak_hairpin_matches_reference_scan():
+    import random
+    from multiprime_tpu.models import pairing
+    eng = pairing.PairingEngine(pairing.PairingParams())
+    rng = random.Random(321)
+    hits = 0
+    for _ in range(400):
+        primer = _random_degenerate_primer(rng, rng.randint(14, 24))
+        new, ref = eng.hairpin(primer), eng._hairpin_weak_ref(primer)
+        assert new == ref, primer
+        hits += ref
+    assert hits
+
+
+def test_viterbi_matches_numpy_reference():
+    import numpy as np
+    from multiprime_tpu.models import mcdpd
+    rng = np.random.default_rng(5)
+    for _ in range(100):
+        length = int(rng.integers(2, 24))
+        freq = rng.integers(0, 50, size=(4, length)).astype(np.int64)
+        nn = rng.integers(0, 50, size=(length - 1, 4, 4)).astype(np.int64)
+        # NumPy oracle (the previous implementation)
+        nodes = freq.T
+        scores = nodes[0].astype(np.int64).reshape(-1, 1)
+        backptr = np.zeros((length, 4), dtype=np.int64)
+        for t in range(1, length):
+            m = scores + nn[t - 1] + nodes[t].reshape(1, -1)
+            backptr[t] = np.argmax(m, axis=0)
+            scores = np.max(m, axis=0).reshape(-1, 1)
+        path = np.zeros(length, dtype=np.int64)
+        path[-1] = int(np.argmax(scores))
+        for t in range(length - 1, 0, -1):
+            path[t - 1] = backptr[t, path[t]]
+        got = mcdpd._viterbi(freq, nn)
+        assert got.tolist() == path.tolist()

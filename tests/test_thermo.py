@@ -97,3 +97,18 @@ def test_degeneracy():
     assert iupac.degeneracy("RY") == 4
     assert iupac.degeneracy("N") == 4
     assert iupac.num_degenerate_positions("ARYT") == 2
+
+
+def test_stat_mean_matches_statistics_mean():
+    import random
+    import statistics
+    from multiprime_tpu.thermo import exact
+    rng = random.Random(7)
+    for _ in range(500):
+        n = rng.randint(1, 40)
+        vals = [round(rng.uniform(-100, 100), rng.randint(0, 6))
+                for _ in range(n)]
+        assert exact._stat_mean(vals) == statistics.mean(vals)
+    # denormals / extreme exponents
+    vals = [5e-324, 1e308, -1e308, 3.3333333333333335]
+    assert exact._stat_mean(vals) == statistics.mean(vals)
