@@ -27,6 +27,59 @@ MATCH, MISMATCH, GAP = 2, -1, -2
 GAP_OPEN, GAP_EXT = -4, -1
 
 
+def _pairwise_intersections(sets):
+    """Exact |set_i ∩ set_j| matrix for sorted-unique int arrays.
+
+    Two regimes: homogeneous clusters have few distinct k-mers shared by
+    many sequences (indicator matmul wins); diverse clusters have many
+    k-mers each shared by few (group-pair bincount wins).  Both give the
+    same exact integer counts as per-pair ``intersect1d``."""
+    n = len(sets)
+    lens = np.array([s.size for s in sets], np.int64)
+    if n == 0 or lens.sum() == 0:
+        return np.zeros((n, n), np.int64)
+    all_k = np.concatenate(sets)
+    owners = np.repeat(np.arange(n, dtype=np.int64), lens)
+    uniq, col = np.unique(all_k, return_inverse=True)
+    v = uniq.size
+    if v <= 65536:
+        ind = np.zeros((n, v), np.float32)
+        ind[owners, col] = 1.0
+        return (ind @ ind.T).astype(np.int64)
+    order = np.argsort(all_k, kind="stable")   # owners ascend within groups
+    ow = owners[order]
+    gid = col[order]
+    new = np.empty(len(ow), bool)
+    new[0] = True
+    new[1:] = gid[1:] != gid[:-1]
+    start = np.flatnonzero(new)
+    grp_of = np.cumsum(new) - 1
+    rank = np.arange(len(ow)) - start[grp_of]
+    inter = np.zeros(n * n, np.int64)
+    # chunk the ragged pair expansion to bound memory (~4M pairs per chunk)
+    cum = np.concatenate([[0], np.cumsum(rank)])
+    total = int(cum[-1])
+    step = 4_000_000
+    cuts = np.searchsorted(cum, np.arange(step, total + step, step))
+    lo = 0
+    for hi in np.unique(np.append(cuts, len(ow))):
+        hi = int(hi)
+        npairs = int(cum[hi] - cum[lo])
+        if npairs:
+            r = rank[lo:hi]
+            rep = np.repeat(np.arange(lo, hi), r)
+            within = np.arange(npairs) - np.repeat(
+                (cum[lo:hi] - cum[lo]), r)
+            earlier = rep - 1 - within
+            flat = ow[earlier] * n + ow[rep]
+            inter += np.bincount(flat, minlength=n * n)
+        lo = hi
+    mat = inter.reshape(n, n)
+    mat = mat + mat.T
+    mat[np.arange(n), np.arange(n)] = lens
+    return mat
+
+
 def pick_center(seqs, k=12, sample=200):
     """Index of the sequence with the largest summed k-mer Jaccard."""
     if len(seqs) == 1:
@@ -36,16 +89,17 @@ def pick_center(seqs, k=12, sample=200):
         step = len(idx) / sample
         idx = sorted({int(i * step) for i in range(sample)})
     sets = {i: kmer_set(_encode(seqs[i]), k) for i in idx}
+    inter = _pairwise_intersections([sets[i] for i in idx])
+    sizes = {i: sets[i].size for i in idx}
     best, best_score = idx[0], -1.0
-    for i in idx:
+    for ii, i in enumerate(idx):
         score = 0.0
-        for j in idx:
+        for jj, j in enumerate(idx):
             if i == j:
                 continue
-            a, b = sets[i], sets[j]
-            if a.size and b.size:
-                inter = np.intersect1d(a, b, assume_unique=True).size
-                score += inter / (a.size + b.size - inter)
+            if sizes[i] and sizes[j]:
+                cnt = int(inter[ii, jj])
+                score += cnt / (sizes[i] + sizes[j] - cnt)
         if score > best_score:
             best, best_score = i, score
     return best
@@ -304,9 +358,11 @@ def center_star_msa(ids, seqs, backend="auto"):
     per_member = [None] * len(seqs)
     if _use_device_backend(backend, len(member_idx), len(c)):
         from .device import align_ops_batch_device
-        batch = align_ops_batch_device(c, [codes[m] for m in member_idx])
-        for m, ops in zip(member_idx, batch):
-            per_member[m] = ops
+        fmat = align_ops_batch_device(c, [codes[m] for m in member_idx],
+                                      as_codes=True)
+        rows = _merge_rows_vec(seqs, center, member_idx, fmat)
+        assert len({len(r) for r in rows}) == 1
+        return ids, rows
     else:
         # Chunk so the [la, M, lb] pointer tensors stay within ~1 GB.
         lb_max = max(len(codes[m]) for m in member_idx)
@@ -316,8 +372,33 @@ def center_star_msa(ids, seqs, backend="auto"):
             batch = align_ops_batch(c, [codes[m] for m in part])
             for m, ops in zip(part, batch):
                 per_member[m] = ops
-    la = len(c)
-    # master gap slot before each center position (+ one trailing slot)
+    fmat = _ops_to_code_matrix([per_member[m] for m in member_idx])
+    rows = _merge_rows_vec(seqs, center, member_idx, fmat)
+    assert len({len(r) for r in rows}) == 1
+    return ids, rows
+
+
+_OP_CODE = np.full(256, 3, np.uint8)
+_OP_CODE[ord("M")] = 0
+_OP_CODE[ord("D")] = 1
+_OP_CODE[ord("I")] = 2
+
+
+def _ops_to_code_matrix(per_member_ops):
+    """Char-op lists -> forward uint8 code matrix [M, S] (0=M,1=D,2=I,3=pad,
+    pads at the end of each row)."""
+    m = len(per_member_ops)
+    smax = max((len(o) for o in per_member_ops), default=0)
+    fmat = np.full((m, smax), 3, np.uint8)
+    for i, ops in enumerate(per_member_ops):
+        fmat[i, :len(ops)] = _OP_CODE[
+            np.frombuffer("".join(ops).encode("ascii"), np.uint8)]
+    return fmat
+
+
+def _merge_rows_scalar(seqs, center, member_idx, per_member):
+    """Reference per-op merge loop (oracle for _merge_rows_vec)."""
+    la = len(seqs[center])
     slot = np.zeros(la + 1, np.int64)
     for ops in per_member:
         if ops is None:
@@ -361,8 +442,62 @@ def center_star_msa(ids, seqs, backend="auto"):
                 ci += 1
         out.append("".join(run) + "-" * int(slot[la] - len(run)))
         rows.append("".join(out))
-    assert len({len(r) for r in rows}) == 1
-    return ids, rows
+    return rows
+
+
+def _merge_rows_vec(seqs, center, member_idx, fmat):
+    """Vectorised center-star merge.
+
+    ``fmat`` [M, S]: forward op codes per member (0=M, 1=D, 2=I, 3=pad).
+    Every member has exactly ``la`` non-I ops (each M/D consumes one center
+    position), so the non-I positions form a dense [M, la] matrix and the
+    whole merge — slot sizing, run placement, residue scatter — is a handful
+    of NumPy gathers instead of a per-op Python walk."""
+    la = len(seqs[center])
+    m, s = fmat.shape
+    is_real = fmat != 3
+    non_i = is_real & (fmat != 2)
+    consume = (fmat == 0) | (fmat == 2)        # M and I eat a member residue
+    n_real = is_real.sum(axis=1)
+    kmat = np.cumsum(non_i, axis=1, dtype=np.int64) - 1
+    rows_, cols_ = np.nonzero(non_i)
+    pmat = np.full((m, la), -1, np.int64)
+    pmat[rows_, kmat[rows_, cols_]] = cols_
+    pfull = np.concatenate([np.full((m, 1), -1, np.int64), pmat], axis=1)
+    runs = pmat - pfull[:, :-1] - 1            # I-run before each center pos
+    trail = n_real - 1 - pmat[:, la - 1]
+    slot = np.zeros(la + 1, np.int64)
+    if m:
+        slot[:la] = runs.max(axis=0)
+        slot[la] = trail.max()
+    off = np.zeros(la + 1, np.int64)
+    off[1:] = np.cumsum(slot[:la] + 1)
+    row_len = int(off[la] + slot[la])
+    out = np.full((m, row_len), ord("-"), np.uint8)
+    lbs = np.array([len(seqs[mm]) for mm in member_idx], np.int64)
+    seq_mat = np.zeros((m, int(lbs.max()) if m else 1), np.uint8)
+    for i, mm in enumerate(member_idx):
+        seq_mat[i, :lbs[i]] = np.frombuffer(
+            seqs[mm].encode("ascii"), np.uint8)
+    mi = np.cumsum(consume, axis=1, dtype=np.int64) - 1
+    mr, mc = np.nonzero(fmat == 0)             # M ops -> center column
+    k_m = kmat[mr, mc]
+    out[mr, off[k_m] + slot[k_m]] = seq_mat[mr, mi[mr, mc]]
+    ir, ic = np.nonzero(fmat == 2)             # I ops -> left-aligned in slot
+    q = kmat[ir, ic] + 1                       # next center position index
+    prev = pfull[ir, q]
+    out[ir, off[q] + (ic - prev - 1)] = seq_mat[ir, mi[ir, ic]]
+    center_chars = []
+    for i in range(la):
+        center_chars.append("-" * int(slot[i]))
+        center_chars.append(seqs[center][i])
+    center_chars.append("-" * int(slot[la]))
+    blob = out.tobytes().decode("latin-1")
+    rows = [None] * len(seqs)
+    rows[center] = "".join(center_chars)
+    for i, mm in enumerate(member_idx):
+        rows[mm] = blob[i * row_len:(i + 1) * row_len]
+    return rows
 
 
 def write_msa(ids, rows, path, width=60):

@@ -234,24 +234,33 @@ def refine_pass_device(res_chars, res_codes, lens, f6, occ, c,
         cols = np.asarray(jax.device_get(fn(
             jnp.asarray(rc), jnp.asarray(ln), jnp.asarray(s4),
             jnp.asarray(go_c), jnp.asarray(ge_c), jnp.asarray(occ2),
-            jnp.int32(c))))
+            jnp.int32(c))))[:mc]
+        # Vectorised placement: the trace emits residues last-to-first, so
+        # the r-th placed column of member k carries chars[lens[k]-1-r].
+        chars_mat = np.zeros((mc, lmax if lmax else 1), np.uint8)
         for k in range(mc):
-            out = bytearray(b"-" * c)
-            chars = res_chars[lo + k]
-            placed = cols[k][cols[k] >= 0]       # residue lens-1 .. 0 order
-            n = len(placed)
-            for r in range(n):
-                out[placed[r]] = chars[lens[lo + k] - 1 - r]
-            rows.append(bytes(out))
+            b = res_chars[lo + k]
+            chars_mat[k, :len(b)] = np.frombuffer(b, np.uint8)
+        placed_mask = cols >= 0
+        rank = np.cumsum(placed_mask, axis=1, dtype=np.int64) - 1
+        rk, sk = np.nonzero(placed_mask)
+        res_idx = lens[lo + rk] - 1 - rank[rk, sk]
+        out_mat = np.full((mc, c), ord("-"), np.uint8)
+        out_mat[rk, cols[rk, sk]] = chars_mat[rk, res_idx]
+        row_bytes = out_mat.tobytes()
+        rows.extend(row_bytes[k * c:(k + 1) * c] for k in range(mc))
     return rows
 
 
-def align_ops_batch_device(c, member_codes, member_block=512):
+def align_ops_batch_device(c, member_codes, member_block=512,
+                           as_codes=False):
     """Drop-in device equivalent of ``centerstar.align_ops_batch``.
 
     ``c`` and ``member_codes`` are int code arrays (A=0..T=3, other=4+).
     Returns one op list (['M'|'D'|'I'] strings) per member, identical to
-    the NumPy path.
+    the NumPy path; with ``as_codes=True``, instead returns the forward
+    uint8 code matrix [M, S] (0=M, 1=D, 2=I, 3=pad at the end) consumed by
+    ``centerstar._merge_rows_vec`` without per-op Python lists.
     """
     import jax
     import jax.numpy as jnp
@@ -259,6 +268,7 @@ def align_ops_batch_device(c, member_codes, member_block=512):
     la = len(c)
     lbs_all = np.array([len(b) for b in member_codes], np.int32)
     out = [None] * len(member_codes)
+    parts = []
     la_pad = _round_up(max(la, 1), 256)
     # Padded rows use sentinel code 5 (always MISMATCH, never visited by
     # the trace, which starts at the true la).
@@ -277,9 +287,28 @@ def align_ops_batch_device(c, member_codes, member_block=512):
         fn = _build(la_pad, lb_pad, m_pad)
         ops_rev = np.asarray(jax.device_get(
             fn(jnp.asarray(c_pad), jnp.int32(la),
-               jnp.asarray(bmat), jnp.asarray(lbs_p))))
+               jnp.asarray(bmat), jnp.asarray(lbs_p))))[:len(part)]
+        if as_codes:
+            # reverse + left-shift out the pad prefix, all in NumPy
+            s_blk = ops_rev.shape[1]
+            n_real = (ops_rev != _PAD_OP).sum(axis=1)
+            flipped = ops_rev[:, ::-1]
+            idx = np.arange(s_blk)[None, :] + (s_blk - n_real)[:, None]
+            fwd = np.take_along_axis(
+                flipped, np.minimum(idx, s_blk - 1), axis=1)
+            fwd[np.arange(s_blk)[None, :] >= n_real[:, None]] = _PAD_OP
+            parts.append(fwd)
+            continue
         for i in range(len(part)):
             codes = ops_rev[i]
             real = codes[codes != _PAD_OP][::-1]
             out[lo + i] = list(_OP_CHARS[real])
+    if as_codes:
+        smax = max(p.shape[1] for p in parts)
+        fmat = np.full((len(member_codes), smax), _PAD_OP, np.uint8)
+        row = 0
+        for p in parts:
+            fmat[row:row + len(p), :p.shape[1]] = p
+            row += len(p)
+        return fmat
     return out

@@ -208,16 +208,20 @@ def _refine_pass_device(rows, codes, int_counts):
     m, c = codes.shape
     counts = int_counts.astype(np.float32)
     denom = max(m - 1, 1)
-    res_chars, res_code_list = [], []
-    for mi in range(m):
-        mask = codes[mi] != _GAP
-        res_chars.append(rows[mi].replace("-", "").encode("ascii"))
-        res_code_list.append(codes[mi][mask])
-    lens = np.array([len(r) for r in res_code_list])
+    # Vectorised residue compaction: scatter non-gap chars/codes left.
+    arr = np.frombuffer("".join(rows).encode("ascii"),
+                        np.uint8).reshape(m, c)
+    mask = codes != _GAP
+    lens = mask.sum(axis=1)
     lmax = int(lens.max())
+    pos = np.cumsum(mask, axis=1, dtype=np.int64) - 1
+    rr, cc = np.nonzero(mask)
+    chars_mat = np.zeros((m, lmax), np.uint8)
+    chars_mat[rr, pos[rr, cc]] = arr[rr, cc]
     res_codes = np.full((m, lmax), _OTHER, np.int8)
-    for mi, rc in enumerate(res_code_list):
-        res_codes[mi, :len(rc)] = rc
+    res_codes[rr, pos[rr, cc]] = codes[rr, cc]
+    blob = chars_mat.tobytes()
+    res_chars = [blob[mi * lmax:mi * lmax + lens[mi]] for mi in range(m)]
     onehot = np.eye(6, dtype=np.float32)
     self_oh = onehot[codes.astype(np.int64)]          # [m, C, 6]
     cnt_ex = counts[None, :, :] - self_oh

@@ -102,3 +102,51 @@ def test_refine_device_matches_numpy():
     a = refine.refine_pass(rows, backend="numpy")
     b = refine.refine_pass(rows, backend="device")
     assert a == b
+
+
+def test_merge_rows_vec_matches_scalar_oracle():
+    """Vectorised center-star merge vs the original per-op walk, on random
+    sequences with indels (both backends' op lists feed the same merge)."""
+    import random
+    from multiprime_tpu.align import centerstar as cs
+    rng = random.Random(11)
+    base = "".join(rng.choice("ACGT") for _ in range(120))
+    seqs = []
+    for _ in range(15):
+        s = list(base)
+        for _ in range(rng.randint(0, 12)):
+            p = rng.randrange(len(s))
+            r = rng.random()
+            if r < 0.4:
+                s.insert(p, rng.choice("ACGT"))
+            elif r < 0.7 and len(s) > 50:
+                del s[p]
+            else:
+                s[p] = rng.choice("ACGT")
+        seqs.append("".join(s))
+    center = cs.pick_center(seqs)
+    codes = [cs._encode(s) for s in seqs]
+    member_idx = [m for m in range(len(seqs)) if m != center]
+    ops = cs.align_ops_batch(codes[center], [codes[m] for m in member_idx])
+    per_member = [None] * len(seqs)
+    for m, o in zip(member_idx, ops):
+        per_member[m] = o
+    scalar = cs._merge_rows_scalar(seqs, center, member_idx, per_member)
+    fmat = cs._ops_to_code_matrix(ops)
+    vec = cs._merge_rows_vec(seqs, center, member_idx, fmat)
+    assert vec == scalar
+
+
+def test_pairwise_intersections_exact():
+    import numpy as np
+    from multiprime_tpu.align import centerstar as cs
+    rng = np.random.default_rng(3)
+    for v_universe, nsets in ((300, 20), (200000, 12)):
+        sets = [np.unique(rng.integers(0, v_universe, size=rng.integers(0, 400)))
+                for _ in range(nsets)]
+        got = cs._pairwise_intersections(sets)
+        for i in range(nsets):
+            for j in range(nsets):
+                want = np.intersect1d(sets[i], sets[j],
+                                      assume_unique=True).size
+                assert got[i, j] == want, (i, j)
