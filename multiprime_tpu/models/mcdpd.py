@@ -554,14 +554,21 @@ class DesignEngine:
     def _design_parallel(self, extractor, positions, seq_ids, n, threshold):
         import concurrent.futures as cf
         import multiprocessing as mp
+        global _FORK_WORKER
         nw = self.p.nproc
         chunks = [c for c in np.array_split(positions, nw * 4) if len(c)]
         ctx = mp.get_context("fork")
-        worker = _DesignWorker(self, extractor, seq_ids, n, threshold)
+        # The worker (engine + full MSA) crosses into children by fork
+        # copy-on-write via this module global; only the tiny position
+        # chunks and the result rows are ever pickled.
+        _FORK_WORKER = _DesignWorker(self, extractor, seq_ids, n, threshold)
         results = []
-        with cf.ProcessPoolExecutor(max_workers=nw, mp_context=ctx) as pool:
-            for part in pool.map(worker, chunks):
-                results.extend(part)
+        try:
+            with cf.ProcessPoolExecutor(max_workers=nw, mp_context=ctx) as pool:
+                for part in pool.map(_call_fork_worker, chunks):
+                    results.extend(part)
+        finally:
+            _FORK_WORKER = None
         return results
 
     # -- per-window Stage B ----------------------------------------------------
@@ -1011,9 +1018,16 @@ class DesignEngine:
         return f_mis, f_non, r_mis, r_non
 
 
+_FORK_WORKER = None
+
+
+def _call_fork_worker(chunk):
+    return _FORK_WORKER(chunk)
+
+
 class _DesignWorker:
-    """Picklable per-chunk design worker (fork start method: the engine and
-    extractor arrive via copy-on-write, not pickling)."""
+    """Per-chunk design worker, reached in children through the fork-inherited
+    `_FORK_WORKER` module global (never pickled per task)."""
 
     def __init__(self, engine, extractor, seq_ids, n, threshold):
         self.engine = engine
