@@ -11,15 +11,21 @@ which is exactly the reference's MD-tag trailing-run filter (:242-262) —
 "reject when the last exact-match run is shorter than term" is equivalent to
 "any mismatch within the last term bases" for primer-scale lengths.
 
-Two backends compute the match-count tensor [N, L-l+1, P]:
+Two backends:
 
 * ``match_counts_conv`` — XLA conv_general_dilated (one-hot as 4 input
-  channels, primers as P output channels).  XLA lowers this to MXU convs.
-* ``match_counts_pallas`` — explicit Pallas kernel: per (seq-tile, window-tile)
-  grid cell, im2col into VMEM scratch and a single [TN*TO, l*4] x [l*4, P]
-  MXU matmul.
+  channels, primers as P output channels).  XLA lowers this to MXU convs,
+  but `find_hits` on top of it materialises two f32 [N, O, P] count tensors
+  in HBM (total + 3'-suffix) before thresholding — the scan is
+  bandwidth-bound, not FLOP-bound (0.04 TMACs vs ~4 GB of traffic at the
+  bench shape), so those round-trips dominate.
+* ``hit_codes_pallas`` — fused Pallas kernel: per (seq-tile, window-tile)
+  grid cell, im2col into VMEM scratch, ONE [TO, l*4] x [l*4, 2P] MXU matmul
+  (primer and 3'-suffix one-hots side by side), and the mm/term threshold
+  applied in VMEM.  Only an int8 hit-code tensor (0 = miss, mism+1 = hit)
+  ever reaches HBM — 1/16th of the conv path's traffic.
 
-Both produce identical integer counts (0/1 products, f32 accumulation is
+Both backends yield identical hits (0/1 products, f32 accumulation is
 exact).  `find_hits` thresholds on device and returns sparse hit coordinates.
 
 Sharding: the N (sequence) axis is embarrassingly parallel — see
@@ -39,6 +45,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..utils import iupac
 
+# popcount of the 4-bit IUPAC masks: 1 <=> unambiguous base
+_POP4 = np.array([bin(i).count("1") for i in range(16)], dtype=np.int32)
+
 
 def encode_targets(seqs, length=None):
     """List of ACGT/N strings -> (one-hot uint8 [N, L, 4], lengths [N])."""
@@ -57,6 +66,35 @@ def encode_targets(seqs, length=None):
     pure = np.isin(masks, [1, 2, 4, 8])
     onehot = onehot * pure[..., None]
     return onehot.astype(np.uint8), lengths
+
+
+def encode_target_masks(seqs, length=None):
+    """List of strings -> (IUPAC 4-bit masks uint8 [N, L], lengths [N]).
+
+    The compact upload format: 1/4 the bytes of the one-hot encoding.  On
+    high-latency or narrow host->device links (the usual production
+    bottleneck — the scan itself is bandwidth-bound, not FLOP-bound) ship
+    THIS and let find_hits expand on device."""
+    if length is None:
+        length = max((len(s) for s in seqs), default=0)
+    n = len(seqs)
+    chars = np.zeros((n, length), dtype=np.uint8)
+    lengths = np.zeros(n, dtype=np.int32)
+    for i, s in enumerate(seqs):
+        b = np.frombuffer(s.encode("ascii"), np.uint8)[:length]
+        chars[i, :len(b)] = b
+        lengths[i] = len(b)
+    return iupac.bytes_to_masks(chars), lengths
+
+
+def expand_masks(masks):
+    """Device-side: uint8 [N, L] IUPAC masks -> one-hot uint8 [N, L, 4];
+    ambiguity codes in targets match nothing (bowtie-like), same semantics
+    as encode_targets."""
+    m = jnp.asarray(masks).astype(jnp.int32)
+    onehot = (m[..., None] >> jnp.arange(4, dtype=jnp.int32)) & 1
+    pure = jnp.asarray(_POP4)[m] == 1
+    return jnp.where(pure[..., None], onehot, 0).astype(jnp.uint8)
 
 
 def encode_primers(primers):
@@ -114,22 +152,28 @@ def _scan_kernel(x_ref, w_ref, o_ref, acc_ref, *, tile_o, plen):
     o_ref[:] = counts
 
 
-def _scan_kernel_fused(x_ref, w_ref, ws_ref, o_ref, os_ref, acc_ref, *,
-                       tile_o, plen):
-    """Like _scan_kernel but also emits 3'-suffix match counts from the same
-    im2col (one extra MXU pass, no extra memory traffic)."""
+def _hit_code_kernel(x_ref, w_ref, o_ref, acc_ref, *, tile_o, plen, p,
+                     mm, term):
+    """Fused scan: im2col + one [.., 4*plen] x [4*plen, 2P] MXU matmul
+    (total-match and 3'-suffix counts side by side) + threshold, emitting
+    int8 codes (0 = no hit, mismatches+1 = hit).  The f32 count tensors
+    never leave VMEM."""
     j = pl.program_id(1)
     base = pl.multiple_of(j * tile_o, 256)
-    pad = 128
-    for b in range(4):
-        row = x_ref[:, b, pl.ds(base, tile_o + pad)]
-        for k in range(plen):
-            acc_ref[:, b * plen + k, :] = row[:, k:k + tile_o]
-    dn = (((1,), (0,)), ((), ()))
-    o_ref[:] = jax.lax.dot_general(acc_ref[:], w_ref[:], dn,
-                                   preferred_element_type=jnp.float32)
-    os_ref[:] = jax.lax.dot_general(acc_ref[:], ws_ref[:], dn,
-                                    preferred_element_type=jnp.float32)
+    pad = 128  # aligned over-read that covers the plen-1 window overlap
+    block = x_ref[:, :, pl.ds(base, tile_o + pad)]   # [TN, 4, TO+pad]
+    # One lane-shift per window offset, all 4 base planes at once; the
+    # contraction axis is (position-major, base-minor), matching w.
+    for k in range(plen):
+        acc_ref[:, pl.ds(4 * k, 4), :] = block[:, :, k:k + tile_o]
+    both = jax.lax.dot_general(
+        acc_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)          # [TN, TO, 2P], int8 MXU
+    counts = both[:, :, :p]
+    suffix = both[:, :, p:]
+    mism = plen - counts
+    ok = (mism <= mm) & (suffix >= term)
+    o_ref[:] = jnp.where(ok, mism + 1, 0).astype(jnp.int8)
 
 
 def match_counts_pallas(targets_1h, primers_1h, tile_n=8, tile_o=512,
@@ -173,43 +217,43 @@ def match_counts_pallas(targets_1h, primers_1h, tile_n=8, tile_o=512,
 # Hit extraction
 # ---------------------------------------------------------------------------
 
-def match_counts_pallas_fused(targets_1h, primers_1h, suffix_1h, tile_n=8,
-                              tile_o=512):
-    """One Pallas pass -> (total counts, 3'-suffix counts), both [N, O, P]."""
+def hit_codes_pallas(targets_1h, primers_1h, suffix_1h, *, mm, term,
+                     tile_n=8, tile_o=512, interpret=False):
+    """One fused Pallas pass -> int8 hit codes [N, O, P]
+    (0 = no hit, mismatches+1 = hit under the mm/term rule)."""
     n, length, _ = targets_1h.shape
     p, plen, _ = primers_1h.shape
     n_out = length - plen + 1
     n_pad = -n % tile_n
     o_pad = -n_out % tile_o
-    x = jnp.transpose(jnp.asarray(targets_1h, jnp.bfloat16), (0, 2, 1))
+    x = jnp.transpose(jnp.asarray(targets_1h, jnp.int8), (0, 2, 1))
     x = jnp.pad(x, ((0, n_pad), (0, 0), (0, o_pad + 128 + plen)))
-    w = jnp.transpose(jnp.asarray(primers_1h, jnp.bfloat16), (2, 1, 0)) \
-        .reshape(4 * plen, p)
-    ws = jnp.transpose(jnp.asarray(suffix_1h, jnp.bfloat16), (2, 1, 0)) \
-        .reshape(4 * plen, p)
+    # [4*plen, 2P], position-major / base-minor rows (matching the kernel's
+    # im2col fill order): total-match columns then 3'-suffix columns.
+    w = jnp.concatenate([
+        jnp.transpose(jnp.asarray(primers_1h, jnp.int8), (1, 2, 0))
+           .reshape(4 * plen, p),
+        jnp.transpose(jnp.asarray(suffix_1h, jnp.int8), (1, 2, 0))
+           .reshape(4 * plen, p)], axis=1)
     grid = ((n + n_pad) // tile_n, (n_out + o_pad) // tile_o)
-    shape = jax.ShapeDtypeStruct((n + n_pad, n_out + o_pad, p), jnp.float32)
-    out, out_s = pl.pallas_call(
-        functools.partial(_scan_kernel_fused, tile_o=tile_o, plen=plen),
-        out_shape=(shape, shape),
+    out = pl.pallas_call(
+        functools.partial(_hit_code_kernel, tile_o=tile_o, plen=plen, p=p,
+                          mm=mm, term=term),
+        out_shape=jax.ShapeDtypeStruct(
+            (n + n_pad, n_out + o_pad, p), jnp.int8),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_n, 4, x.shape[2]), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * plen, p), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * plen, p), lambda i, j: (0, 0),
+            pl.BlockSpec((4 * plen, 2 * p), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((tile_n, tile_o, p), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, tile_o, p), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[pltpu.VMEM((tile_n, 4 * plen, tile_o), jnp.bfloat16)],
-    )(x, w, ws)
-    return out[:n, :n_out, :], out_s[:n, :n_out, :]
+        out_specs=pl.BlockSpec((tile_n, tile_o, p), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tile_n, 4 * plen, tile_o), jnp.int8)],
+        interpret=interpret,
+    )(x, w)
+    return out[:n, :n_out, :]
 
 
 @functools.partial(jax.jit,
@@ -221,17 +265,25 @@ def find_hits(targets_1h, lengths, primers_1h, suffix_1h, *, mm=1, term=4,
     hit_idx encodes n * (O * P) + o * P + p; -1 padding.  suffix_1h is the
     primer one-hot with everything but the 3'-terminal `term` positions
     zeroed (suffix mismatches must be 0).
+
+    targets_1h may be either the one-hot [N, L, 4] or the compact
+    [N, L] 4-bit mask form (expanded on device — preferred for uploads).
     """
+    if targets_1h.ndim == 2:
+        targets_1h = expand_masks(targets_1h)
+    plen = primers_1h.shape[1]
     if backend == "pallas":
-        counts, suffix_counts = match_counts_pallas_fused(
-            targets_1h, primers_1h, suffix_1h)
+        codes = hit_codes_pallas(targets_1h, primers_1h, suffix_1h,
+                                 mm=mm, term=term)
+        n, n_out, p = codes.shape
+        ok = codes > 0
+        mism = codes.astype(jnp.int32) - 1
     else:
         counts = match_counts_conv(targets_1h, primers_1h)
         suffix_counts = match_counts_conv(targets_1h, suffix_1h)
-    n, n_out, p = counts.shape
-    plen = primers_1h.shape[1]
-    mism = plen - counts
-    ok = (mism <= mm) & (suffix_counts >= term)
+        n, n_out, p = counts.shape
+        mism = plen - counts
+        ok = (mism <= mm) & (suffix_counts >= term)
     # windows must lie inside the real sequence
     o_idx = jnp.arange(n_out)[None, :, None]
     ok &= (o_idx + plen) <= lengths[:, None, None]

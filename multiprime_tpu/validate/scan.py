@@ -163,7 +163,8 @@ def scan_hits(target_seqs, patterns, params: ScanParams):
         chunk = target_seqs[lo:lo + bs]
         if len(chunk) < bs:
             chunk = chunk + [""] * (bs - len(chunk))
-        t1h, lens = ms.encode_targets(chunk, length=pad_len)
+        # compact 4-bit mask upload (1/4 the one-hot bytes); device expands
+        t1h, lens = ms.encode_target_masks(chunk, length=pad_len)
         if t1h.shape[1] < plen:
             continue
         n_out = t1h.shape[1] - plen + 1

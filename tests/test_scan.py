@@ -56,6 +56,41 @@ def test_find_hits_matches_bruteforce(data):
     assert not any(a == 2 and b == 30 and c == 2 for a, b, c, _ in mine)
 
 
+def test_mask_upload_path_matches_onehot(data):
+    """The compact [N, L] mask upload (expanded on device) must produce
+    exactly the hits of the host one-hot encoding."""
+    seqs, primers = data
+    seqs = seqs + ["ACGTNRYSWacgt" * 10]   # ambiguity + lowercase
+    t1h, lens = ms.encode_targets(seqs)
+    tm, lens2 = ms.encode_target_masks(seqs)
+    assert np.array_equal(lens, lens2)
+    assert np.array_equal(np.asarray(ms.expand_masks(tm)), t1h)
+    p1h = ms.encode_primers(primers)
+    s1h = p1h.copy()
+    s1h[:, :-4, :] = 0
+    a = ms.find_hits(t1h, lens, p1h, s1h, mm=1, term=4, max_hits=4096)
+    b = ms.find_hits(tm, lens, p1h, s1h, mm=1, term=4, max_hits=4096)
+    assert np.array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    assert int(a[1]) == int(b[1])
+
+
+def test_hit_codes_pallas_matches_conv(data):
+    """Fused Pallas kernel (interpret mode on CPU) vs conv-derived codes."""
+    seqs, primers = data
+    t1h, lens = ms.encode_targets(seqs)
+    p1h = ms.encode_primers(primers)
+    s1h = p1h.copy()
+    s1h[:, :-4, :] = 0
+    plen = p1h.shape[1]
+    codes = np.asarray(ms.hit_codes_pallas(
+        t1h, p1h, s1h, mm=1, term=4, interpret=True))
+    counts = np.asarray(ms.match_counts_conv(t1h, p1h))
+    suffix = np.asarray(ms.match_counts_conv(t1h, s1h))
+    mism = plen - counts
+    ref = np.where((mism <= 1) & (suffix >= 4), mism + 1, 0).astype(np.int8)
+    assert np.array_equal(codes, ref)
+
+
 def test_ambiguous_target_bases_never_match():
     t1h, lens = ms.encode_targets(["ACGTNNNNACGTACGTACGTACGT"])
     p1h = ms.encode_primers(["ACGTACGT"])
