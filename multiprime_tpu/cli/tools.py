@@ -110,7 +110,9 @@ def kmer_filter_main(argv=None):
         gc = thermo.gc_degenerate_mean(seq)
         if not lo <= gc <= hi:
             continue
-        if eng.di_nucleotide(seq) or eng.gc_clamp(seq):
+        # kmer_filter.py:135-142: the clamp is GC of the LAST 5 bases only
+        # (unlike the design engine's 4..16-suffix scan).
+        if eng.di_nucleotide(seq) or thermo.gc_degenerate_mean(seq[-5:]) > 0.6:
             continue
         out.write(name + "\n" + seq + "\n")
     if out is not sys.stdout:

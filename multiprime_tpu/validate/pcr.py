@@ -14,6 +14,7 @@ mm=0) lives in multiprime_tpu.ops.mismatch_scan / validate.scan.
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from ..utils import iupac
 
@@ -92,7 +93,9 @@ def run(pairs, ref_file, out_dir, coverage_file):
                       "{}\t{}\t{}\t{}\t{}\n".format(
                           key, len(products), len(non_products),
                           primer_f, primer_r))
-            base = os.path.join(out_dir, key)
+            # Path.with_suffix like the reference (extract_PCR_product.py:
+            # 232-234): a dotted key has its final ".suffix" REPLACED.
+            base = str(Path(out_dir).joinpath(key).with_suffix(""))
             with open(base + ".PCR.product.fa", "w") as p:
                 for rid, seq in products.items():
                     covered.add(rid)
