@@ -32,11 +32,19 @@ _BIT = tb.BASE_INDEX
 
 @lru_cache(maxsize=None)
 def is_symmetric(seq: str) -> bool:
-    """Self reverse-complementarity (multiPrime-core.py:237-246)."""
+    """The reference's ``symmetry()`` (multiPrime-core.py:237-246, identical
+    in CalcTm.py:141-150 and finDimer.py:115-124): it computes
+    ``RC(second_half[::-1])`` — but RC/complement there ALSO reverses, so the
+    two reversals cancel and the effective condition is first half ==
+    ELEMENTWISE complement of the second half (position i pairs with
+    position half+i), NOT the true reverse-complement palindrome.
+    Kept bug-for-bug: e.g. ATGCAT (a real RC-palindrome) is NOT "symmetric"
+    here, while ACGTGC (halves ACG / TGC, elementwise complements) is."""
     if len(seq) % 2 == 1:
         return False
     half = len(seq) // 2
-    return seq[:half] == iupac.rc(seq[half:])
+    # rc() reverses; undo that to get the plain elementwise complement.
+    return seq[:half] == iupac.rc(seq[half:])[::-1]
 
 
 @lru_cache(maxsize=None)

@@ -64,12 +64,20 @@ def classify_end(seq, expand_dict, min_ident, metric="difflib",
 
 
 def iter_reads(path, fmt="fq"):
+    """Yield read lines.  Quirk kept from the reference
+    (FindONTprimerV3.py:210-244): gzipped inputs are stripped, plain-text
+    inputs are NOT — the tail k-mer of a plain read includes the newline."""
     step = 4 if fmt == "fq" else 2
-    op = gzip.open if path.endswith("gz") else open
-    with op(path, "rt") as f:
-        for idx, line in enumerate(f):
-            if idx % step == 1:
-                yield line.strip()
+    if path.endswith("gz"):
+        with gzip.open(path, "rt") as f:
+            for idx, line in enumerate(f):
+                if idx % step == 1:
+                    yield line.strip()
+    else:
+        with open(path) as f:
+            for idx, line in enumerate(f):
+                if idx % step == 1:
+                    yield line
 
 
 def run(read_file, primer_fa, outfile, primer_len=18, min_ident=0.8,

@@ -152,6 +152,138 @@ def test_shadow_calctm(tmp_path):
     assert ref_out.read_bytes() == my_out.read_bytes()
 
 
+def _ont_case(tmp_path, sub):
+    """Primer fasta + plain fq reads with distinct pair counts (plain-text
+    reads keep their newline in the tail k-mer — a reference quirk)."""
+    from multiprime_tpu.utils import iupac
+    rng = np.random.default_rng(21)
+    d = tmp_path / sub
+    d.mkdir()
+    pa, pb = "GGTAYGGYYTCAGACATC", "ACGTTGCCAATTGGCTGA"
+    prim = d / "primers.fa"
+    prim.write_text(">PA\n%s\n>PB\n%s\n" % (pa, pb))
+    pa0 = iupac.expand(pa)[0]
+    mid = lambda n: "".join(rng.choice(np.array(list("ACGT")), size=n))
+    reads = [pa0 + mid(60) + iupac.rc(pb)] * 4 \
+        + [pa0 + mid(40) + iupac.rc(pa0)] * 2 \
+        + [mid(90)]
+    fq = d / "reads.fq"
+    fq.write_text("".join("@r%d\n%s\n+\nIIII\n" % (i, s)
+                          for i, s in enumerate(reads)))
+    return d, prim, fq
+
+
+@requires_reference
+@pytest.mark.parametrize("script,variant", [
+    ("FindONTprimerV3.py", False), ("FindONTexpandprimer.py", True)])
+def test_shadow_find_ont_primer(tmp_path, script, variant):
+    from multiprime_tpu.validate import ont
+    rd, rprim, rfq = _ont_case(tmp_path, "ref")
+    run_ref(script, ["-i", str(rfq), "-s", str(rprim), "-p", "1",
+                     "-l", "18", "-m", "0.6", "-f", "fq",
+                     "-o", str(rd / "out")])
+    md, mprim, mfq = _ont_case(tmp_path, "mine")
+    ont.run(str(mfq), str(mprim), str(md / "out"), primer_len=18,
+            min_ident=0.6, fmt="fq", report_variant=variant)
+    assert (rd / "out.num").read_bytes() == (md / "out.num").read_bytes()
+    # the expand fasta written next to the primer file must also match
+    assert (rd / "primers.expand.fa").read_bytes() \
+        == (md / "primers.expand.fa").read_bytes()
+
+
+def _candidate_rows(rng, n_clusters=6, poison_all_last=False):
+    """Synthetic candidate_primers_sets.txt rows: per cluster 2-5 pairs;
+    some primers share reverse-complemented 3' ends to provoke dimer
+    rejections (and in maximum mode, backtracking)."""
+    from multiprime_tpu.utils import iupac
+    lut = np.array(list("ACGT"))
+    mk = lambda: "".join(rng.choice(lut, size=18))
+    rows = []
+    # cluster 0's pair uses the {A,C} alphabet only: every 3'-end's reverse
+    # complement is {G,T}-only, so the pair can never self-dimer and is
+    # guaranteed to be accepted — its F is the poison the planted dimers
+    # point at.
+    ac = np.array(list("AC"))
+    poison = "".join(rng.choice(ac, size=18))
+    poison_r = "".join(rng.choice(ac, size=18))
+    for c in range(n_clusters):
+        # cluster 0 shortest so the count-ascending sort processes it (and
+        # accepts its poison primer) before any poisoned cluster
+        n_pairs = 2 if c == 0 else \
+            5 if c == n_clusters - 1 else int(rng.integers(3, 5))
+        fields = ["Cluster_%d_%d.txt" % (c, 100 + c)]
+        for k in range(n_pairs):
+            f, r = mk(), mk()
+            if c == 0 and k == 0:
+                f, r = poison, poison_r
+            if c > 0 and (k == 0 or
+                          (poison_all_last and c == n_clusters - 1)):
+                # 3' end is the RC of cluster 0's primer 3' end (d2 = 0):
+                # Loss = log10(2^len * 2^GC * 100) >= 3 for any len >= 5,
+                # a guaranteed dimer once cluster 0 is accepted.  With
+                # poison_all_last the final cluster is poisoned in EVERY
+                # pair, so maximal mode must reject it to .next.xls (not
+                # used in maximum mode, where it would dead-end).
+                f = mk()[:9] + iupac.rc(poison[9:])
+            fields += [f, r, "%d:%.2f:%.3f" % (150 + 10 * c, 50 + k, 0.9),
+                       str(400 - 5 * k), "%d:%d" % (100 + k, 300 + k)]
+        rows.append("\t".join(fields))
+    return rows
+
+
+@requires_reference
+@pytest.mark.parametrize("method", ["T", "F"])
+def test_shadow_get_maxprimerset(tmp_path, method):
+    from multiprime_tpu.cli import main as climain
+    rng = np.random.default_rng(31)
+    rows = _candidate_rows(rng, poison_all_last=(method == "T"))
+    rd = tmp_path / "ref"
+    md = tmp_path / "mine"
+    for d in (rd, md):
+        d.mkdir()
+        (d / "cand.txt").write_text("\n".join(rows) + "\n")
+    run_ref("get_Maxprimerset.py",
+            ["-i", str(rd / "cand.txt"), "-m", method,
+             "-o", str(rd / "final.xls")])
+    climain.main(["solve", "-i", str(md / "cand.txt"), "-m", method,
+                  "-o", str(md / "final.xls")])
+    assert (rd / "sort.cand.txt").read_bytes() \
+        == (md / "sort.cand.txt").read_bytes()
+    assert (rd / "final.xls").read_bytes() == (md / "final.xls").read_bytes()
+    if method == "T":
+        # str.rstrip(".xls") strips characters, not the suffix:
+        # "final.xls" -> "fina" (reference quirk, replicated in our CLI)
+        nxt = "final.xls".rstrip(".xls") + ".next.xls"
+        assert (rd / nxt).read_bytes() == (md / nxt).read_bytes()
+        assert len((rd / nxt).read_text()) > 0               # rejects exist
+
+
+@requires_reference
+def test_shadow_findimer(tmp_path):
+    from multiprime_tpu.cli import main as climain
+    from multiprime_tpu.utils import iupac
+    rng = np.random.default_rng(41)
+    lut = np.array(list("ACGT"))
+    prims = ["".join(rng.choice(lut, size=18)) for _ in range(14)]
+    prims[3] = prims[3][:10] + iupac.rc(prims[0][2:10])   # planted dimer
+    prims[7] = "GGTAYGGYYTCAGRCATC"                       # degenerate
+    fa_text = "".join(">Cluster_%d_F\n%s\n" % (i, s)
+                      for i, s in enumerate(prims))
+    rd = tmp_path / "ref"
+    md = tmp_path / "mine"
+    for d in (rd, md):
+        d.mkdir()
+        (d / "set.fa").write_text(fa_text)
+    run_ref("finDimer.py", ["-i", str(rd / "set.fa"), "-n", "1",
+                            "-t", "3.96", "-o", str(rd / "out")])
+    climain.main(["findimer", "-i", str(md / "set.fa"), "-t", "3.96",
+                  "-o", str(md / "out")])
+    assert (rd / "out").read_bytes() == (md / "out").read_bytes()
+    assert (rd / "out.dimer_num").read_bytes() \
+        == (md / "out.dimer_num").read_bytes()
+    assert (rd / "out").read_text().count("\n") > 1       # hits exist
+
+
 @requires_reference
 @pytest.mark.parametrize("gini", ["unified", "H_bonds"])
 def test_shadow_free_energy(tmp_path, gini):

@@ -33,7 +33,13 @@ def test_tm_plain():
 
 
 def test_symmetry():
-    assert exact.is_symmetric("ACGT")          # ACGT == rc(ACGT)
+    # The reference's "symmetry" pairs position i with position half+i
+    # (its complement() already reverses, cancelling the explicit [::-1]):
+    # true RC-palindromes like ACGT / ATGCAT do NOT qualify.
+    assert not exact.is_symmetric("ACGT")
+    assert not exact.is_symmetric("ATGCAT")
+    assert exact.is_symmetric("ACGTGC")        # ACG | TGC elementwise comp
+    assert exact.is_symmetric("AT")
     assert not exact.is_symmetric("ACGTA")     # odd length
     assert not exact.is_symmetric("AAAAAA")
 
