@@ -21,21 +21,24 @@ from __future__ import annotations
 
 import itertools
 
-import numpy as np
-
 from ..utils import iupac
 
 
 def mismatch_elements(primer, target):
-    """["pos|BASE", ...] for every position where target's base is not in
-    the primer's code (Y_position, multiPrime2_onstep.py:248-252)."""
-    pm = iupac.seq_to_masks(primer)
-    tm = iupac.seq_to_masks(target)
-    covered = (tm != 0) & ((pm & tm) == tm)
+    """["pos|BASE", ...] for every position where target's base differs from
+    the (plain ACGT) primer's (Y_position, multiPrime2_onstep.py:248-252).
+
+    The reference computes score_table[p]-score_table[t] and maps the diff
+    back to a base via non_score_table.  For t in ACGT that recovers t; for a
+    GAP in the target the diff is score[p]-100 which non_score_table maps to
+    the PRIMER's own base (e.g. -98.79 -> "C"), so gap positions surface as
+    no-op elements carrying p itself.  Replicated char-wise.
+    """
     out = []
-    for idx in np.nonzero(~covered)[0]:
-        ch = target[idx]
-        out.append(str(int(idx)) + "|" + ch)
+    for idx, (p, t) in enumerate(zip(primer, target)):
+        if t == p:
+            continue
+        out.append("%d|%s" % (idx, p if t == "-" else t))
     return out
 
 
@@ -52,17 +55,26 @@ def merge_elements(primer, elements):
 
 
 def refine_global(primer, cover, dege_number, variation, cover_number):
-    """-> (degenerate_primer, coverage) via the v2 combination search."""
+    """-> (degenerate_primer, coverage) via the v2 combination search.
+
+    NOTE on set usage: the reference iterates ``itertools.combinations``
+    directly over Python sets, so which of several equal-count combinations
+    wins depends on the sets' internal hash-table layout.  To stay
+    bit-identical in-process we perform the SAME set operations in the SAME
+    order as multiPrime2_onstep.py:1215-1270 (set-difference over
+    set(cover.keys()), per-pattern ``union`` accumulation) instead of any
+    tidier equivalent.
+    """
     optimal_set = set(iupac.expand(primer))
+    uncover = set(cover.keys()) - optimal_set
     dist_number = {}
     dist_by_len = {}
-    for key in cover.keys():
-        if key in optimal_set:
-            continue
+    for key in uncover:
         dist = mismatch_elements(primer, key)
         joined = "_".join(dist)
         dist_number[joined] = dist_number.get(joined, 0) + 1
-        # reference bug preserved: the membership test never fires, every
+        # reference bug preserved: the dedup membership test compares a list
+        # against dict *values* (lists of lists) and never fires, so every
         # pattern (duplicates included) is appended
         dist_by_len.setdefault(len(dist), []).append(dist)
     coverage, chosen = _search_combinations(
@@ -78,11 +90,11 @@ def _search_combinations(dist_number, dist_by_len, n, variation,
     for degenerate_number in range(2, n + 1):
         pool = []
         elements = set()
-        for length, dists in dist_by_len.items():
+        for length in dist_by_len.keys():
             if 1 < length < degenerate_number + variation:
-                pool.extend(dists)
-                for d in dists:
-                    elements |= set(d)
+                pool.extend(dist_by_len[length])
+                for d in dist_by_len[length]:
+                    elements = elements.union(set(d))
         if len(elements) > degenerate_number:
             for comb in itertools.combinations(elements,
                                                degenerate_number - 1):
@@ -98,5 +110,5 @@ def _search_combinations(dist_number, dist_by_len, n, variation,
                     max_subset = comb
         else:
             max_count = cover_number
-            max_subset = tuple(elements)
+            max_subset = elements
     return max_count, max_subset

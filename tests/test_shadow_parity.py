@@ -77,3 +77,58 @@ def test_shadow_slice_parity(algo, script, position):
             assert mine is not None, pos
             assert list(map(str, mine.row())) == \
                 [str(ref_res[0][0])] + [str(x) for x in ref_res[0][1]], pos
+
+
+MSA_1000 = pathlib.Path(
+    "/root/reference/test_data/1000_fasta.msa")   # the global_optimum/
+# Y_distance_update copies are broken symlinks stored as text
+
+
+@requires_reference
+@pytest.mark.slow
+def test_shadow_v2_slice_parity():
+    """Live shadow of the v2 "global optimum" engine: run
+    scripts/multiPrime2_onstep.py's NN_degenerate (method=multiPrime2)
+    window-for-window against our algo="v2" path on the frozen
+    global_optimum MSA."""
+    spec = importlib.util.spec_from_file_location(
+        "shadow_v2", "/root/reference/scripts/multiPrime2_onstep.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["shadow_v2"] = mod
+    spec.loader.exec_module(mod)
+    seq_dict, total = mod.parse_seq(str(MSA_1000))
+    ref = mod.NN_degenerate(
+        Seq_dict=seq_dict, Total_sequence_number=total, primer_length=18,
+        coverage=0.6, number_of_dege_bases=4, score_of_dege_bases=10,
+        product_len="250,500", position="1,2,-1", variation=1,
+        method="multiPrime2", raw_entropy_threshold=3.6, distance=4,
+        GC="0.2,0.7", nproc=1)
+
+    ids, chars = mcdpd.parse_msa(str(MSA_1000))
+    params = mcdpd.DesignParams(
+        coverage=0.6, dege_number=4, degeneracy=10, variation=1,
+        entropy_threshold=3.6, gc=(0.2, 0.7), min_product=250,
+        coordinate="1,2,-1", hairpin_distance=4, algo="v2")
+    eng = mcdpd.DesignEngine(params)
+    ext = mcdpd.MSAWindows(ids, chars, 18)
+    positions = np.arange(ref.start_position, ref.start_position + 40)
+    wins = ext.windows(positions)
+    n_rows = 0
+    for wi, pos in enumerate(positions):
+        ref.resQ = _FakeQ()
+        ref.get_primers(ref.seq_dict, int(pos))
+        ref_res = ref.resQ[0]
+        mine = eng._design_window(int(pos), wins[:, wi, :], ids, len(ids),
+                                  ref.entropy_threshold)
+        if ref_res is None:
+            assert mine is None, pos
+        else:
+            assert mine is not None, pos
+            row = mine.row()
+            # v2 rows carry degeneracy after primer_degenerate_number
+            mine_fields = row[1:5] + [mine.degeneracy] + row[5:]
+            assert [str(x) for x in mine_fields] == \
+                [str(x) for x in ref_res[0][1]], pos
+            assert int(ref_res[0][0]) == int(pos)
+            n_rows += 1
+    assert n_rows > 5   # the slice must exercise real windows
