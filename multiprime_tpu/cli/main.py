@@ -282,31 +282,29 @@ def _roc(argv):
 
 def _wrc(argv):
     import argparse
-    from ..models import wrc, mcdpd
+    from ..models import wrc
     p = argparse.ArgumentParser(prog="mptpu wrc")
     p.add_argument("-i", "--input", required=True, help="MSA fasta")
     p.add_argument("-l", "--plen", type=int, default=18)
     p.add_argument("-d", "--maxdeg", type=int, default=96)
     p.add_argument("-n", "--iterations", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--trim", type=float, default=0.1,
-                   help="min column occupancy (TrimAlignment)")
+    p.add_argument("--trim", type=float, default=0.0,
+                   help="min column occupancy (TrimAlignment -min; the "
+                        "pipeline default keeps every column)")
+    p.add_argument("--skip", type=int, default=20,
+                   help="skip this many bases at both sequence ends "
+                        "(DegePrime -skip)")
+    p.add_argument("--depth", type=int, default=1,
+                   help="min zero-indel spanning mers (DegePrime -depth)")
     p.add_argument("-o", "--out", required=True)
     a = p.parse_args(argv)
-    ids, chars = mcdpd.parse_msa(a.input)
-    rows = ["".join(chr(c) for c in row) for row in chars]
-    trimmed, kept = wrc.trim_alignment(rows, a.trim)
-    table = wrc.design_windows(trimmed, a.plen, a.maxdeg, a.iterations,
-                               a.seed)
-    from ..utils import iupac
-    with open(a.out, "w") as f:
-        f.write("Pos\tTrimPos\tWin\tType\tPrimerDeg\tPrimerSeq\t"
-                "PrimerMatching\tTotal\n")
-        for pos, primer, matching, total in table:
-            orig = int(kept[pos]) if pos < len(kept) else pos
-            f.write("%d\t%d\t%d\tW\t%d\t%s\t%d\t%d\n" % (
-                orig, pos, a.plen, iupac.degeneracy(primer), primer,
-                matching, total))
+    ids, rows = wrc.read_fasta_raw(a.input)
+    trimmed, kept = wrc.trim_alignment(rows, min_occupancy=a.trim)
+    table = wrc.design_windows(trimmed, plen=a.plen, max_deg=a.maxdeg,
+                               iterations=a.iterations, seed=a.seed,
+                               min_depth=a.depth, skip_length=a.skip)
+    wrc.write_design(table, a.out)
     return 0
 
 

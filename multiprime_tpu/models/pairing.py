@@ -316,7 +316,8 @@ def parse_degeprime_table(path, number):
 def pair_degeprime(engine: "PairingEngine", primers):
     """Pair enumeration for the DEGEPRIME backend (get_degePrimer.py
     :462-525): same gates as get_multiPrime but the pair score is
-    min(F matches, R matches) and there is no Tm/coverage-union filter."""
+    min(F matches, R matches), there is no Tm/coverage-union filter, and
+    the F/R dimer gate is inert (current_end set.union bug, see below)."""
     p = engine.p
     lo_gc, hi_gc = float(p.gc[0]), float(p.gc[1])
     min_len, max_len = int(p.size[0]), int(p.size[1])
@@ -329,6 +330,8 @@ def pair_degeprime(engine: "PairingEngine", primers):
         if gc > hi_gc or gc < lo_gc:
             continue
         if engine._helper.di_nucleotide(primer):
+            continue
+        if primers[pos][1] < p.fraction:     # coverage gate (:446-447)
             continue
         candidates.append(pos)
     candidates.sort()
@@ -358,14 +361,27 @@ def pair_degeprime(engine: "PairingEngine", primers):
             if distance > max_len:
                 break
             if min_len <= distance <= max_len:
-                if engine.dimer_check(primer_f, primer_r):
-                    continue
+                # reference bug preserved: get_degePrimer.current_end
+                # (:320-326) discards set.union's RESULT, so its
+                # dimer_check scans an empty end-set and never rejects —
+                # the F/R dimer gate is a no-op in this flow
                 pairs.append((primer_f, primer_r, distance,
                               min(primers[start_pos][2],
                                   primers[stop_pos][2]),
                               "%d:%d" % (start_pos, stop_pos)))
     pairs.sort(key=lambda k: k[3], reverse=True)
     return pairs, candidates
+
+
+def write_degeprime_output(pairs, outfile):
+    """get_degePrimer.py run()'s exact single-file output (:527-547): the
+    abspath as row ID, tab-joined 5-field pairs, trailing tab, one line."""
+    outfile = os.path.abspath(outfile)
+    with open(outfile, "w") as fo:
+        fo.write(str(outfile) + "\t")
+        for row in pairs:
+            fo.write("\t".join(map(str, row)) + "\t")
+        fo.write("\n")
 
 
 def write_outputs(pairs, outfile):

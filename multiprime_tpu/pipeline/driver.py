@@ -355,37 +355,26 @@ class Pipeline:
     def _wrc_cluster(self, name, msa_path, tfa):
         """multi-DegePrime flow: trim + WRC design + get_degePrimer pairing
         (multi-DegePrime.py:154-228)."""
-        from ..models import wrc, pairing, mcdpd
+        from ..models import wrc, pairing
         cfg = self.cfg
-        out = self._p("Clusters_primer", name + ".wrc.out")
+        out = self._p("Clusters_primer", name + ".top.primer.out")
         if not os.path.exists(out):
-            ids, chars = mcdpd.parse_msa(msa_path)
-            rows = ["".join(chr(c) for c in row) for row in chars]
+            ids, rows = wrc.read_fasta_raw(msa_path)
             trimmed, kept = wrc.trim_alignment(rows)
             table = wrc.design_windows(
-                trimmed, cfg.primer_len, cfg.wrc_max_deg,
-                cfg.wrc_iterations, cfg.sample_seed)
-            from ..utils import iupac
-            with open(out, "w") as f:
-                f.write("Pos\tTrimPos\tWin\tType\tPrimerDeg\t"
-                        "PrimerSeq\tPrimerMatching\tTotal\n")
-                for pos, primer, matching, total in table:
-                    orig = int(kept[pos]) if pos < len(kept) else pos
-                    f.write("%d\t%d\t%d\tW\t%d\t%s\t%d\t%d\n" % (
-                        orig, pos, cfg.primer_len,
-                        iupac.degeneracy(primer), primer, matching, total))
+                trimmed, plen=cfg.primer_len, max_deg=cfg.wrc_max_deg,
+                iterations=cfg.wrc_iterations, seed=cfg.sample_seed)
+            wrc.write_design(table, out)
         cand = self._p("Clusters_cprimer", name + ".candidate.primers.txt")
         if not os.path.exists(cand):
-            number = pairing.count_ref_seqs(tfa, 0)
+            number = pairing.count_ref_seqs(tfa, cfg.max_seq)
             primers = pairing.parse_degeprime_table(out, number)
             eng = pairing.PairingEngine(pairing.PairingParams(
                 size=cfg.product_size, fraction=cfg.coverage,
                 end_dege=cfg.end, hairpin_distance=cfg.distance,
                 diff_tm=cfg.diff_tm, adaptor=cfg.adaptor))
             pairs, _ = pairing.pair_degeprime(eng, primers)
-            rows = [(f, r, "%d:%s" % (dist, cnt), cnt, pos)
-                    for f, r, dist, cnt, pos in pairs]
-            pairing.write_outputs(rows, cand)
+            pairing.write_degeprime_output(pairs, cand)
 
     def _aggregate_and_solve(self):
         from ..solve import maxset

@@ -34,10 +34,11 @@ def test_global_opt_refine_covers_variants():
 def test_wrc_window_finds_union():
     mers = ["ACGTAC", "ACGTAT", "ACGTAA", "TTTTTT"]
     counts = [10, 8, 5, 1]
-    primer, matching = wrc.wrc_window(mers, counts, max_deg=4,
-                                      iterations=50, seed=1)
+    deg, primer, matching = wrc.wrc_window(mers, counts, max_deg=4,
+                                           iterations=50, seed=1)
     assert matching >= 18            # covers at least the top two variants
     assert len(primer) == 6
+    assert deg == iupac.degeneracy(primer)
 
 
 def test_trim_alignment():
@@ -45,6 +46,12 @@ def test_trim_alignment():
     trimmed, keep = wrc.trim_alignment(rows, min_occupancy=0.5)
     assert list(keep) == [0, 2, 3]
     assert trimmed[0] == "ACG"
+    # a dropped column occupied by a base lowercases the preceding kept base
+    assert trimmed[2] == "aCG"
+    # default invocation (the pipeline's): every column kept, no markers
+    full, keep_all = wrc.trim_alignment(rows)
+    assert list(keep_all) == [0, 1, 2, 3]
+    assert full[2] == "ATCG"
 
 
 def test_ont_classification(tmp_path):
