@@ -116,3 +116,70 @@ def seq_format(infile, outfile, gc_threshold=0.8, min_length=200,
                 temp.write(key + seq + "\n")
             else:
                 out.write(key + seq + "\n")
+
+
+def prepare_pickle_txt(infile, outfile, column=0, value="T"):
+    """prepare_pickle.py txt mode (:73-85): TSV -> {key_column: whole line}
+    (value "T") or {key_column: [value_column, ...]} pickle."""
+    import pickle
+    from collections import defaultdict
+    table = defaultdict(list)
+    with open(infile) as f:
+        for raw in f:
+            line = raw.strip()
+            fields = line.split("\t")
+            key = fields[column]
+            if value == "T":
+                table[key] = line
+            else:
+                table[key].append(fields[int(value)])
+    with open(outfile, "wb") as out:
+        pickle.dump(table, out)
+
+
+def prepare_pickle_fa(infile, outfile, headinfo="T"):
+    """prepare_pickle.py fa mode (:88-115): fasta -> {accession: header+seq}
+    pickle.  Reference quirks preserved: merged ">A ... >B ..." headers map
+    every accession to the record, and for multi-line sequences each
+    sequence line OVERWRITES the value (the dict keeps header + LAST line
+    only)."""
+    import pickle
+    import re
+    table = {}
+    header, keys = None, []
+    with open(infile) as f:
+        for raw in f:
+            if raw.startswith(">"):
+                header = raw
+                body = raw.lstrip(">")
+                if re.search(">", body):
+                    keys = [part.split(" ")[0]
+                            for part in body.split(">")]
+                else:
+                    keys = [body.split(" ")[0]]
+            else:
+                value = (header + raw) if headinfo == "T" else raw
+                for k in keys:
+                    table[k] = value
+    with open(outfile, "wb") as out:
+        pickle.dump(table, out)
+
+
+def extract_value_from_dict(infile, pickle_path, outfile, column=0,
+                            head="F"):
+    """extract_value_from_dict.py (:15-39): for every fasta header in
+    ``infile`` whose TAB-split field ``column`` is a key of the pickled
+    dict, write the stored record (head != "F") or only its first line."""
+    import pickle
+    with open(pickle_path, "rb") as f:
+        table = pickle.load(f)
+    with open(infile) as data, open(outfile, "w") as out:
+        for raw in data:
+            if not raw.startswith(">"):
+                continue
+            key = raw.lstrip(">").strip().split("\t")[column]
+            if key in table:
+                if head != "F":
+                    out.write(table[key])
+                else:
+                    out.write(table[key].split("\n")[0] + "\n")

@@ -76,6 +76,77 @@ def roc_analysis(csv_path, out_path=None):
     return result
 
 
+def gradient_join(candidate_txt, bwt_pair_num, ref_fa, out, step=5):
+    """Primer_pair_coverage_for_gradient.py's exact file contract
+    (:68-125): join the designed pair coverage (candidate txt, stride
+    ``step`` fields per pair, coverage = field3 "len:Tm:cov", key =
+    field5 "start:stop") against the BWT scan's .pair.num rows (start/stop
+    recovered from the primer IDs' "_<pos>_F/R" suffixes, measured =
+    column 3 / sequence count rounded to 4)."""
+    coverage_by_pos = {}
+    with open(candidate_txt) as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            fields = line.strip().split("\t")
+            n = 0
+            while n < len(fields) - 3:
+                coverage_by_pos[fields[n + 5]] = \
+                    fields[n + 3].split(":")[2]
+                n += step
+    n_newlines = 0
+    with open(ref_fa, encoding="utf-8") as f:
+        for chunk in iter(lambda: f.read(1 << 20), ""):
+            n_newlines += chunk.count("\n")
+    seq_number = int(n_newlines / 2)
+    with open(out, "w") as o:
+        o.write("\t".join(["Primer_F", "Primer_R", "coverage_of_multiPrime",
+                           "estimate_coverage_by BWT"]) + "\n")
+        with open(bwt_pair_num) as f:
+            for line in f:
+                if line.startswith("Primer_F"):
+                    continue
+                fields = line.strip().split("\t")
+                start = fields[0].split("_")[-2]
+                stop = fields[1].split("_")[-2]
+                key = start + ":" + stop
+                if key in coverage_by_pos:
+                    o.write("\t".join(map(str, [
+                        fields[0], fields[1], coverage_by_pos[key],
+                        round(int(fields[3]) / seq_number, 4)])) + "\n")
+    return seq_number
+
+
+def dimer_exp_correlation(findimer_out, exp_file, out):
+    """dimer_prediction_exp_correlation.py's exact file contract (:45-76):
+    per sorted primer-name pair, mean Loss (col 10) and mean dG (col 3)
+    from the finDimer table vs the summed experimental signal (col 2),
+    written in first-file insertion order with the reference's rounding
+    (including round() of the integer experimental sum)."""
+    loss, dg, num, exp = {}, {}, {}, {}
+    with open(findimer_out) as f1:
+        for line in f1:
+            if line.startswith("Primer"):
+                continue
+            fields = line.strip().split("\t")
+            key = " | ".join(sorted([fields[0].lstrip(">"),
+                                     fields[7].lstrip(">")]))
+            loss[key] = loss.get(key, 0) + float(fields[10])
+            dg[key] = dg.get(key, 0) + float(fields[3])
+            num[key] = num.get(key, 0) + 1
+    with open(exp_file) as f2:
+        for line in f2:
+            fields = line.strip().split("\t")
+            key = " | ".join(sorted([fields[0], fields[1]]))
+            exp[key] = exp.get(key, 0) + int(fields[2])
+    with open(out, "w") as o:
+        for key in loss.keys():
+            measured = str(round(exp[key], 2)) if key in exp else "0"
+            o.write(key + "\t" + str(round(loss[key] / num[key], 2))
+                    + "\t" + str(round(dg[key] / num[key], 2))
+                    + "\t" + measured + "\n")
+
+
 def pair_coverage_join(predicted_rows, scanned_pair_counts):
     """Join designed pair coverage vs scan-measured counts.
 

@@ -301,3 +301,114 @@ def test_shadow_free_energy(tmp_path, gini):
     tools.dg_main(["-i", str(fa), "-f", "fa", "-g", gini,
                    "-o", str(my_out)])
     assert ref_out.read_bytes() == my_out.read_bytes()
+
+
+@requires_reference
+def test_gradient_join_shadow(tmp_path):
+    """Primer_pair_coverage_for_gradient.py vs metrics.gradient_join:
+    byte-identical join of designed coverage vs BWT pair counts."""
+    from multiprime_tpu.validate import metrics
+    cand = tmp_path / "cand.txt"
+    pairs = []
+    for start, stop, cov in [(59, 218, "0.918"), (170, 322, "0.77"),
+                             (28, 187, "1.0")]:
+        pairs += ["ACGTACGTACGTACGTAA", "TTGGCCAATTGGCCAATT",
+                  "%d:50.1:%s" % (stop - start + 1, cov), "7",
+                  "%d:%d" % (start, stop)]
+    cand.write_text(str(cand) + "\t" + "\t".join(pairs) + "\t\n")
+    pair_num = tmp_path / "scan.out.pair.num"
+    pair_num.write_text(
+        "Primer_F\tPrimer_R\tPair_num\ttarget accession number\n"
+        "Cluster_0.fa_59_F\tCluster_0.fa_218_R\t9\t8\n"
+        "Cluster_1.fa_170_F\tCluster_1.fa_322_R\t5\t5\n"
+        "Cluster_9.fa_999_F\tCluster_9.fa_1200_R\t2\t2\n")
+    ref_fa = tmp_path / "ref.fa"
+    ref_fa.write_text("".join(">s%d\nACGT\n" % i for i in range(12)))
+    out_ref = tmp_path / "join.ref.tsv"
+    run_ref("Primer_pair_coverage_for_gradient.py",
+            ["-i", str(cand), "-r", str(ref_fa), "-c", str(pair_num),
+             "-s", "5", "-o", str(out_ref)])
+    out_mine = tmp_path / "join.mine.tsv"
+    metrics.gradient_join(str(cand), str(pair_num), str(ref_fa),
+                          str(out_mine), step=5)
+    assert out_mine.read_text() == out_ref.read_text()
+    assert len(out_ref.read_text().splitlines()) == 3   # 2 joined rows
+
+
+@requires_reference
+def test_dimer_exp_correlation_shadow(tmp_path):
+    """dimer_prediction_exp_correlation.py vs metrics.dimer_exp_correlation:
+    byte-identical per-pair means vs experimental signal."""
+    from multiprime_tpu.validate import metrics
+    fin = tmp_path / "findimer.tsv"
+    rows = ["Primer header line"]
+    for p1, dg, p2, loss in [(">A", -4.5, ">B", 2.7), (">B", -6.0, ">A", 4.1),
+                             (">A", -1.25, ">C", 0.9), (">C", -3.3, ">C", 3.96)]:
+        fields = [p1, "x", "x", str(dg), "x", "x", "x", p2, "x", "x",
+                  str(loss)]
+        rows.append("\t".join(fields))
+    fin.write_text("\n".join(rows) + "\n")
+    exp = tmp_path / "exp.tsv"
+    exp.write_text("B\tA\t3\nC\tA\t2\nA\tB\t4\n")
+    out_ref = tmp_path / "corr.ref.tsv"
+    run_ref("dimer_prediction_exp_correlation.py",
+            ["-i", str(fin), "-e", str(exp), "-o", str(out_ref)])
+    out_mine = tmp_path / "corr.mine.tsv"
+    metrics.dimer_exp_correlation(str(fin), str(exp), str(out_mine))
+    assert out_mine.read_text() == out_ref.read_text()
+    assert len(out_ref.read_text().splitlines()) == 3
+
+
+@requires_reference
+def test_prepare_pickle_shadow(tmp_path):
+    """prepare_pickle.py txt + fa modes vs stages.prepare_pickle_*:
+    identical pickled dicts (incl. the merged->header and last-seq-line
+    quirks)."""
+    import pickle
+    from multiprime_tpu.pipeline import stages
+    txt = tmp_path / "table.tsv"
+    txt.write_text("A1\tvirus1\t9606\nA2\tvirus2\t10090\n"
+                   "A1\tvirus1b\t9913\n")
+    for value in ("T", "2"):
+        out_ref = tmp_path / ("t%s.ref.pkl" % value)
+        run_ref("prepare_pickle.py",
+                ["-i", str(txt), "-f", "txt", "-n", "0", "-v", value,
+                 "-o", str(out_ref)])
+        out_mine = tmp_path / ("t%s.mine.pkl" % value)
+        stages.prepare_pickle_txt(str(txt), str(out_mine), column=0,
+                                  value=value)
+        ref_d = pickle.load(open(out_ref, "rb"))
+        mine_d = pickle.load(open(out_mine, "rb"))
+        assert dict(ref_d) == dict(mine_d)
+    fa = tmp_path / "seqs.fa"
+    fa.write_text(">FJ1.1 partial cds >FJ2.1 another cds\nACGTACGT\n"
+                  ">KX9.2 something\nTTTT\nGGGG\n")
+    for head in ("T", "F"):
+        out_ref = tmp_path / ("f%s.ref.pkl" % head)
+        run_ref("prepare_pickle.py",
+                ["-i", str(fa), "-f", "fa", "-t", head, "-o", str(out_ref)])
+        out_mine = tmp_path / ("f%s.mine.pkl" % head)
+        stages.prepare_pickle_fa(str(fa), str(out_mine), headinfo=head)
+        assert pickle.load(open(out_ref, "rb")) == \
+            pickle.load(open(out_mine, "rb"))
+
+
+@requires_reference
+def test_extract_value_from_dict_shadow(tmp_path):
+    """extract_value_from_dict.py vs stages.extract_value_from_dict."""
+    from multiprime_tpu.pipeline import stages
+    fa = tmp_path / "db.fa"
+    fa.write_text(">FJ1.1 x\nACGT\n>KX9.2 y\nTTTT\n>MM3.3 z\nGGGG\n")
+    pkl = tmp_path / "db.pkl"
+    stages.prepare_pickle_fa(str(fa), str(pkl), headinfo="T")
+    query = tmp_path / "query.fa"
+    query.write_text(">FJ1.1\nACGT\n>MM3.3\nGGGG\n>ZZ0.0\nAAAA\n")
+    for head in ("F", "T"):
+        out_ref = tmp_path / ("e%s.ref.txt" % head)
+        run_ref("extract_value_from_dict.py",
+                ["-i", str(query), "-d", str(pkl), "-n", "0", "-t", head,
+                 "-o", str(out_ref)])
+        out_mine = tmp_path / ("e%s.mine.txt" % head)
+        stages.extract_value_from_dict(str(query), str(pkl),
+                                       str(out_mine), column=0, head=head)
+        assert out_mine.read_text() == out_ref.read_text()
