@@ -347,12 +347,16 @@ def _onestep(argv):
 
     size = tuple(int(x) for x in a.size.split(","))
     ids, chars = mcdpd.parse_msa(a.input)
+    # reference bug preserved: onestep's NN_degenerate gets the full
+    # "min,max" string and its span check reads int(product[0]) — the
+    # FIRST CHARACTER (multiPrime_onestep_all.py seq_attribute), so the
+    # min-span abort threshold is e.g. 2 for "250,500"
     dparams = mcdpd.DesignParams(
         primer_length=a.plen, coverage=a.fraction, dege_number=a.dnum,
         degeneracy=a.degeneracy, variation=a.variation,
         entropy_threshold=a.entropy,
         gc=tuple(float(x) for x in a.gc.split(",")),
-        min_product=size[0], coordinate=a.coordinate,
+        min_product=int(a.size[0]), coordinate=a.coordinate,
         hairpin_distance=a.away, algo=a.algo, nproc=a.proc)
     results = mcdpd.DesignEngine(dparams).design(ids, chars)
     mcdpd.write_outputs(results, a.out1)

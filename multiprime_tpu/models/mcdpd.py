@@ -973,14 +973,20 @@ class DesignEngine:
         nmis = mis.sum(axis=1)
         f_non, r_non = {}, {}
         f_mis = r_mis = 0
+        # The reference iterates ``set(cover.keys()) - optimal_primer_set``
+        # (core.py:765,1106-1109), so the F/R non-cover dicts — and hence the
+        # JSON key order — follow CPython's set layout, not insertion order.
+        # Build the same sets from the same strings in the same order to
+        # reproduce that layout in-process.
+        key_index = {k: i for i, k in enumerate(keys)}
+        uncover_iter = list(set(keys) - optimal_set)
         if p.algo == "v15":
             margin = p.position_margin
             pos = np.arange(plen)
             lo_bad = (mis & (pos < margin)[None, :]).any(axis=1)
             hi_bad = (mis & (pos > plen - margin)[None, :]).any(axis=1)
-            for i, key in enumerate(keys):
-                if key in optimal_set:
-                    continue
+            for key in uncover_iter:
+                i = key_index[key]
                 if nmis[i] > p.variation:
                     f_non[key] = non_gap_seq_id[key]
                     r_non[key] = non_gap_seq_id[key]
@@ -1000,9 +1006,8 @@ class DesignEngine:
         else:
             f_bad = (mis & self._y_strict_arr[None, :]).any(axis=1)
             r_bad = (mis & self._y_strict_r_arr[None, :]).any(axis=1)
-            for i, key in enumerate(keys):
-                if key in optimal_set:
-                    continue
+            for key in uncover_iter:
+                i = key_index[key]
                 if nmis[i] > p.variation:
                     f_non[key] = non_gap_seq_id[key]
                     r_non[key] = non_gap_seq_id[key]

@@ -132,3 +132,80 @@ def test_shadow_v2_slice_parity():
             assert int(ref_res[0][0]) == int(pos)
             n_rows += 1
     assert n_rows > 5   # the slice must exercise real windows
+
+
+@requires_reference
+@pytest.mark.slow
+def test_shadow_onestep_all(tmp_path):
+    """Live shadow of multiPrime_onestep_all.py's design + pairing stages
+    (its NN_degenerate is the V20 engine with the int(product[0]) min-span
+    quirk; its Primers_filter is get_multiPrime's with maxseq=0 and
+    diff_Tm forwarded): byte-identical design table, JSONs, and pair
+    txt/xls/fa against `mptpu onestep`."""
+    rng = np.random.default_rng(77)
+    L, N = 420, 40
+    backbone = "".join(rng.choice(list("ACGT"), size=L))
+    recs = []
+    for i in range(N):
+        s = list(backbone)
+        for pos in range(6, L - 6, 15):
+            alt = "ACGT"[rng.integers(4)]
+            if rng.random() < 0.35 and s[pos] != alt:
+                s[pos] = alt
+        lead, tail = int(rng.integers(0, 8)), int(rng.integers(0, 8))
+        for j in range(lead):
+            s[j] = "-"
+        for j in range(L - tail, L):
+            s[j] = "-"
+        if i % 11 == 0:
+            s[200 + i] = "-"        # sparse internal gaps
+        recs.append((">seq%d" % i, "".join(s)))
+    msa = tmp_path / "cluster.msa"
+    msa.write_text("".join("%s\n%s\n" % r for r in recs))
+    ref_fa = tmp_path / "cluster.tfa"
+    ref_fa.write_text("".join("%s\n%s\n" % (h, s.replace("-", ""))
+                              for h, s in recs))
+
+    spec = importlib.util.spec_from_file_location(
+        "shadow_onestep", "/root/reference/scripts/multiPrime_onestep_all.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["shadow_onestep"] = mod
+    spec.loader.exec_module(mod)
+    # identical basenames (separate dirs): the pair .fa/.xls embed the
+    # outfile stem in record IDs
+    (tmp_path / "ref").mkdir()
+    (tmp_path / "mine").mkdir()
+    out1_ref = tmp_path / "ref" / "shadow.top.primer.out"
+    out2_ref = tmp_path / "ref" / "shadow.candidate.txt"
+    mod.NN_degenerate(
+        seq_file=str(msa), primer_length=18, coverage=0.6,
+        number_of_dege_bases=4, score_of_dege_bases=10,
+        product_len="250,500", position="1,2,-1", variation=1,
+        raw_entropy_threshold=3.6, distance=4, GC="0.2,0.7", nproc=1,
+        outfile=str(out1_ref)).run()
+    mod.Primers_filter(
+        ref_file=str(ref_fa), primer_file=str(out1_ref),
+        adaptor="TCTTTCCCTACACGACGCTCTTCCGATCT,"
+                "TGGAGTTCAGACGTGTGCTCTTCCGATCT",
+        distance=4, outfile=str(out2_ref), size="250,500", position=4,
+        fraction=0.6, diff_Tm=4, nproc=1).run()
+
+    from multiprime_tpu.cli import main as cli
+    out1_mine = tmp_path / "mine" / "shadow.top.primer.out"
+    out2_mine = tmp_path / "mine" / "shadow.candidate.txt"
+    cli.main(["onestep", "-i", str(msa), "-r", str(ref_fa),
+              "--out1", str(out1_mine), "-o", str(out2_mine),
+              "-p", "1", "-t", "4", "--algo", "v20"])
+    assert out1_mine.read_text() == out1_ref.read_text()
+    for suffix in (".gap_seq_id_json", ".non_coverage_seq_id_json"):
+        assert open(str(out1_mine) + suffix).read() == \
+            open(str(out1_ref) + suffix).read()
+    ref_txt = out2_ref.read_text()
+    mine_txt = out2_mine.read_text()
+    # first field is each file's own abspath
+    assert mine_txt.split("\t", 1)[1] == ref_txt.split("\t", 1)[1]
+    assert len(ref_txt.split("\t")) > 20      # real pair rows present
+    for suffix in (".xls", ".fa"):
+        ref_s = str(out2_ref).rstrip(".txt") + suffix
+        mine_s = str(out2_mine).rstrip(".txt") + suffix
+        assert open(mine_s).read() == open(ref_s).read()
