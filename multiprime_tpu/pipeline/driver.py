@@ -73,7 +73,9 @@ class PipelineConfig:
     scan_mm: int = 1
     nproc: int = 1
     # "centerstar" (auto host/device), "centerstar-device", "centerstar-numpy",
-    # or "external" (ingest reference-produced .tmsa files)
+    # "progressive" (UPGMA guide tree + profile-profile merges; with the
+    # refine polish it reproduces MAFFT-level column quality — slower than
+    # center-star), or "external" (ingest reference-produced .tmsa files)
     align_backend: str = "centerstar"
     msa_refine: int = 2                  # profile-realignment polish passes
                                          # (0 disables; accept-if-better)
@@ -303,11 +305,17 @@ class Pipeline:
                         "align.backend=external but missing " + msa_path)
                 ids, seqs = self._read_fasta(tfa)
                 t0 = time.time()
-                _, rows = centerstar.center_star_msa(
-                    ids, seqs,
-                    backend="device" if cfg.align_backend == "centerstar-device"
-                    else "numpy" if cfg.align_backend == "centerstar-numpy"
-                    else "auto")
+                if cfg.align_backend == "progressive":
+                    from ..align import progressive
+                    _, rows = progressive.progressive_msa(ids, seqs)
+                else:
+                    _, rows = centerstar.center_star_msa(
+                        ids, seqs,
+                        backend="device"
+                        if cfg.align_backend == "centerstar-device"
+                        else "numpy"
+                        if cfg.align_backend == "centerstar-numpy"
+                        else "auto")
                 if cfg.msa_refine > 0:
                     from ..align import refine
                     rows = refine.refine_msa(rows, cfg.msa_refine)

@@ -6,6 +6,8 @@ affine-gap continuation tie-breaks, padding members, and the bucketed
 shapes, on the CPU backend the suite runs under.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -150,3 +152,94 @@ def test_pairwise_intersections_exact():
                 want = np.intersect1d(sets[i], sets[j],
                                       assume_unique=True).size
                 assert got[i, j] == want, (i, j)
+
+
+# ---------------------------------------------------------------------------
+# progressive (guide-tree) aligner
+
+
+def _mutated_family(rng, n=24, L=360):
+    base = "".join(rng.choice(list("ACGT"), size=L))
+    seqs = []
+    for i in range(n):
+        s = list(base)
+        fam = i % 3
+        for _ in range(int(L * 0.15)):
+            p = rng.integers(len(s))
+            s[p] = "ACGT"[rng.integers(4)]
+        if fam == 0:
+            del s[120:135]
+            s[250:250] = list("GGTTAACCGG")
+        elif fam == 1:
+            del s[300:310]
+        else:
+            s[60:60] = list("TTTTTAAAAA")
+            del s[340:352]
+        seqs.append("".join(s))
+    return seqs
+
+
+def test_progressive_roundtrip_and_order():
+    from multiprime_tpu.align import progressive
+    rng = np.random.default_rng(11)
+    seqs = _mutated_family(rng, n=15)
+    ids = [">s%d" % i for i in range(len(seqs))]
+    out_ids, rows = progressive.progressive_msa(ids, seqs)
+    assert out_ids == ids
+    assert len({len(r) for r in rows}) == 1
+    assert [r.replace("-", "") for r in rows] == seqs
+
+
+def test_upgma_deterministic_and_complete():
+    from multiprime_tpu.align import progressive
+    rng = np.random.default_rng(4)
+    d = rng.random((9, 9))
+    d = (d + d.T) / 2
+    np.fill_diagonal(d, 0)
+    m1 = progressive.upgma(d)
+    m2 = progressive.upgma(d.copy())
+    assert m1 == m2
+    assert len(m1) == 8
+    # every node id consumed exactly once as a child
+    children = [x for pair in m1 for x in pair]
+    assert len(children) == len(set(children))
+
+
+def test_progressive_beats_centerstar_on_divergent_families():
+    """The guide tree merges within-family first, so family-specific indels
+    stay in their own columns; center-star merges everything through one
+    center and scatters them."""
+    from multiprime_tpu.align import progressive, centerstar, refine
+    rng = np.random.default_rng(5)
+    seqs = _mutated_family(rng, n=30, L=400)
+    ids = [">s%d" % i for i in range(len(seqs))]
+    _, prows = progressive.progressive_msa(ids, seqs)
+    _, crows = centerstar.center_star_msa(ids, seqs, backend="numpy")
+    q_prog = refine.agreement_score(refine.encode_rows(prows))
+    q_cs = refine.agreement_score(refine.encode_rows(crows))
+    assert q_prog > q_cs
+    assert len(prows[0]) <= len(crows[0])
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir("/root/reference"),
+                    reason="reference tree not available")
+def test_progressive_matches_mafft_quality_on_golden_slice():
+    """On the first 60 sequences of the golden kobuvirus cluster,
+    progressive + refine reaches the MAFFT golden alignment's agreement
+    score (restricted to the same sequences)."""
+    from multiprime_tpu.align import progressive, refine
+    from multiprime_tpu.validate.scan import parse_fasta
+    ids, seqs = parse_fasta(
+        "/root/reference/test_data/results/Clusters_fa/Cluster_0_20727.tfa")
+    mids, mrows = parse_fasta(
+        "/root/reference/test_data/results/Clusters_msa/Cluster_0_20727.tmsa")
+    take = 60
+    sel, sub = ids[:take], seqs[:take]
+    midx = {h: i for i, h in enumerate(mids)}
+    golden = refine.drop_gap_columns([mrows[midx[h]] for h in sel])
+    q_mafft = refine.agreement_score(refine.encode_rows(golden))
+    _, rows = progressive.progressive_msa(sel, sub)
+    rows = refine.refine_msa(rows, 2)
+    q = refine.agreement_score(refine.encode_rows(rows))
+    assert q >= 0.999 * q_mafft
