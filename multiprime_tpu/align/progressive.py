@@ -93,16 +93,6 @@ def upgma(dist):
     return merges
 
 
-def _profile(rows_mat, counts=None):
-    """uint8 row matrix -> per-column letter fractions [L, 6]."""
-    f = np.zeros((rows_mat.shape[1], 6), np.float32)
-    code = _row_codes(rows_mat)
-    for letter in range(6):
-        f[:, letter] = (code == letter).sum(axis=0)
-    f /= max(rows_mat.shape[0], 1)
-    return f
-
-
 _CODE_LUT = np.full(256, 5, np.uint8)
 for _ch, _v in zip(b"ACGT-", range(5)):
     _CODE_LUT[_ch] = _v
@@ -112,15 +102,24 @@ def _row_codes(rows_mat):
     return _CODE_LUT[rows_mat]
 
 
+OP_M, OP_D, OP_I = 0, 1, 2
+
+
 def profile_align(fa, fb):
-    """Ops ('M'/'D'/'I') aligning profile A to profile B (Gotoh, vectorised
-    rows; 'D' = column only from A, 'I' = only from B)."""
+    """Op codes (uint8: 0=M, 1=D column only from A, 2=I only from B)
+    aligning profile A to profile B (Gotoh).  The substitution matrix is
+    one GEMM; the DP runs in the native library when available (GIL-free,
+    bit-identical to the NumPy fallback) or as vectorised NumPy rows."""
     la, lb = fa.shape[0], fb.shape[0]
     if la == 0:
-        return ["I"] * lb
+        return np.full(lb, OP_I, np.uint8)
     if lb == 0:
-        return ["D"] * la
+        return np.full(la, OP_D, np.uint8)
     score = (fa @ _S) @ fb.T                     # [La, Lb] in one GEMM
+    from .. import native
+    ops = native.profile_align_ops(score, float(GAP_OPEN), float(GAP_EXT))
+    if ops is not None:
+        return ops
     jar = np.arange(lb + 1, dtype=np.float32)
     v_prev = np.empty(lb + 1, np.float32)
     v_prev[0] = 0
@@ -167,20 +166,20 @@ def profile_align(fa, fb):
         else:
             m = ptr[i, j]
         if m == 0:
-            ops.append("M")
+            ops.append(OP_M)
             i -= 1
             j -= 1
             state = 0
         elif m == 1:
-            ops.append("D")
+            ops.append(OP_D)
             state = 1 if fcont[i, j] else 0
             i -= 1
         else:
-            ops.append("I")
+            ops.append(OP_I)
             state = (2 if econt[i, j] else 0) if (i > 0 and j > 0) else 0
             j -= 1
     ops.reverse()
-    return ops
+    return np.array(ops, np.uint8)
 
 
 def _expand(rows_mat, keep_mask, out_len):
@@ -188,6 +187,15 @@ def _expand(rows_mat, keep_mask, out_len):
     column consumes the next input column."""
     out = np.full((rows_mat.shape[0], out_len), ord("-"), np.uint8)
     out[:, keep_mask] = rows_mat
+    return out
+
+
+def _expand_counts(counts, keep_mask, out_len, n_members):
+    """Insert all-gap columns into a count profile: new columns carry
+    n_members gaps."""
+    out = np.zeros((out_len, 6), np.float32)
+    out[keep_mask] = counts
+    out[~keep_mask, 4] = n_members
     return out
 
 
@@ -199,25 +207,54 @@ def progressive_msa(ids, seqs, k=8):
     if n == 1:
         return ids, [seqs[0]]
     merges = upgma(kmer_distance_matrix(seqs, k))
-    # node id -> (row matrix, original row indices)
+    # node id -> (row matrix, count profile [L,6], original row indices);
+    # profiles merge incrementally (O(L) per merge) instead of rescanning
+    # every row near the root (O(N L))
     nodes = {}
     for i, s in enumerate(seqs):
-        nodes[i] = (np.frombuffer(s.encode("ascii"), np.uint8)
-                    .reshape(1, -1).copy(), [i])
-    next_id = n
-    for left, right in merges:
-        ra, idx_a = nodes.pop(left)
-        rb, idx_b = nodes.pop(right)
-        ops = profile_align(_profile(ra), _profile(rb))
-        ops_arr = np.frombuffer("".join(ops).encode("ascii"), np.uint8)
-        in_a = ops_arr != ord("I")
-        in_b = ops_arr != ord("D")
+        mat = np.frombuffer(s.encode("ascii"), np.uint8).reshape(1, -1)
+        counts = np.zeros((mat.shape[1], 6), np.float32)
+        counts[np.arange(mat.shape[1]), _row_codes(mat[0])] = 1.0
+        nodes[i] = (mat.copy(), counts, [i])
+    def do_merge(left, right):
+        ra, ca, idx_a = nodes.pop(left)
+        rb, cb, idx_b = nodes.pop(right)
+        ops = profile_align(ca / len(idx_a), cb / len(idx_b))
+        in_a = ops != OP_I
+        in_b = ops != OP_D
         merged = np.concatenate([
             _expand(ra, in_a, len(ops)),
             _expand(rb, in_b, len(ops))])
-        nodes[next_id] = (merged, idx_a + idx_b)
+        counts = _expand_counts(ca, in_a, len(ops), len(idx_a)) \
+            + _expand_counts(cb, in_b, len(ops), len(idx_b))
+        return merged, counts, idx_a + idx_b
+
+    # schedule merges in dependency waves: all merges of a wave touch
+    # disjoint subtrees, so they run concurrently (the native DP drops the
+    # GIL; the GEMMs thread inside BLAS)
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+    depth = {i: 0 for i in range(n)}
+    waves = {}
+    next_id = n
+    for left, right in merges:
+        d = max(depth[left], depth[right]) + 1
+        depth[next_id] = d
+        waves.setdefault(d, []).append((next_id, left, right))
         next_id += 1
-    (rows_mat, order), = nodes.values()
+    nt = min(_os.cpu_count() or 1, 16)
+    with ThreadPoolExecutor(nt) as pool:
+        for d in sorted(waves):
+            wave = waves[d]
+            if len(wave) == 1 or nt == 1:
+                for nid, left, right in wave:
+                    nodes[nid] = do_merge(left, right)
+            else:
+                for nid, res in zip(
+                        [w[0] for w in wave],
+                        pool.map(lambda w: do_merge(w[1], w[2]), wave)):
+                    nodes[nid] = res
+    (rows_mat, _, order), = nodes.values()
     inv = np.argsort(order)
     rows_mat = rows_mat[inv]
     return ids, [bytes(r).decode("ascii") for r in rows_mat]

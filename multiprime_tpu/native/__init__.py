@@ -62,6 +62,10 @@ def load():
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_float, ctypes.c_float, ctypes.c_int64,
         ctypes.c_void_p]
+    lib.profile_align_ops.restype = ctypes.c_int64
+    lib.profile_align_ops.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
+        ctypes.c_float, ctypes.c_void_p]
     lib.fasta_scan.restype = ctypes.c_int64
     lib.fasta_scan.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
@@ -120,6 +124,23 @@ def refine_realign(rows_bytes, codes, counts, gap_open, gap_ext, nthreads=0):
     lib.refine_realign(rows_bytes, codes.ctypes.data, m, c,
                        counts.ctypes.data, gap_open, gap_ext, nthreads, out)
     return out.raw
+
+
+def profile_align_ops(score: np.ndarray, gap_open: float, gap_ext: float):
+    """Native profile-profile Gotoh DP (align/progressive.py).  score is the
+    precomputed [la, lb] float32 substitution matrix; returns the uint8 op
+    array (0=M, 1=D, 2=I) or None when the library is missing.  Releases
+    the GIL, so independent merges thread."""
+    lib = load()
+    if lib is None:
+        return None
+    la, lb = score.shape
+    score = np.ascontiguousarray(score, np.float32)
+    ops = np.empty(la + lb, np.uint8)
+    n = lib.profile_align_ops(score.ctypes.data, la, lb,
+                              ctypes.c_float(gap_open),
+                              ctypes.c_float(gap_ext), ops.ctypes.data)
+    return ops[:n]
 
 
 def read_fasta_packed(path):

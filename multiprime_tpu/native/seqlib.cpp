@@ -284,4 +284,93 @@ void refine_realign(const char* rows, const int8_t* codes,
     for (auto& th : pool) th.join();
 }
 
+// Profile-profile Gotoh alignment for the progressive aligner
+// (align/progressive.py profile_align): the caller precomputes the
+// [la, lb] substitution matrix (one GEMM), this routine runs the DP +
+// traceback.  float32 arithmetic replicates the NumPy path operation by
+// operation (including tie rules and the prefix-max E recurrence) so both
+// backends produce identical op strings.  ops: 0 = M, 1 = D (column from A
+// only), 2 = I (column from B only).  Returns the op count (<= la + lb).
+int64_t profile_align_ops(const float* score, int64_t la, int64_t lb,
+                          float gap_open, float gap_ext, uint8_t* ops) {
+    const float NEGF = -1e30f;
+    if (la == 0) { for (int64_t j = 0; j < lb; j++) ops[j] = 2; return lb; }
+    if (lb == 0) { for (int64_t i = 0; i < la; i++) ops[i] = 1; return la; }
+    // packed per-cell: bits 0-1 ptr (0 diag, 1 up, 2 left),
+    // bit 2 fcont, bit 3 econt
+    std::vector<uint8_t> cell((size_t)(la + 1) * (lb + 1), 0);
+    {
+        uint8_t* c0 = cell.data();
+        for (int64_t j = 1; j <= lb; j++) c0[j] = 2;
+        for (int64_t j = 2; j <= lb; j++) c0[j] |= 8;
+    }
+    std::vector<float> v_prev(lb + 1), f_prev(lb + 1, NEGF);
+    std::vector<float> f_cur(lb + 1), vert(lb + 1), t(lb + 1);
+    v_prev[0] = 0.0f;
+    for (int64_t j = 1; j <= lb; j++)
+        v_prev[j] = gap_open + gap_ext * (float)j;
+    for (int64_t i = 1; i <= la; i++) {
+        const float* sub = score + (size_t)(i - 1) * lb;
+        uint8_t* ci = cell.data() + (size_t)i * (lb + 1);
+        for (int64_t j = 0; j <= lb; j++) {
+            const float ext = f_prev[j] + gap_ext;
+            const float opn = (v_prev[j] + gap_open) + gap_ext;
+            const bool fcont = ext >= opn;
+            f_cur[j] = fcont ? ext : opn;
+            ci[j] = fcont ? 4 : 0;
+        }
+        vert[0] = f_cur[0];
+        ci[0] |= 1;
+        for (int64_t j = 1; j <= lb; j++) {
+            const float diag = v_prev[j - 1] + sub[j - 1];
+            if (diag >= f_cur[j]) { vert[j] = diag; }
+            else { vert[j] = f_cur[j]; ci[j] |= 1; }
+        }
+        // E state: e[j] = max over j' < j of (t[j'] ) + ge*j, with
+        // t[j] = (vert[j] + go) - ge*j; econt marks an extension whose
+        // opening happened before j-1.
+        for (int64_t j = 0; j <= lb; j++)
+            t[j] = (vert[j] + gap_open) - gap_ext * (float)j;
+        float run = t[0];
+        for (int64_t j = 1; j <= lb; j++) {
+            if (j >= 2) run = std::max(run, t[j - 1]);
+            const float e = run + gap_ext * (float)j;
+            if (t[j - 1] < run) ci[j] |= 8;
+            if (e > vert[j]) {
+                vert[j] = e;               // vert becomes v_cur in place
+                ci[j] = (ci[j] & 12) | 2;
+            }
+        }
+        std::swap(v_prev, vert);
+        std::swap(f_prev, f_cur);
+    }
+    // traceback (identical state machine to the NumPy path)
+    int64_t i = la, j = lb, state = 0, n = 0;
+    std::vector<uint8_t> rev;
+    rev.reserve(la + lb);
+    while (i > 0 || j > 0) {
+        int m;
+        if (i == 0) m = 2;
+        else if (j == 0) m = 1;
+        else if (state == 1) m = 1;
+        else if (state == 2) m = 2;
+        else m = cell[(size_t)i * (lb + 1) + j] & 3;
+        if (m == 0) {
+            rev.push_back(0); i--; j--; state = 0;
+        } else if (m == 1) {
+            rev.push_back(1);
+            state = (cell[(size_t)i * (lb + 1) + j] & 4) ? 1 : 0;
+            i--;
+        } else {
+            rev.push_back(2);
+            state = (i > 0 && j > 0 &&
+                     (cell[(size_t)i * (lb + 1) + j] & 8)) ? 2 : 0;
+            j--;
+        }
+    }
+    n = (int64_t)rev.size();
+    for (int64_t x = 0; x < n; x++) ops[x] = rev[n - 1 - x];
+    return n;
+}
+
 }  // extern "C"

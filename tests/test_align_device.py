@@ -243,3 +243,31 @@ def test_progressive_matches_mafft_quality_on_golden_slice():
     rows = refine.refine_msa(rows, 2)
     q = refine.agreement_score(refine.encode_rows(rows))
     assert q >= 0.999 * q_mafft
+
+
+def test_profile_align_native_matches_numpy():
+    """The native profile-profile DP replicates the NumPy path's float32
+    arithmetic operation-for-operation: identical op strings."""
+    from multiprime_tpu import native
+    from multiprime_tpu.align import progressive
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        la, lb = rng.integers(1, 70, 2)
+        fa = rng.random((la, 6)).astype(np.float32)
+        fb = rng.random((lb, 6)).astype(np.float32)
+        fa /= fa.sum(1, keepdims=True)
+        fb /= fb.sum(1, keepdims=True)
+        score = (fa @ progressive._S) @ fb.T
+        nat = native.profile_align_ops(
+            score, float(progressive.GAP_OPEN), float(progressive.GAP_EXT))
+        lib, tried = native._lib, native._tried
+        native._lib, native._tried = None, True
+        try:
+            py = progressive.profile_align(fa, fb)
+        finally:
+            native._lib, native._tried = lib, tried
+        assert np.array_equal(nat, py)
+        counts = np.bincount(nat, minlength=3)
+        assert counts[0] + counts[1] == la and counts[0] + counts[2] == lb
