@@ -91,6 +91,10 @@ def _run(argv):
     p.add_argument("--backend", choices=["mcdpd", "wrc"],
                    help="design backend: mcdpd (multiPrime) or wrc "
                         "(multi-DegePrime flow)")
+    p.add_argument("--variant", choices=["main", "original"],
+                   help="pipeline variant: main (multiPrime.py DAG) or "
+                        "original (multiPrime-original.py: no dict/ANI/"
+                        "targets, core_V15 engine)")
     p.add_argument("--coverage", type=float)
     args = p.parse_args(argv)
     # only explicit flags override the config file
@@ -105,6 +109,8 @@ def _run(argv):
         overrides["algo"] = args.algo
     if args.backend is not None:
         overrides["design_backend"] = args.backend
+    if args.variant is not None:
+        overrides["pipeline_variant"] = args.variant
     if args.coverage is not None:
         overrides["coverage"] = args.coverage
     pipe, log = run_pipeline(args.config, **overrides)

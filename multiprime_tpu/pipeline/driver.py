@@ -79,6 +79,11 @@ class PipelineConfig:
     align_backend: str = "centerstar"
     msa_refine: int = 2                  # profile-realignment polish passes
                                          # (0 disables; accept-if-better)
+    # "main" = multiPrime.py's 19-rule DAG; "original" = the
+    # multiPrime-original.py variant (2.0.3): no acc->record dict, no
+    # ANI-based small-cluster merging, no Clusters_target reports, and the
+    # core_V15 design engine unless algo is set explicitly
+    pipeline_variant: str = "main"
     design_backend: str = "mcdpd"        # or "wrc" (the multi-DegePrime flow)
     wrc_max_deg: int = 96
     wrc_iterations: int = 100
@@ -117,7 +122,8 @@ class PipelineConfig:
             cfg.virus_name = v[0] if isinstance(v, list) else str(v)
         if "msa_refine" in raw:
             cfg.msa_refine = int(raw["msa_refine"])
-        for key in ("design_backend", "align_backend", "algo"):
+        for key in ("design_backend", "align_backend", "algo",
+                    "pipeline_variant"):
             if key in raw:
                 setattr(cfg, key, str(raw[key]))
         return cfg
@@ -157,11 +163,14 @@ class Pipeline:
     # -- stages ----------------------------------------------------------------
     def run(self):
         cfg = self.cfg
+        if cfg.pipeline_variant == "original" and cfg.algo == "v20":
+            cfg.algo = "v15"             # multiPrime-original.py:210
         fmt_fa = self._p("Total_fa", self.v + ".format.fa")
         self._stage("seq_format", [fmt_fa], lambda: self._seq_format(fmt_fa))
-        dict_pkl = self._p("Total_fa", self.v + ".format.dict")
-        self._stage("build_dict", [dict_pkl],
-                    lambda: self._build_dict(fmt_fa, dict_pkl))
+        if cfg.pipeline_variant != "original":
+            dict_pkl = self._p("Total_fa", self.v + ".format.dict")
+            self._stage("build_dict", [dict_pkl],
+                        lambda: self._build_dict(fmt_fa, dict_pkl))
         rmdup_fa = self._p("Total_fa", self.v + ".format.rmdup.cluster.fa")
         self._stage("rmdup", [rmdup_fa, rmdup_fa + ".clstr"],
                     lambda: self._rmdup(fmt_fa, rmdup_fa))
@@ -245,15 +254,18 @@ class Pipeline:
                 for acc, ident in zip(members, identities[ci]):
                     if ident is not None:
                         f.write("Cluster_%d\t%s\t%s\n" % (ci, acc, ident))
-        seq_lists = [[by_id[m] for m in members]
-                     for members in member_lists]
-        merged, history = ani_mod.merge_small_clusters(
-            member_lists, seq_lists,
-            min_size=cfg.seq_number_per_cluster_threshold,
-            ani_threshold=cfg.ani, drop=not cfg.drop_or_merge)
-        with open(self._p("history.txt"), "w") as f:
-            for row in history:
-                f.write("\t".join(map(str, row)) + "\n")
+        if cfg.pipeline_variant == "original":
+            merged = member_lists        # no ANI merge in -original
+        else:
+            seq_lists = [[by_id[m] for m in members]
+                         for members in member_lists]
+            merged, history = ani_mod.merge_small_clusters(
+                member_lists, seq_lists,
+                min_size=cfg.seq_number_per_cluster_threshold,
+                ani_threshold=cfg.ani, drop=not cfg.drop_or_merge)
+            with open(self._p("history.txt"), "w") as f:
+                for row in history:
+                    f.write("\t".join(map(str, row)) + "\n")
         rng = random.Random(cfg.sample_seed)
         self.cluster_names = []
         with open(cluster_txt, "w") as ct:
@@ -274,6 +286,8 @@ class Pipeline:
                 with open(self._p("Clusters_fa", name + ".tfa"), "w") as f:
                     for m in sample:
                         f.write(">" + m + "\n" + by_id[m] + "\n")
+                if cfg.pipeline_variant == "original":
+                    continue             # no target reports in -original
                 # Clusters_target: full headers of members (the reference's
                 # extract_value_from_dict output consumed for reporting)
                 dict_pkl = self._p("Total_fa", self.v + ".format.dict")
@@ -444,8 +458,11 @@ class Pipeline:
         bwt_out = self._p("Core_primers_set", "BWT_coverage",
                           "final_maxprimers_set.out")
         if not os.path.exists(bwt_out):
-            with open(self._p("Total_fa", self.v + ".format.dict"), "rb") as f:
-                targets_dict = pickle.load(f)
+            dict_pkl = self._p("Total_fa", self.v + ".format.dict")
+            targets_dict = None          # -original has no dict: like the
+            if os.path.exists(dict_pkl):  # reference's -d None, no unmatched.fa
+                with open(dict_pkl, "rb") as f:
+                    targets_dict = pickle.load(f)
             params = vscan.ScanParams(
                 term=cfg.scan_term, mm=cfg.scan_mm,
                 product_size=cfg.product_size)

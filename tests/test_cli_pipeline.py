@@ -110,3 +110,21 @@ def test_pipeline_two_clusters(tmp_path):
            "final_maxprimers_set.xls").read_text().splitlines()
     assert len(xls) >= 3               # one pair per cluster
     assert (tmp_path / "res" / "pipeline_metrics.json").exists()
+
+
+def test_pipeline_original_variant(tmp_path):
+    """multiPrime-original.py flow: no dict pickle, no ANI history, no
+    Clusters_target, core_V15 engine by default; still solves end-to-end."""
+    from multiprime_tpu.cli import main as cli
+    res = tmp_path / "res"
+    cli.main(["run", "-i", "/root/reference/test_data/test.fa",
+              "-r", str(res), "--variant", "original",
+              "--coverage", "0.6"])
+    assert not (res / "Total_fa" / "test.format.dict").exists()
+    assert not (res / "history.txt").exists()
+    assert not (res / "Clusters_target").exists()
+    assert (res / "Primers_set" / "final_maxprimers_set.xls").exists()
+    assert (res / "Core_primers_set" / "BWT_coverage").exists()
+    # no unmatched.fa without a dict (reference -d None behaviour)
+    assert not list((res / "Core_primers_set" / "BWT_coverage")
+                    .glob("*unmatched*"))
