@@ -96,6 +96,10 @@ def _run(argv):
                         "original (multiPrime-original.py: no dict/ANI/"
                         "targets, core_V15 engine)")
     p.add_argument("--coverage", type=float)
+    p.add_argument("--profile", metavar="DIR",
+                   help="capture a JAX profiler trace of the whole run "
+                        "(TensorBoard/XProf format) alongside the per-stage "
+                        "wall-clock timings in pipeline_metrics.json")
     args = p.parse_args(argv)
     # only explicit flags override the config file
     overrides = {}
@@ -113,7 +117,15 @@ def _run(argv):
         overrides["pipeline_variant"] = args.variant
     if args.coverage is not None:
         overrides["coverage"] = args.coverage
-    pipe, log = run_pipeline(args.config, **overrides)
+    if args.profile:
+        import jax
+        # profiler threads do not survive the design stage's fork pool —
+        # profiled runs are single-process
+        overrides["nproc"] = 1
+        with jax.profiler.trace(args.profile):
+            pipe, log = run_pipeline(args.config, **overrides)
+    else:
+        pipe, log = run_pipeline(args.config, **overrides)
     for name, status, dt in log:
         print("%-20s %-8s %ss" % (name, status, dt))
     return 0
