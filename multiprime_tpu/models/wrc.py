@@ -77,7 +77,7 @@ def read_fasta_raw(path):
     return ids, rows
 
 
-def trim_alignment(rows, ids=None, min_occupancy=0.0, max_trailing=1.0,
+def trim_alignment(rows, min_occupancy=0.0, max_trailing=1.0,
                    trailgap=False):
     """TrimAlignment.pl on aligned rows -> (trimmed rows, kept columns).
 
@@ -103,6 +103,12 @@ def trim_alignment(rows, ids=None, min_occupancy=0.0, max_trailing=1.0,
                       & (occ >= min_occupancy))[0]
     up = np.char.upper(mat.astype("U1"))
     up = np.where(up == "U", "T", up)
+    if len(keep) and np.all(np.diff(keep) == 1):
+        # fast path (the pipeline's default min_occupancy=0 keeps every
+        # column): no dropped columns between kept ones, so no lowercase
+        # marker can ever fire — emit the normalised columns directly
+        sub = up[:, keep]
+        return ["".join(r) for r in sub], keep
     trimmed = []
     for r in range(total):
         seq = up[r]
@@ -158,37 +164,34 @@ def wrc_window(mers, counts, max_deg=96, iterations=100, seed=0):
     counts = np.asarray(counts, np.int64)
     rng = np.random.default_rng(seed)
     weights = counts / counts.sum()
-    best_match, best_deg, best_mask = 0, "", None
     max_draws = min(k, 100)                   # trial cap, DegePrime.pl:282
-    for _ in range(iterations):
-        # weighted draw without replacement == the reference's redraw-and-
-        # compact procedure (already_chosen + list compaction)
-        order = rng.choice(k, size=max_draws, replace=False, p=weights)
-        union = np.zeros(plen, np.uint8)
-        deg = 0
-        for idx in order:
-            cand = union | masks[idx]
-            newdeg = int(np.prod(np.maximum(
-                iupac.popcount4(cand).astype(np.int64), 1)))
-            if newdeg <= max_deg:
-                union = cand
-                deg = newdeg
-            if deg >= max_deg:                # while (deg < max_deg)
-                break
-        member = ((masks & ~union[None, :]) == 0).all(axis=1)
-        matching = int(counts[member].sum())
-        if matching > best_match:
-            best_match = matching
-            best_deg = deg
-            best_mask = union.copy()
-    if best_mask is None:
+    # all restarts at once: Efraimidis–Spirakis keys give every iteration a
+    # weighted-without-replacement draw order in one vectorised shot
+    keys = rng.random((iterations, k)) ** (1.0 / weights)
+    order = np.argsort(-keys, axis=1)[:, :max_draws]   # [I, draws]
+    unions = np.zeros((iterations, plen), np.uint8)
+    degs = np.zeros(iterations, np.int64)
+    stopped = np.zeros(iterations, bool)
+    for t in range(max_draws):
+        cand = unions | masks[order[:, t]]
+        newdeg = np.prod(np.maximum(
+            iupac.popcount4(cand).astype(np.int64), 1), axis=1)
+        accept = (newdeg <= max_deg) & ~stopped
+        unions = np.where(accept[:, None], cand, unions)
+        degs = np.where(accept, newdeg, degs)
+        stopped |= degs >= max_deg            # while (deg < max_deg)
+    # matching per restart: mers whose bases are subsets of the union
+    member = ((masks[None, :, :] & ~unions[:, None, :]) == 0).all(axis=2)
+    matching = member @ counts                # [I]
+    best = int(np.argmax(matching))           # first best, like the serial
+    if matching[best] <= 0:                   # update's strict >
         return "", "", 0
     primer = "".join(iupac.MASK_TO_CHAR[int(m)] if m else "-"
-                     for m in best_mask)
-    return best_deg, primer, best_match
+                     for m in unions[best])
+    return int(degs[best]), primer, int(matching[best])
 
 
-def design_windows(rows, ids=None, plen=18, max_deg=96, iterations=100,
+def design_windows(rows, plen=18, max_deg=96, iterations=100,
                    seed=0, min_depth=1, skip_length=20):
     """DegePrime.pl over every window of a TRIMMED alignment.
 

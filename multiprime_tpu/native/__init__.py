@@ -9,6 +9,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 
 import numpy as np
 
@@ -18,6 +19,7 @@ _SO = os.path.join(_DIR, "libseqlib.so")
 
 _lib = None
 _tried = False
+_load_lock = threading.Lock()
 
 
 def _build():
@@ -32,6 +34,16 @@ def _build():
 
 def load():
     global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _load_lock:
+        return _load_locked()
+
+
+def _load_locked():
+    global _lib, _tried
+    # re-check under the lock: concurrent first calls (e.g. the progressive
+    # aligner's merge threads) must not race two g++ builds onto the same .so
     if _lib is not None or _tried:
         return _lib
     _tried = True

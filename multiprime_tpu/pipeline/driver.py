@@ -160,6 +160,19 @@ class Pipeline:
         from ..validate.scan import parse_fasta
         return parse_fasta(path)
 
+    def _design_cache_valid(self, path, backend):
+        """Both backends share the Clusters_primer/<name>.top.primer.out
+        name (like the reference pipelines); a cached table only counts as
+        done if its header matches the active backend's format, so
+        switching design_backend on an existing results dir regenerates
+        instead of mis-parsing."""
+        if not os.path.exists(path):
+            return False
+        with open(path) as f:
+            first = f.readline()
+        want = "Pos\t" if backend == "wrc" else "Position\t"
+        return first.startswith(want)
+
     # -- stages ----------------------------------------------------------------
     def run(self):
         cfg = self.cfg
@@ -340,7 +353,13 @@ class Pipeline:
                 self._wrc_cluster(name, msa_path, tfa)
                 continue
             out = self._p("Clusters_primer", name + ".top.primer.out")
-            if not os.path.exists(out):
+            cand = self._p("Clusters_cprimer",
+                           name + ".candidate.primers.txt")
+            if not self._design_cache_valid(out, "mcdpd"):
+                # a regenerated design table invalidates the downstream
+                # candidate cache (it may hold the other backend's format)
+                if os.path.exists(cand):
+                    os.remove(cand)
                 params = mcdpd.DesignParams(
                     primer_length=cfg.primer_len, coverage=cfg.coverage,
                     dege_number=cfg.dege_number, degeneracy=cfg.degeneracy,
@@ -356,7 +375,6 @@ class Pipeline:
                     self.log.append(("design:" + name, "skipped: %s" % e, 0))
                     results = []
                 mcdpd.write_outputs(results, out)
-            cand = self._p("Clusters_cprimer", name + ".candidate.primers.txt")
             if not os.path.exists(cand):
                 pparams = pairing.PairingParams(
                     size=cfg.product_size, fraction=cfg.coverage,
@@ -380,14 +398,16 @@ class Pipeline:
         from ..models import wrc, pairing
         cfg = self.cfg
         out = self._p("Clusters_primer", name + ".top.primer.out")
-        if not os.path.exists(out):
+        cand = self._p("Clusters_cprimer", name + ".candidate.primers.txt")
+        if not self._design_cache_valid(out, "wrc"):
+            if os.path.exists(cand):
+                os.remove(cand)
             ids, rows = wrc.read_fasta_raw(msa_path)
             trimmed, kept = wrc.trim_alignment(rows)
             table = wrc.design_windows(
                 trimmed, plen=cfg.primer_len, max_deg=cfg.wrc_max_deg,
                 iterations=cfg.wrc_iterations, seed=cfg.sample_seed)
             wrc.write_design(table, out)
-        cand = self._p("Clusters_cprimer", name + ".candidate.primers.txt")
         if not os.path.exists(cand):
             number = pairing.count_ref_seqs(tfa, cfg.max_seq)
             primers = pairing.parse_degeprime_table(out, number)
