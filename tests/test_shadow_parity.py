@@ -23,21 +23,22 @@ class _FakeQ(list):
         self.append(x)
 
 
-def _load_reference(path, name, position):
+def _load_reference(path, name, position, plen=18, coverage=0.7,
+                    dege_number=4, degeneracy=10, variation=1):
     spec = importlib.util.spec_from_file_location(name, path)
     mod = importlib.util.module_from_spec(spec)
     sys.modules[name] = mod
     spec.loader.exec_module(mod)
     eng = mod.NN_degenerate.__new__(mod.NN_degenerate)
-    eng.primer_length = 18
-    eng.coverage = 0.7
-    eng.number_of_dege_bases = 4
-    eng.score_of_dege_bases = 10
+    eng.primer_length = plen
+    eng.coverage = coverage
+    eng.number_of_dege_bases = dege_number
+    eng.score_of_dege_bases = degeneracy
     eng.product = 150
     eng.position = position
     if hasattr(eng, "get_Y") and isinstance(position, str):
         eng.Y_strict, eng.Y_strict_R = eng.get_Y()
-    eng.variation = 1
+    eng.variation = variation
     eng.distance = 4
     eng.GC = "0.2,0.7".split(",")
     eng.nproc = 1
@@ -209,3 +210,50 @@ def test_shadow_onestep_all(tmp_path):
         ref_s = str(out2_ref).rstrip(".txt") + suffix
         mine_s = str(out2_mine).rstrip(".txt") + suffix
         assert open(mine_s).read() == open(ref_s).read()
+
+
+@requires_reference
+@pytest.mark.slow
+@pytest.mark.parametrize("knobs", [
+    # off-default everything: 2-nt variation, 20-mer, different forbidden
+    # positions, looser degeneracy budget
+    dict(plen=20, coverage=0.8, dege_number=6, degeneracy=32, variation=2,
+         coordinate="1,-1", offset=40),
+    # zero-variation strict mode, short 16-mers, tight degeneracy
+    dict(plen=16, coverage=0.6, dege_number=2, degeneracy=4, variation=0,
+         coordinate="2,3,-1", offset=90),
+])
+def test_shadow_v20_varied_knobs(knobs):
+    """v20 parity at non-default parameter combinations (the fixed-param
+    slices can hide knob-handling drift)."""
+    ref = _load_reference(
+        "/root/reference/scripts/multiPrime-core.py",
+        "shadow_v20_knobs", knobs["coordinate"], plen=knobs["plen"],
+        coverage=knobs["coverage"], dege_number=knobs["dege_number"],
+        degeneracy=knobs["degeneracy"], variation=knobs["variation"])
+    ids, chars = mcdpd.parse_msa(str(MSA))
+    params = mcdpd.DesignParams(
+        primer_length=knobs["plen"], coverage=knobs["coverage"],
+        dege_number=knobs["dege_number"], degeneracy=knobs["degeneracy"],
+        variation=knobs["variation"], min_product=150,
+        coordinate=knobs["coordinate"], hairpin_distance=4, algo="v20")
+    eng = mcdpd.DesignEngine(params)
+    ext = mcdpd.MSAWindows(ids, chars, knobs["plen"])
+    positions = np.arange(ref.start_position + knobs["offset"],
+                          ref.start_position + knobs["offset"] + 25)
+    wins = ext.windows(positions)
+    emitted = 0
+    for wi, pos in enumerate(positions):
+        ref.resQ = _FakeQ()
+        ref.get_primers(ref.seq_dict, int(pos))
+        ref_res = ref.resQ[0]
+        mine = eng._design_window(int(pos), wins[:, wi, :], ids, len(ids),
+                                  ref.entropy_threshold)
+        if ref_res is None:
+            assert mine is None, pos
+        else:
+            assert mine is not None, pos
+            assert list(map(str, mine.row())) == \
+                [str(ref_res[0][0])] + [str(x) for x in ref_res[0][1]], pos
+            emitted += 1
+    assert emitted >= 5
