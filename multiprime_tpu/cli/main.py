@@ -19,6 +19,8 @@ Subcommands map 1:1 onto the reference's script zoo:
   specificity  background off-target scan     (primer_specificity.py)
   roc          capture-prediction metrics     (test_data/ROC/ROC.py)
   wrc          DEGEPRIME-style WRC design     (DegePrime.pl)
+  nondimer-filter  keep new primers dimer-free vs a pool
+                                              (primer_filter.sh / select.nondimer.primer.sh)
   onestep      design + pair + coverage scan  (multiPrime_onestep_all.py)
 """
 
@@ -71,6 +73,8 @@ def main(argv=None):
         return _roc(rest)
     if cmd == "wrc":
         return _wrc(rest)
+    if cmd == "nondimer-filter":
+        return _nondimer_filter(rest)
     if cmd == "onestep":
         return _onestep(rest)
     print("unknown subcommand: " + cmd)
@@ -323,6 +327,20 @@ def _wrc(argv):
                                iterations=a.iterations, seed=a.seed,
                                min_depth=a.depth, skip_length=a.skip)
     wrc.write_design(table, a.out)
+    return 0
+
+
+def _nondimer_filter(argv):
+    import argparse
+    from ..validate import update
+    p = argparse.ArgumentParser(prog="mptpu nondimer-filter")
+    p.add_argument("-i", "--input", required=True, help="new primers fasta")
+    p.add_argument("-p", "--pool", required=True, help="pool/core fasta")
+    p.add_argument("-t", "--threshold", type=float, default=3.96)
+    p.add_argument("-o", "--out", required=True, help="clean fasta")
+    a = p.parse_args(argv)
+    kept = update.select_nondimer(a.input, a.pool, a.out, a.threshold)
+    print("kept %d dimer-free primers -> %s" % (len(kept), a.out))
     return 0
 
 

@@ -77,3 +77,31 @@ def run(new_fa, core_fa, ref_fa, out_prefix, func="DO",
         results["offtarget"] = predict_merged_set(
             new_fa, core_fa, ref_fa, out_prefix + ".update.out", scan_params)
     return results
+
+
+def select_nondimer(new_fa, pool_fa, out_fa, threshold=3.96):
+    """primer_filter.sh / select.nondimer.primer.sh equivalent: keep the new
+    primers that form NO dimer against the pooled set (the shell helpers
+    run finDimer/Primer_set_update over the merged fasta, join against the
+    candidate fasta, and keep records with no dimer row).
+
+    -> list of kept primer names (without '>').
+    """
+    import os
+    rows = check_new_primers(new_fa, pool_fa,
+                             out_fa + ".dimer.tmp", threshold=threshold)
+    try:
+        os.remove(out_fa + ".dimer.tmp")
+        os.remove(out_fa + ".dimer.tmp.dimer_num")
+    except OSError:
+        pass
+    involved = {r[1] for r in rows}
+    new = findimer.parse_primer_fasta(new_fa)
+    kept = []
+    with open(out_fa, "w") as f:
+        for primer, name in new.items():
+            if primer in involved:
+                continue
+            f.write(">%s\n%s\n" % (name.lstrip(">"), primer))
+            kept.append(name.lstrip(">"))
+    return kept

@@ -75,3 +75,23 @@ def test_mfeprimer_style_reports(tmp_path):
     assert "H1" in hp_text and "hairpin" in hp_text
     assert "Hairpin" in hp_text          # mfeprimer-style header
     assert "D1" in dm_text.split("Dimer findings")[1]
+
+
+def test_nondimer_filter(tmp_path):
+    """primer_filter.sh equivalent: a primer whose 3' end reverse-
+    complements into a pool primer is dropped; a clean one survives."""
+    from multiprime_tpu.cli import main as cli
+    from multiprime_tpu.utils import iupac
+    pool_primer = "ACGGTCATGCCTGAATGGCA"
+    # RC of the pool 3' end => a 3'-3' dimer with d2=0 (high Loss)
+    bad = "TTGATTAGCA" + iupac.rc(pool_primer[-10:])
+    clean = "CCCCCCCCCCCCCCCCCCCC"            # RC(GGGGG...) occurs nowhere
+    new = tmp_path / "new.fa"
+    new.write_text(">bad\n%s\n>clean\n%s\n" % (bad, clean))
+    pool = tmp_path / "pool.fa"
+    pool.write_text(">pool1\n%s\n" % pool_primer)
+    out = tmp_path / "clean.fa"
+    cli.main(["nondimer-filter", "-i", str(new), "-p", str(pool),
+              "-o", str(out)])
+    text = out.read_text()
+    assert ">clean" in text and ">bad" not in text
