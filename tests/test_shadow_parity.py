@@ -257,3 +257,47 @@ def test_shadow_v20_varied_knobs(knobs):
                 [str(ref_res[0][0])] + [str(x) for x in ref_res[0][1]], pos
             emitted += 1
     assert emitted >= 5
+
+
+@requires_reference
+@pytest.mark.slow
+def test_shadow_ydu_v16_archive_script():
+    """The archived Y_distance_update/multiPrime-core_V16.py (the engine
+    revision the golden results were built with) at ITS experiment's
+    parameters (coverage 0.8, min product 100, coordinate "2,-1" — note
+    -1 maps to forbidden position 18, out of the 0..17 range, a no-op for
+    F).  NOTE: the co-archived `test`/`test17` OUTPUT files do not match a
+    live run of this same script (they predate it); the live script is the
+    behavioural ground truth shadowed here."""
+    ref = _load_reference(
+        "/root/reference/test_data/Y_distance_update/multiPrime-core_V16.py",
+        "shadow_ydu16", "2,-1", coverage=0.8)
+    ref.product = 100
+    msa_1000 = "/root/reference/test_data/1000_fasta.msa"
+    ref.seq_dict, ref.total_sequence_number = ref.parse_seq(msa_1000)
+    ref.position_list = ref.seq_attribute(ref.seq_dict)
+    ref.start_position, ref.stop_position, ref.length = ref.position_list
+    ref.entropy_threshold = ref.entropy_threshold_adjust(ref.length)
+    ids, chars = mcdpd.parse_msa(msa_1000)
+    params = mcdpd.DesignParams(
+        coverage=0.8, min_product=100, coordinate="2,-1",
+        hairpin_distance=4, algo="v16")
+    eng = mcdpd.DesignEngine(params)
+    ext = mcdpd.MSAWindows(ids, chars, 18)
+    positions = np.arange(ref.start_position, ref.start_position + 15)
+    wins = ext.windows(positions)
+    emitted = 0
+    for wi, pos in enumerate(positions):
+        ref.resQ = _FakeQ()
+        ref.get_primers(ref.seq_dict, int(pos))
+        ref_res = ref.resQ[0]
+        mine = eng._design_window(int(pos), wins[:, wi, :], ids, len(ids),
+                                  ref.entropy_threshold)
+        if ref_res is None:
+            assert mine is None, pos
+        else:
+            assert mine is not None, pos
+            assert list(map(str, mine.row())) == \
+                [str(ref_res[0][0])] + [str(x) for x in ref_res[0][1]], pos
+            emitted += 1
+    assert emitted >= 5
