@@ -35,7 +35,11 @@ import numpy as np
 @dataclass
 class PipelineConfig:
     input_fa: str = ""
+    input_dir: str = ""              # resolved with virus_name when input_fa
+                                     # is not given (multiPrime.py:45)
     results_dir: str = "results"
+    log_dir: str = ""                # per-stage log files like the
+                                     # reference's (multiPrime.py:182-183)
     virus_name: str = ""
     # seq_format
     seq_number_ATGC: float = 0.8
@@ -43,8 +47,11 @@ class PipelineConfig:
     # clustering
     identity: float = 0.7
     ani: float = 0.8
-    drop_or_merge: bool = True       # merge small clusters (True) or drop
-    seq_number_per_cluster_threshold: int = 10
+    drop_or_merge: bool = True       # merge small clusters (True) or drop;
+                                     # yaml key `drop` ("T" = drop)
+    # clusters with fewer members than this go through the ANI merge/drop
+    # pass (merge_cluster_by_ANI.py -t; the shipped yaml value 1 disables it)
+    seq_number_ani: int = 1
     max_seq: int = 500
     sample_seed: int = 0
     # design
@@ -95,9 +102,12 @@ class PipelineConfig:
         raw = yaml.safe_load(open(path))
         cfg = cls()
         mapping = {
-            "input_dir": None, "input_fa": "input_fa",
-            "results_dir": "results_dir", "identity": "identity",
+            "input_dir": "input_dir", "input_fa": "input_fa",
+            "results_dir": "results_dir", "log_dir": "log_dir",
+            "identity": "identity",
             "ani": "ani", "max_seq": "max_seq",
+            "seq_number_ANI": "seq_number_ani",
+            "core_number": "core_number",
             "dege_number": "dege_number", "degeneracy": "degeneracy",
             "primer_len": "primer_len", "variation": "variation",
             "entropy": "entropy", "coordinate": "coordinate",
@@ -109,6 +119,8 @@ class PipelineConfig:
         for key, attr in mapping.items():
             if attr and key in raw:
                 setattr(cfg, attr, raw[key])
+        if "drop" in raw:        # merge_cluster_by_ANI.py -d: "T" = drop
+            cfg.drop_or_merge = str(raw["drop"]).strip() != "T"
         if "PRODUCT_size" in raw:
             cfg.product_size = tuple(
                 int(x) for x in str(raw["PRODUCT_size"]).split(","))
@@ -132,6 +144,9 @@ class PipelineConfig:
 class Pipeline:
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
+        if not cfg.input_fa and cfg.input_dir and cfg.virus_name:
+            cfg.input_fa = os.path.join(cfg.input_dir,
+                                        cfg.virus_name + ".fa")
         self.r = cfg.results_dir
         self.v = cfg.virus_name or os.path.basename(
             cfg.input_fa).rsplit(".", 1)[0]
@@ -146,6 +161,19 @@ class Pipeline:
     def _done(self, *paths):
         return all(os.path.exists(p) for p in paths)
 
+    def _log_file(self, name, seconds):
+        """Per-stage log file like the reference's rule logs
+        (multiPrime.py:182-183: `log_dir + "/multiPrime_{i}.log"`), with the
+        `INFO <ts> Total times: <sec>` line every reference CLI prints
+        (multiPrime-core.py:1194-1198)."""
+        if not self.cfg.log_dir:
+            return
+        os.makedirs(self.cfg.log_dir, exist_ok=True)
+        stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+        with open(os.path.join(self.cfg.log_dir, name + ".log"), "w") as f:
+            f.write("INFO {} Total times: {}\n".format(
+                stamp, round(seconds, 2)))
+
     def _stage(self, name, outputs, fn):
         if outputs and self._done(*outputs):
             self.log.append((name, "cached", 0.0))
@@ -154,6 +182,7 @@ class Pipeline:
         fn()
         dt = time.time() - t0
         self.cfg.timings[name] = round(dt, 3)
+        self._log_file(name, dt)
         self.log.append((name, "ran", round(dt, 2)))
 
     def _read_fasta(self, path):
@@ -274,7 +303,7 @@ class Pipeline:
                          for members in member_lists]
             merged, history = ani_mod.merge_small_clusters(
                 member_lists, seq_lists,
-                min_size=cfg.seq_number_per_cluster_threshold,
+                min_size=cfg.seq_number_ani,
                 ani_threshold=cfg.ani, drop=not cfg.drop_or_merge)
             with open(self._p("history.txt"), "w") as f:
                 for row in history:
@@ -369,13 +398,16 @@ class Pipeline:
                     algo=cfg.algo, nproc=cfg.nproc)
                 ids, chars = mcdpd.parse_msa(msa_path)
                 eng = mcdpd.DesignEngine(params)
+                t0 = time.time()
                 try:
                     results = eng.design(ids, chars)
                 except ValueError as e:
                     self.log.append(("design:" + name, "skipped: %s" % e, 0))
                     results = []
                 mcdpd.write_outputs(results, out)
+                self._log_file("multiPrime_" + name, time.time() - t0)
             if not os.path.exists(cand):
+                t0 = time.time()
                 pparams = pairing.PairingParams(
                     size=cfg.product_size, fraction=cfg.coverage,
                     end_dege=cfg.end, hairpin_distance=cfg.distance,
@@ -391,6 +423,7 @@ class Pipeline:
                     pairing.write_empty_output(cand)
                 else:
                     pairing.write_outputs(pairs, cand)
+                self._log_file("get_multiPrime_" + name, time.time() - t0)
 
     def _wrc_cluster(self, name, msa_path, tfa):
         """multi-DegePrime flow: trim + WRC design + get_degePrimer pairing

@@ -112,6 +112,68 @@ def test_pipeline_two_clusters(tmp_path):
     assert (tmp_path / "res" / "pipeline_metrics.json").exists()
 
 
+def test_reference_yaml_key_parity():
+    """Every key in the shipped multiPrime.yaml lands in PipelineConfig
+    (multiPrime.yaml:38-159).  `scripts_dir` is n/a: the engines are
+    in-package, there is no scripts directory to point at."""
+    import yaml
+    from multiprime_tpu.pipeline.driver import PipelineConfig
+    path = "/root/reference/multiPrime.yaml"
+    raw = yaml.safe_load(open(path))
+    cfg = PipelineConfig.from_yaml(path)
+    not_applicable = {"scripts_dir"}
+    landed = {
+        "input_dir": cfg.input_dir, "results_dir": cfg.results_dir,
+        "log_dir": cfg.log_dir, "virus": cfg.virus_name,
+        "identity": cfg.identity, "seq_number_ANI": cfg.seq_number_ani,
+        "ani": cfg.ani, "drop": cfg.drop_or_merge, "max_seq": cfg.max_seq,
+        "dege_number": cfg.dege_number, "degeneracy": cfg.degeneracy,
+        "primer_len": cfg.primer_len, "variation": cfg.variation,
+        "nproc": cfg.nproc, "entropy": cfg.entropy,
+        "coordinate": cfg.coordinate, "coverage": cfg.coverage,
+        "PRODUCT_size": cfg.product_size, "gc_content": cfg.gc_content,
+        "distance": cfg.distance, "end": cfg.end, "adaptor": cfg.adaptor,
+        "core_number": cfg.core_number, "step": cfg.step,
+        "method": cfg.method,
+    }
+    missing = set(raw) - set(landed) - not_applicable
+    assert not missing, "yaml keys not mapped: %s" % sorted(missing)
+    # spot-check the previously-dropped keys land with the right values
+    assert cfg.seq_number_ani == raw["seq_number_ANI"] == 1
+    assert cfg.core_number == raw["core_number"] == 10
+    assert cfg.drop_or_merge is True          # drop: "F" -> merge
+    assert cfg.log_dir == raw["log_dir"]
+    assert cfg.input_dir == raw["input_dir"]
+    assert cfg.virus_name == "CDS_20727"
+    assert cfg.product_size == (150, 1200)
+
+
+def test_pipeline_log_dir(tmp_path):
+    """log_dir produces per-stage + per-cluster log files with the
+    reference's `INFO <ts> Total times:` line (multiPrime.py:182-218)."""
+    fa = tmp_path / "toy.fa"
+    rng = np.random.default_rng(3)
+    lut = np.array(list("ACGT"))
+    base = "".join(rng.choice(lut, size=400))
+    with open(fa, "w") as f:
+        for i in range(8):
+            s = list(base)
+            for _ in range(5):
+                s[rng.integers(0, len(s))] = str(rng.choice(lut))
+            f.write(">s%d\n%s\n" % (i, "".join(s)))
+    from multiprime_tpu.pipeline.driver import run_pipeline
+    logd = tmp_path / "logs"
+    run_pipeline(None, input_fa=str(fa), results_dir=str(tmp_path / "res"),
+                 virus_name="toy", coverage=0.5, min_seq_length=100,
+                 product_size=(100, 390), log_dir=str(logd))
+    logs = sorted(p.name for p in logd.glob("*.log"))
+    assert "seq_format.log" in logs
+    assert any(n.startswith("multiPrime_Cluster_") for n in logs)
+    assert any(n.startswith("get_multiPrime_Cluster_") for n in logs)
+    body = (logd / "seq_format.log").read_text()
+    assert "Total times:" in body
+
+
 def test_pipeline_original_variant(tmp_path):
     """multiPrime-original.py flow: no dict pickle, no ANI history, no
     Clusters_target, core_V15 engine by default; still solves end-to-end."""
