@@ -29,6 +29,10 @@ def build_parser():
     p.add_argument("-a", "--away", type=int, default=4)
     p.add_argument("-o", "--out", required=True)
     p.add_argument("--algo", choices=["v20", "v16", "v15", "v2"], default="v20")
+    p.add_argument("--stage-a", choices=["host", "device", "auto"],
+                   default="host", dest="stage_a",
+                   help="Stage-A backend: batched device kernel or the "
+                        "bit-exact host path (identical outputs)")
     return p
 
 
@@ -45,7 +49,8 @@ def main(argv=None):
         degeneracy=args.degeneracy, variation=args.variation,
         entropy_threshold=args.entropy, gc=gc, min_product=args.size,
         coordinate=coordinate, position_margin=margin,
-        hairpin_distance=args.away, nproc=args.proc, algo=args.algo)
+        hairpin_distance=args.away, nproc=args.proc, algo=args.algo,
+        stage_a=args.stage_a)
     ids, chars = mcdpd.parse_msa(args.input)
     eng = mcdpd.DesignEngine(params)
     try:

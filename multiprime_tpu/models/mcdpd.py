@@ -148,6 +148,12 @@ class DesignParams:
     hairpin_distance: int = 4      # -a
     nproc: int = 1
     algo: str = "v20"
+    # Stage-A backend: "host" (bit-exact NumPy), "device" (the batched
+    # JAX/TPU kernel ops/design_scan.design_stats_full; freq/NN/Viterbi for
+    # all windows in one fused call, host Stage B consumes them), or "auto"
+    # (device when the default JAX backend is a real accelerator).  Outputs
+    # are identical either way (tests/test_design_device.py).
+    stage_a: str = "host"
 
 
 def _build_covered_table(rounded):
@@ -532,8 +538,21 @@ class DesignEngine:
         n = len(seq_ids)
         start, stop = self.usable_span(chars)
         threshold = self.entropy_threshold(stop - start)
-        extractor = MSAWindows(seq_ids, chars, plen)
         positions = np.arange(start, stop - plen)
+        stage_a = self.p.stage_a
+        if stage_a == "auto":
+            # Measured on the golden 500x1951 MSA (v5e behind a tunnel,
+            # 2026-08): full design host 2.66 s vs device 4.10 s warm — the
+            # hot cost is the order-dependent host Stage B, and shipping the
+            # patched-window tensor back outweighs the einsum savings.  auto
+            # therefore picks host; "device" stays as the explicit opt-in
+            # (outputs identical, tests/test_design_device.py) and pays off
+            # only when Stage A dominates (very large N x W per window).
+            stage_a = "host"
+        if stage_a == "device":
+            return self._design_device(chars, positions, seq_ids, n,
+                                       threshold, progress)
+        extractor = MSAWindows(seq_ids, chars, plen)
         if self.p.nproc > 1 and len(positions) >= 64:
             return self._design_parallel(extractor, positions, seq_ids, n,
                                          threshold)
@@ -549,6 +568,34 @@ class DesignEngine:
                     results.append(res)
             if progress:
                 progress(min(b0 + block, len(positions)), len(positions))
+        return results
+
+    def _design_device(self, chars, positions, seq_ids, n, threshold,
+                       progress=None):
+        """Stage A on device (ops/design_scan): patched windows, freq/NN
+        tensors and Viterbi paths for all windows in fused blocks; Stage B
+        consumes them window by window.  Bit-identical to the host path
+        (the device integers are exact; parity in tests/test_design_device.py).
+        """
+        from ..ops import design_scan
+        masks = iupac.bytes_to_masks(chars)
+        done = 0
+        results = []
+        for pos_block, stats in design_scan.design_stats_blocks(
+                masks, positions, plen=self.p.primer_length,
+                variation=self.p.variation):
+            win_chars = iupac._MASK_TO_ASCII[stats["win"] & 15]  # [N, W, plen]
+            for wi, position in enumerate(pos_block):
+                pre = (stats["freq"][wi].T.astype(np.int64),
+                       stats["nn"][wi].astype(np.int64),
+                       stats["viterbi"][wi].astype(np.int64))
+                res = self._design_window(int(position), win_chars[:, wi, :],
+                                          seq_ids, n, threshold, pre=pre)
+                if res is not None:
+                    results.append(res)
+            done += len(pos_block)
+            if progress:
+                progress(done, len(positions))
         return results
 
     def _design_parallel(self, extractor, positions, seq_ids, n, threshold):
@@ -572,7 +619,8 @@ class DesignEngine:
         return results
 
     # -- per-window Stage B ----------------------------------------------------
-    def _design_window(self, position, win_chars, seq_ids, total, threshold):
+    def _design_window(self, position, win_chars, seq_ids, total, threshold,
+                       pre=None):
         p = self.p
         plen = p.primer_length
         gapcnt = (win_chars == ord("-")).sum(axis=1)
@@ -646,20 +694,29 @@ class DesignEngine:
             return None
 
         # Frequency matrix [4, plen] and NN tensor [plen-1, 4, 4] over the
-        # distinct expansions weighted by their counts.
+        # distinct expansions weighted by their counts.  With a device
+        # Stage-A (`pre`), the tensors and the Viterbi path arrive
+        # precomputed (exact integers, same totals — the device weights each
+        # raw row by expansion multiplicity, which equals the per-expansion
+        # counting here by linearity).
         keys = list(cover.keys())
         counts = np.fromiter(cover.values(), dtype=np.int64, count=len(keys))
         key_chars = np.frombuffer("".join(keys).encode("ascii"),
                                   np.uint8).reshape(len(keys), plen)
-        onehot = key_chars[:, :, None] == _ASCII_BASES[None, None, :]  # [K,L,4]
-        freq = np.einsum("k,klb->bl", counts, onehot.astype(np.int64))
+        if pre is not None:
+            freq, nn, viterbi_pre = pre
+        else:
+            onehot = key_chars[:, :, None] == _ASCII_BASES[None, None, :]
+            freq = np.einsum("k,klb->bl", counts,
+                             onehot.astype(np.int64))       # [4, plen]
         if (freq.sum(axis=0) == 0).any():
             return None
         if (freq.sum(axis=1) == 0).any():     # a < 4: some base never occurs
             return None
-        left = onehot[:, :-1, :].astype(np.int64)
-        right = onehot[:, 1:, :].astype(np.int64)
-        nn = np.einsum("k,kli,klj->lij", counts, left, right)
+        if pre is None:
+            left = onehot[:, :-1, :].astype(np.int64)
+            right = onehot[:, 1:, :].astype(np.int64)
+            nn = np.einsum("k,kli,klj->lij", counts, left, right)
         counts_list = [int(c) for c in counts]
 
         cover_extra = set()
@@ -685,7 +742,7 @@ class DesignEngine:
                                       f_non, r_non, cover, cover_extra,
                                       gap_seq_id)
 
-        viterbi_path = _viterbi(freq, nn)
+        viterbi_path = viterbi_pre if pre is not None else _viterbi(freq, nn)
 
         if self.p.algo == "v2":
             return self._design_window_v2(

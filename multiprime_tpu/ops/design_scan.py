@@ -155,3 +155,39 @@ def design_stats(masks, positions, *, plen=18, variation=1):
     stats = window_stats(win, variation)
     stats["viterbi"] = viterbi_batch(stats["freq"], stats["nn"])
     return stats
+
+
+@functools.partial(jax.jit, static_argnames=("plen", "variation"))
+def design_stats_full(masks, positions, *, plen=18, variation=1):
+    """design_stats that also returns the patched windows themselves (int8
+    masks, [N, W, plen]) so host Stage B consumes them without re-patching."""
+    win = patch_windows(masks, positions, plen)
+    stats = window_stats(win, variation)
+    stats["viterbi"] = viterbi_batch(stats["freq"], stats["nn"])
+    stats["win"] = win.astype(jnp.int8)
+    return stats
+
+
+def design_stats_blocks(masks, positions, *, plen=18, variation=1,
+                        block=512):
+    """Host-side block runner over the window axis: positions are processed
+    in fixed-size blocks (the last block padded by repeating its final
+    position) so every call after the first reuses one compiled executable.
+    Yields (pos_block, stats_numpy) per block with padding already dropped.
+
+    masks: uint8/int32 [N, L] IUPAC 4-bit masks; positions: int [W].
+    """
+    masks = np.ascontiguousarray(masks, dtype=np.int32)
+    positions = np.asarray(positions, dtype=np.int32)
+    for b0 in range(0, len(positions), block):
+        pos = positions[b0:b0 + block]
+        n_real = len(pos)
+        if n_real < block:
+            pos = np.concatenate(
+                [pos, np.full(block - n_real, pos[-1], np.int32)])
+        out = design_stats_full(masks, pos, plen=plen, variation=variation)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        if n_real < block:
+            out = {k: (v[:, :n_real] if k == "win" else v[:n_real])
+                   for k, v in out.items()}
+        yield positions[b0:b0 + block], out

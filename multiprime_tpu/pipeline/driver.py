@@ -63,6 +63,7 @@ class PipelineConfig:
     coordinate: str = "2,3,-1"
     coverage: float = 0.7
     algo: str = "v20"
+    stage_a: str = "host"            # design Stage-A backend: host/device/auto
     # pairing / products
     product_size: tuple = (150, 1200)
     gc_content: tuple = (0.2, 0.7)
@@ -135,7 +136,7 @@ class PipelineConfig:
         if "msa_refine" in raw:
             cfg.msa_refine = int(raw["msa_refine"])
         for key in ("design_backend", "align_backend", "algo",
-                    "pipeline_variant"):
+                    "pipeline_variant", "stage_a"):
             if key in raw:
                 setattr(cfg, key, str(raw[key]))
         return cfg
@@ -395,7 +396,7 @@ class Pipeline:
                     variation=cfg.variation, entropy_threshold=cfg.entropy,
                     gc=cfg.gc_content, min_product=cfg.product_size[0],
                     coordinate=cfg.coordinate, hairpin_distance=cfg.distance,
-                    algo=cfg.algo, nproc=cfg.nproc)
+                    algo=cfg.algo, nproc=cfg.nproc, stage_a=cfg.stage_a)
                 ids, chars = mcdpd.parse_msa(msa_path)
                 eng = mcdpd.DesignEngine(params)
                 t0 = time.time()
