@@ -99,6 +99,82 @@ def coverage_counts_sharded(mesh, targets_1h, lengths, primers_1h, suffix_1h,
     return jax.jit(fn)(targets_1h, lengths, primers_1h, suffix_1h)
 
 
+# -- sparse sharded scan ------------------------------------------------------
+#
+# The production coverage validation needs the sparse (gene, pos, primer)
+# hits for the F x R product join (primer_coverage_validation_by_BWT.py:
+# 303-342), not just psum'd counts.  Each shard thresholds its own target
+# rows and compacts hits to a fixed-size packed block on device; the blocks
+# gather back over the flattened ('seq','win') axis (pure data parallelism —
+# the only "collective" is the output gather), and the host decodes each
+# block with its shard's global row offset.
+
+_ACTIVE_MESH = None
+
+
+def active_mesh():
+    return _ACTIVE_MESH
+
+
+class use_mesh:
+    """Context manager routing validate.scan through find_hits_sharded."""
+
+    def __init__(self, mesh):
+        self.mesh = mesh
+
+    def __enter__(self):
+        global _ACTIVE_MESH
+        self._prev = _ACTIVE_MESH
+        _ACTIVE_MESH = self.mesh
+        return self.mesh
+
+    def __exit__(self, *exc):
+        global _ACTIVE_MESH
+        _ACTIVE_MESH = self._prev
+        return False
+
+
+_SHARDED_SCAN_CACHE = {}
+
+
+def _sharded_scan_fn(mesh, mm, term, max_hits, want_mism):
+    key = (id(mesh), mm, term, max_hits, want_mism)
+    fn = _SHARDED_SCAN_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    def step(t_shard, len_shard, p, s):
+        return mismatch_scan.find_hits_packed.__wrapped__(
+            t_shard, len_shard, p, s, mm=mm, term=term,
+            max_hits=max_hits, backend="conv", want_mism=want_mism)
+
+    fn = jax.jit(shard_map(
+        step, mesh=mesh,
+        in_specs=(P(("seq", "win")), P(("seq", "win")),
+                  P(None, None, None), P(None, None, None)),
+        out_specs=P(("seq", "win"))))
+    _SHARDED_SCAN_CACHE[key] = fn
+    return fn
+
+
+def find_hits_sharded(mesh, targets, lengths, primers_1h, suffix_1h, *,
+                      mm=1, term=4, max_hits_per_shard=1 << 18,
+                      want_mism=False):
+    """Multi-chip sparse scan.  targets: [N, L] 4-bit masks (or [N, L, 4]
+    one-hot) with N divisible by the mesh size; primers broadcast.
+
+    -> list of per-shard packed int32 blocks (find_hits_packed layout);
+    decode shard i with global row offset i * (N // n_shards).
+    """
+    n_shards = mesh.devices.size
+    n = targets.shape[0]
+    if n % n_shards:
+        raise ValueError("N=%d not divisible by %d shards" % (n, n_shards))
+    fn = _sharded_scan_fn(mesh, mm, term, max_hits_per_shard, want_mism)
+    packed = np.asarray(fn(targets, lengths, primers_1h, suffix_1h))
+    return packed.reshape(n_shards, -1)
+
+
 def full_design_step(mesh, masks, positions, targets_1h, lengths, primers_1h,
                      suffix_1h, *, plen=18, variation=1, mm=1, term=4):
     """One fused multi-chip "design step": Stage-A stats + consensus over the

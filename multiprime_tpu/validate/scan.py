@@ -141,6 +141,11 @@ def scan_hits(target_seqs, patterns, params: ScanParams):
     global_max = max((len(s) for s in target_seqs), default=0)
     pad_len = max(-global_max % 512 + global_max, 512)
     backend = params.backend
+    from ..parallel import mesh as pmesh
+    mesh = pmesh.active_mesh()
+    if mesh is not None:
+        return _scan_hits_sharded(mesh, target_seqs, p1h, s1h, n_real,
+                                  pad_len, plen, params)
     if backend == "auto":
         macs = (len(target_seqs) * pad_len * len(patterns) * plen * 4)
         backend = "numpy" if macs < 2e10 else "conv"
@@ -187,6 +192,49 @@ def scan_hits(target_seqs, patterns, params: ScanParams):
                               mm_.tolist()):
             if p < n_real:      # drop bucket-padding rows
                 hits.append((lo + s, o, p, m))
+    return hits
+
+
+def _scan_hits_sharded(mesh, target_seqs, p1h, s1h, n_real, pad_len, plen,
+                       params: ScanParams):
+    """Multi-chip scan path (parallel.mesh.find_hits_sharded): targets are
+    batched to a mesh-divisible batch, each shard compacts its own sparse
+    hits on device, and the host decodes the gathered per-shard blocks with
+    their global row offsets.  Hit set identical to the single-device paths
+    (tests/test_parallel.py)."""
+    from ..parallel import mesh as pmesh
+    from ..ops import mismatch_scan as ms
+    n_shards = mesh.devices.size
+    n_out = pad_len - plen + 1
+    bs = ms.safe_batch_size(params.device_batch_seqs, n_out, p1h.shape[0])
+    bs = max(n_shards, bs - bs % n_shards)
+    shard_n = bs // n_shards
+    hits = []
+    max_hits = 1 << 16
+    for lo in range(0, len(target_seqs), bs):
+        chunk = target_seqs[lo:lo + bs]
+        if len(chunk) < bs:
+            chunk = chunk + [""] * (bs - len(chunk))
+        t1h, lens = ms.encode_target_masks(chunk, length=pad_len)
+        if t1h.shape[1] < plen:
+            continue
+        while True:
+            blocks = pmesh.find_hits_sharded(
+                mesh, t1h, lens, p1h, s1h, mm=params.mm,
+                term=max(params.term, 0), max_hits_per_shard=max_hits,
+                want_mism=params.want_mism)
+            worst = int(max(blk[0] for blk in blocks))
+            if worst <= max_hits:
+                break
+            max_hits = 1 << (2 * worst - 1).bit_length()
+        for si, blk in enumerate(blocks):
+            seq, pos, pat, mism, _ = ms.decode_packed(
+                blk, n_out, p1h.shape[0], max_hits)
+            base = lo + si * shard_n
+            for s, o, p, m in zip(seq.tolist(), pos.tolist(), pat.tolist(),
+                                  mism.tolist()):
+                if p < n_real:
+                    hits.append((base + s, o, p, m))
     return hits
 
 

@@ -35,6 +35,74 @@ def test_design_stats_sharded_matches_single(mesh8):
         assert np.array_equal(np.asarray(ref[key]), np.asarray(out[key])), key
 
 
+def test_find_hits_sharded_matches_single(mesh8):
+    """Sparse sharded scan == single-device scan_hits on ragged targets
+    (different lengths, planted hits near shard boundaries, degenerate
+    primer expansions)."""
+    from multiprime_tpu.validate import scan as vscan
+    rng = np.random.default_rng(5)
+    lut = np.array(list("ACGT"))
+    targets = ["".join(rng.choice(lut, size=int(n)))
+               for n in rng.integers(60, 300, size=37)]
+    primers = ["".join(rng.choice(lut, size=18)) for _ in range(5)]
+    # plant hits: exact, 1-mismatch (allowed), mismatch-in-3'-term (vetoed)
+    targets[0] = targets[0][:10] + primers[0] + targets[0][28:]
+    mut = list(primers[1]); mut[2] = "A" if mut[2] != "A" else "C"
+    targets[8] = targets[8][:50] + "".join(mut) + targets[8][68:]
+    bad = list(primers[2]); bad[-1] = "A" if bad[-1] != "A" else "C"
+    targets[36] = targets[36][:5] + "".join(bad) + targets[36][23:]
+    params = vscan.ScanParams(mm=1, term=4, batch_seqs=8,
+                              device_batch_seqs=16, backend="numpy",
+                              want_mism=True)
+    single = vscan.scan_hits(targets, primers, params)
+    from multiprime_tpu.parallel import mesh as pmesh
+    with pmesh.use_mesh(mesh8):
+        sharded = vscan.scan_hits(targets, primers, params)
+    assert sharded == single
+    assert any(s == 0 for s, *_ in single)      # planted exact hit found
+    assert any(s == 8 for s, *_ in single)      # 1-mismatch hit found
+    assert not any(s == 36 for s, *_ in single)  # 3'-term veto enforced
+
+
+def test_validate_run_sharded_byte_identical(mesh8, tmp_path):
+    """Full coverage-validation flow under a mesh writes byte-identical
+    .out/.pair.num/.total.acc.num (VERDICT r1 item 2 done-criterion)."""
+    from multiprime_tpu.validate import scan as vscan
+    rng = np.random.default_rng(11)
+    lut = np.array(list("ACGT"))
+    f_primer = "".join(rng.choice(lut, size=18))
+    r_primer = "".join(rng.choice(lut, size=18))
+    import multiprime_tpu.utils.iupac as iupac
+    targets = []
+    for i in range(23):
+        body = "".join(rng.choice(lut, size=400))
+        if i % 3 == 0:    # plant F...RC(R) product of length ~200
+            body = (body[:60] + f_primer + body[78:240]
+                    + iupac.rc(r_primer) + body[258:])
+        targets.append(body)
+    ref_fa = tmp_path / "ref.fa"
+    with open(ref_fa, "w") as f:
+        for i, t in enumerate(targets):
+            f.write(">g%d\n%s\n" % (i, t))
+    primer_fa = tmp_path / "primers.fa"
+    primer_fa.write_text(">C0_F\n%s\n>C0_R\n%s\n" % (f_primer, r_primer))
+    params = vscan.ScanParams(mm=1, term=4, product_size=(100, 400),
+                              batch_seqs=8, device_batch_seqs=16,
+                              backend="numpy")
+    out_single = tmp_path / "single.out"
+    vscan.run(str(primer_fa), str(ref_fa), str(out_single), params)
+    from multiprime_tpu.parallel import mesh as pmesh
+    out_mesh = tmp_path / "mesh.out"
+    with pmesh.use_mesh(mesh8):
+        vscan.run(str(primer_fa), str(ref_fa), str(out_mesh), params)
+    for suffix in ("", ".pair.num", ".total.acc.num"):
+        a = (tmp_path / ("single.out" + suffix)).read_bytes()
+        b = (tmp_path / ("mesh.out" + suffix)).read_bytes()
+        assert a == b, "sharded output differs for %r" % suffix
+    body = out_single.read_text().splitlines()
+    assert len(body) > 1, "no PCR products found — test not exercising join"
+
+
 def test_coverage_counts_sharded_matches_single(mesh8):
     rng = np.random.default_rng(1)
     lut = np.array(list("ACGT"))
