@@ -34,17 +34,29 @@ def ani_estimate(seq_a, seq_b, k=16):
     return max(0.0, 1.0 + math.log(2 * j / (1 + j)) / k)
 
 
-def mean_cluster_ani(small_seqs, big_seqs, k=16, max_pairs=100):
-    """Mean pairwise ANI between two clusters (subsampled like the
-    reference's per-seq file lists)."""
-    total, count = 0.0, 0
-    for i, a in enumerate(small_seqs):
-        for j, b in enumerate(big_seqs):
-            if count >= max_pairs:
-                return total / count
-            total += ani_estimate(a, b, k)
-            count += 1
-    return total / count if count else 0.0
+def mean_cluster_ani(small_seqs, big_seqs, k=16, max_pairs=100, seed=0):
+    """Mean pairwise ANI between two clusters.
+
+    When the small x big pair grid exceeds max_pairs, a seeded UNIFORM
+    sample over the whole grid is used (fastANI maps all fragments; the
+    first-N-pairs-in-iteration-order subsample this replaced covered only
+    the first small sequence against the first big ones — a biased
+    estimate whenever within-cluster diversity is uneven)."""
+    ns, nb = len(small_seqs), len(big_seqs)
+    total_pairs = ns * nb
+    if total_pairs == 0:
+        return 0.0
+    if total_pairs <= max_pairs:
+        pairs = ((i, j) for i in range(ns) for j in range(nb))
+    else:
+        rng = np.random.default_rng(seed)
+        flat = rng.choice(total_pairs, size=max_pairs, replace=False)
+        pairs = ((int(f) // nb, int(f) % nb) for f in np.sort(flat))
+    total = count = 0
+    for i, j in pairs:
+        total += ani_estimate(small_seqs[i], big_seqs[j], k)
+        count += 1
+    return total / count
 
 
 def merge_small_clusters(clusters, seqs_by_cluster, min_size=10,
