@@ -266,7 +266,8 @@ def _update(argv):
     p.add_argument("-c", "--core", required=True, help="core set fasta")
     p.add_argument("-r", "--ref", default="", help="reference DB fasta")
     p.add_argument("-f", "--func", default="DO",
-                   choices=["DO", "dimer", "offtarget"])
+                   help='"D" = dimer, "O" = off-targets, "DO" = both '
+                        "(Primer_set_update.py -f)")
     p.add_argument("-o", "--out", required=True, help="output prefix")
     a = p.parse_args(argv)
     update.run(a.input, a.core, a.ref, a.out, a.func)
@@ -276,15 +277,19 @@ def _update(argv):
 def _specificity(argv):
     import argparse
     from ..validate import specificity
+    # flag set mirrors primer_specificity.py's argsParse (:64-111)
     p = argparse.ArgumentParser(prog="mptpu specificity")
     p.add_argument("-i", "--input", required=True, help="primer fasta")
     p.add_argument("-r", "--ref", required=True, help="background DB fasta")
-    p.add_argument("-m", "--seedmms", type=int, default=2)
-    p.add_argument("-t", "--term", type=int, default=0)
-    p.add_argument("-s", "--size", default="50,2000")
+    p.add_argument("-l", "--len", type=int, default=18, dest="len_",
+                   help="scan only the 3'-terminal l-mer (0 = full primer)")
+    p.add_argument("-t", "--term", type=int, default=4)
+    p.add_argument("-m", "--seedmms", type=int, default=1)
+    p.add_argument("-s", "--size", default="100,1500")
     p.add_argument("-o", "--out", required=True)
     a = p.parse_args(argv)
-    specificity.run(a.input, a.ref, a.out, mm=a.seedmms, term=a.term,
+    specificity.run(a.input, a.ref, a.out, term_len=a.len_, mm=a.seedmms,
+                    term=a.term,
                     product_size=tuple(int(x) for x in a.size.split(",")))
     return 0
 

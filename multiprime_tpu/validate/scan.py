@@ -291,16 +291,20 @@ def closest(sorted_list, lo_val, hi_val):
     return left, right
 
 
-def pcr_join(gene_ids, f_hits, r_hits, labels, product_size):
+def pcr_join(gene_ids, f_hits, r_hits, labels, product_size, labels_r=None):
     """Per-gene F x R join -> rows (gene, start, stop, F, R, length)
     (PCR_product, :303-342).  Later hits at the same position overwrite
-    earlier ones, like the reference's dict() conversion."""
+    earlier ones, like the reference's dict() conversion.  labels_r lets the
+    F and R hit sets come from different primer files (Primer_set_update's
+    core x new joins)."""
+    if labels_r is None:
+        labels_r = labels
     lo, hi = int(product_size[0]), int(product_size[1])
     f_by_gene, r_by_gene = {}, {}
     for s, o, p, _ in f_hits:
         f_by_gene.setdefault(s, {})[o] = labels[p]
     for s, o, p, _ in r_hits:
-        r_by_gene.setdefault(s, {})[o] = labels[p]
+        r_by_gene.setdefault(s, {})[o] = labels_r[p]
     rows = []
     for s in sorted(set(f_by_gene) & set(r_by_gene)):
         primer_f = f_by_gene[s]
