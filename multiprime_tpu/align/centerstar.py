@@ -329,14 +329,20 @@ def _use_device_backend(backend, n_members, la):
         return True
     if backend != "auto":
         return False
-    # Device DP wins once the pointer tensor is big enough to amortise the
-    # dispatch; on a CPU-only jax it still beats the NumPy loop via scan
-    # fusion, but only clearly at scale.
-    if n_members * la < 64 * 256:
+    # "auto" never picks the device DP when a TPU backend is attached: the
+    # first compile of the two-scan kernel is minutes per shape bucket on
+    # remote-compile setups and dwarfs the win (measured on the golden
+    # 500 x 1.9 kb cluster: 352 s cold device vs 39.7 s host NumPy, warmed
+    # device 5 s; 10 x 7.4 kb genomes: 173 s cold device vs 15 s host) —
+    # the same policy refine_pass documents for its device twin.  "device"
+    # stays an explicit opt-in for local chips with a warm compile cache.
+    # On a CPU-only jax, XLA compiles locally in seconds and the fused scan
+    # beats the NumPy row loop once the pointer tensor is big enough.
+    if n_members * la < 512 * 1024:
         return False
     try:
         import jax
-        return jax.default_backend() != "cpu" or n_members * la > 512 * 1024
+        return jax.default_backend() == "cpu"
     except Exception:  # pragma: no cover - jax is a hard dep in practice
         return False
 

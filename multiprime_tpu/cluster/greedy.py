@@ -123,12 +123,15 @@ def greedy_cluster(ids, seqs, threshold=0.7, k=10, band=64,
     from .. import native
     use_native = native.available()
     ident_fn = native.banded_identity if use_native else banded_identity
+    kmer_fn = native.kmer_codes if use_native else kmer_set
     n = len(seqs)
     order = sorted(range(n), key=lambda i: (-len(seqs[i]), i))
     codes = {i: _encode(seqs[i]) for i in order}
     clusters = []
     exact = {}              # full-sequence hash fast path
-    posting = {}            # inverted index: kmer -> [cluster ids]
+    # Inverted kmer -> cluster index (native hash map when available — the
+    # per-query posting walk was the clustering hot spot at 100k+ seqs).
+    posting = native.PostingIndex()
     for i in order:
         seq = seqs[i]
         placed = False
@@ -136,7 +139,7 @@ def greedy_cluster(ids, seqs, threshold=0.7, k=10, band=64,
             clusters[exact[seq]].members.append((i, 1.0))
             placed = True
         else:
-            q_kmers = kmer_set(codes[i], k)
+            q_kmers = kmer_fn(codes[i], k)
             # Word filter (the cd-hit short-word screen): a pair at identity c
             # over shorter length L shares ~L*c^k k-mers when mismatches are
             # spread out, far more when they cluster; unrelated sequences
@@ -149,12 +152,7 @@ def greedy_cluster(ids, seqs, threshold=0.7, k=10, band=64,
             # from one pass over the inverted index, not per-rep
             # intersections.
             need = 0.25 * (threshold ** k) * max(len(seq) - k + 1, 1)
-            shared = {}
-            for km in q_kmers.tolist():
-                for ci in posting.get(km, ()):
-                    shared[ci] = shared.get(ci, 0) + 1
-            for ci in sorted(c for c, s in shared.items()
-                             if s * word_filter_slack >= need):
+            for ci in posting.query(q_kmers, need / word_filter_slack):
                 cl = clusters[ci]
                 ident = ident_fn(codes[i], codes[cl.rep_index], band)
                 if ident >= threshold:
@@ -165,8 +163,7 @@ def greedy_cluster(ids, seqs, threshold=0.7, k=10, band=64,
             exact[seq] = len(clusters)
             ci = len(clusters)
             clusters.append(Cluster(rep_index=i, members=[(i, None)]))
-            for km in kmer_set(codes[i], k).tolist():
-                posting.setdefault(km, []).append(ci)
+            posting.add(q_kmers, ci)
     return order, clusters
 
 

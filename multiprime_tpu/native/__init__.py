@@ -82,6 +82,17 @@ def _load_locked():
     lib.fasta_scan.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    lib.posting_new.restype = ctypes.c_void_p
+    lib.posting_new.argtypes = []
+    lib.posting_free.restype = None
+    lib.posting_free.argtypes = [ctypes.c_void_p]
+    lib.posting_add.restype = None
+    lib.posting_add.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                ctypes.c_int64, ctypes.c_int32]
+    lib.posting_query.restype = ctypes.c_int64
+    lib.posting_query.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_double,
+        ctypes.c_void_p, ctypes.c_int64]
     _lib = lib
     return lib
 
@@ -153,6 +164,55 @@ def profile_align_ops(score: np.ndarray, gap_open: float, gap_ext: float):
                               ctypes.c_float(gap_open),
                               ctypes.c_float(gap_ext), ops.ctypes.data)
     return ops[:n]
+
+
+class PostingIndex:
+    """Inverted k-mer -> cluster-id index (native-backed when available).
+
+    The greedy clusterer's word filter: add() indexes a new representative's
+    sorted-unique k-mer codes; query() returns ascending candidate cluster
+    ids sharing at least min_count k-mers with the query."""
+
+    def __init__(self):
+        self._lib = load()
+        if self._lib is not None:
+            self._h = self._lib.posting_new()
+        else:
+            self._posting = {}
+        self._out = np.empty(1024, np.int32)
+
+    def add(self, kmers: np.ndarray, cluster: int):
+        if self._lib is not None:
+            km = np.ascontiguousarray(kmers, np.int64)
+            self._lib.posting_add(self._h, km.ctypes.data, len(km),
+                                  int(cluster))
+        else:
+            for km in kmers.tolist():
+                self._posting.setdefault(km, []).append(cluster)
+
+    def query(self, kmers: np.ndarray, min_count: float):
+        if self._lib is not None:
+            km = np.ascontiguousarray(kmers, np.int64)
+            while True:
+                n = self._lib.posting_query(
+                    self._h, km.ctypes.data, len(km), float(min_count),
+                    self._out.ctypes.data, len(self._out))
+                if n < len(self._out):
+                    return self._out[:n].tolist()
+                self._out = np.empty(len(self._out) * 4, np.int32)
+        shared = {}
+        for km in kmers.tolist():
+            for ci in self._posting.get(km, ()):
+                shared[ci] = shared.get(ci, 0) + 1
+        return sorted(c for c, s in shared.items() if s >= min_count)
+
+    def __del__(self):
+        if getattr(self, "_lib", None) is not None \
+                and getattr(self, "_h", None):
+            try:
+                self._lib.posting_free(self._h)
+            except Exception:
+                pass
 
 
 def read_fasta_packed(path):

@@ -19,8 +19,19 @@
 #include <cstring>
 #include <cstdio>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 #include <algorithm>
+
+// Inverted k-mer -> cluster-id index for the greedy clusterer's word filter
+// (cd-hit's short-word screen).  The per-query shared-count accumulation is
+// epoch-stamped so no per-query clearing is needed.
+struct Posting {
+    std::unordered_map<int64_t, std::vector<int32_t>> map;
+    std::vector<int32_t> counts;
+    std::vector<int32_t> stamp;
+    int32_t epoch = 0;
+};
 
 extern "C" {
 
@@ -112,6 +123,55 @@ int64_t kmer_codes(const int8_t* seq, int64_t len, int64_t k,
     }
     std::sort(codes, codes + n);
     return std::unique(codes, codes + n) - codes;
+}
+
+void* posting_new() { return new Posting(); }
+
+void posting_free(void* h) { delete static_cast<Posting*>(h); }
+
+// Index the (sorted unique) k-mers of a new cluster representative.
+void posting_add(void* h, const int64_t* kmers, int64_t n, int32_t cluster) {
+    Posting* p = static_cast<Posting*>(h);
+    for (int64_t i = 0; i < n; i++) p->map[kmers[i]].push_back(cluster);
+    if ((int64_t)p->counts.size() <= cluster) {
+        p->counts.resize(cluster + 1, 0);
+        p->stamp.resize(cluster + 1, -1);
+    }
+}
+
+// Candidate clusters sharing >= min_count k-mers with the query, ascending
+// cluster id; returns the candidate count (capped at max_out).
+int64_t posting_query(void* h, const int64_t* kmers, int64_t n,
+                      double min_count, int32_t* out, int64_t max_out) {
+    Posting* p = static_cast<Posting*>(h);
+    const int32_t epoch = ++p->epoch;
+    int64_t n_cand = 0;
+    for (int64_t i = 0; i < n; i++) {
+        auto it = p->map.find(kmers[i]);
+        if (it == p->map.end()) continue;
+        for (int32_t ci : it->second) {
+            if (p->stamp[ci] != epoch) {
+                p->stamp[ci] = epoch;
+                p->counts[ci] = 1;
+            } else {
+                ++p->counts[ci];
+            }
+        }
+    }
+    // collect ids meeting the threshold (touched ids carry this epoch)
+    for (int64_t i = 0; i < n && n_cand < max_out; i++) {
+        auto it = p->map.find(kmers[i]);
+        if (it == p->map.end()) continue;
+        for (int32_t ci : it->second) {
+            if (p->stamp[ci] == epoch && (double)p->counts[ci] >= min_count) {
+                p->stamp[ci] = epoch - 1;   // emit once
+                out[n_cand++] = ci;
+                if (n_cand >= max_out) break;
+            }
+        }
+    }
+    std::sort(out, out + n_cand);
+    return n_cand;
 }
 
 // |A ∩ B| for sorted unique arrays.

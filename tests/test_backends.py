@@ -96,6 +96,30 @@ def test_native_matches_python():
     assert np.array_equal(native.kmer_codes(a, 8), greedy.kmer_set(a, 8))
 
 
+def test_posting_index_native_matches_python():
+    """Native inverted-kmer index == the dict fallback (query thresholds,
+    ascending order, repeated adds, buffer-growth path)."""
+    from multiprime_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(4)
+    idx_n = native.PostingIndex()
+    idx_p = native.PostingIndex()
+    idx_p._lib = None
+    idx_p._posting = {}
+    idx_n._out = np.empty(2, np.int32)       # force the growth path
+    sets = [np.unique(rng.integers(0, 3000, size=180).astype(np.int64))
+            for _ in range(40)]
+    for ci, s in enumerate(sets):
+        idx_n.add(s, ci)
+        idx_p.add(s, ci)
+    for q in range(25):
+        qs = np.unique(rng.integers(0, 3000, size=120).astype(np.int64))
+        for mc in (1, 2.5, 8):
+            assert idx_n.query(qs, mc) == idx_p.query(qs, mc)
+
+
 def test_roc_metrics_golden():
     import pathlib
     import pytest
