@@ -346,85 +346,124 @@ class Pipeline:
                         f.write(headers.get(m, ">" + m).lstrip(">") + "\n")
 
     def _per_cluster_stages(self):
-        from ..align import centerstar
-        from ..models import mcdpd, pairing
+        """Per-cluster align -> design -> pair fan-out.
+
+        With ``nproc > 1`` clusters run concurrently on a fork pool —
+        the Snakemake checkpoint fan-out (multiPrime.py rules multiPrime/
+        get_multiPrime over checkpoint extract_cluster, --cores): every
+        cluster touches disjoint files, so workers are independent;
+        largest clusters are scheduled first (LPT) and the in-cluster
+        design pool is disabled to keep total processes at nproc."""
         cfg = self.cfg
         if not hasattr(self, "cluster_names"):
             self.cluster_names = [
                 line.split("\t")[0]
                 for line in open(self._p("cluster.txt")).read().splitlines()[1:]]
-        for name in self.cluster_names:
-            tfa = self._p("Clusters_fa", name + ".tfa")
-            msa_path = self._p("Clusters_msa", name + ".tmsa")
-            if not os.path.exists(msa_path):
-                if cfg.align_backend == "external":
-                    raise FileNotFoundError(
-                        "align.backend=external but missing " + msa_path)
-                ids, seqs = self._read_fasta(tfa)
-                t0 = time.time()
-                if cfg.align_backend == "progressive":
-                    from ..align import progressive
-                    _, rows = progressive.progressive_msa(ids, seqs)
-                else:
-                    _, rows = centerstar.center_star_msa(
-                        ids, seqs,
-                        backend="device"
-                        if cfg.align_backend == "centerstar-device"
-                        else "numpy"
-                        if cfg.align_backend == "centerstar-numpy"
-                        else "auto")
-                if cfg.msa_refine > 0:
-                    from ..align import refine
-                    rows = refine.refine_msa(rows, cfg.msa_refine)
-                centerstar.write_msa(ids, rows, msa_path)
-                self.cfg.timings.setdefault("align", 0)
-                self.cfg.timings["align"] += time.time() - t0
-            if cfg.design_backend == "wrc":
-                self._wrc_cluster(name, msa_path, tfa)
-                continue
-            out = self._p("Clusters_primer", name + ".top.primer.out")
-            cand = self._p("Clusters_cprimer",
-                           name + ".candidate.primers.txt")
-            if not self._design_cache_valid(out, "mcdpd"):
-                # a regenerated design table invalidates the downstream
-                # candidate cache (it may hold the other backend's format)
-                if os.path.exists(cand):
-                    os.remove(cand)
-                params = mcdpd.DesignParams(
-                    primer_length=cfg.primer_len, coverage=cfg.coverage,
-                    dege_number=cfg.dege_number, degeneracy=cfg.degeneracy,
-                    variation=cfg.variation, entropy_threshold=cfg.entropy,
-                    gc=cfg.gc_content, min_product=cfg.product_size[0],
-                    coordinate=cfg.coordinate, hairpin_distance=cfg.distance,
-                    algo=cfg.algo, nproc=cfg.nproc, stage_a=cfg.stage_a)
-                ids, chars = mcdpd.parse_msa(msa_path)
-                eng = mcdpd.DesignEngine(params)
-                t0 = time.time()
+        names = self.cluster_names
+        workers = min(cfg.nproc, len(names))
+        if workers > 1:
+            import multiprocessing
+            import sys
+            order = sorted(
+                names, key=lambda n: -int(n.rsplit("_", 1)[1]))
+            # fork (cheap, COW) unless a jax backend is already live in
+            # this process — libtpu does not survive fork; spawn then.
+            method = "fork"
+            jaxm = sys.modules.get("jax")
+            if jaxm is not None:
                 try:
-                    results = eng.design(ids, chars)
-                except ValueError as e:
-                    self.log.append(("design:" + name, "skipped: %s" % e, 0))
-                    results = []
-                mcdpd.write_outputs(results, out)
-                self._log_file("multiPrime_" + name, time.time() - t0)
-            if not os.path.exists(cand):
-                t0 = time.time()
-                pparams = pairing.PairingParams(
-                    size=cfg.product_size, fraction=cfg.coverage,
-                    end_dege=cfg.end, hairpin_distance=cfg.distance,
-                    diff_tm=cfg.diff_tm, adaptor=cfg.adaptor, max_seq=0)
-                primers = pairing.parse_primer_table(out)
-                gap_ids = json.load(open(out + ".gap_seq_id_json"))
-                non_cover = json.load(
-                    open(out + ".non_coverage_seq_id_json"))
-                number = pairing.count_ref_seqs(tfa, 0)
-                peng = pairing.PairingEngine(pparams)
-                pairs, _ = peng.pair(primers, gap_ids, non_cover, number)
-                if pairs is None:
-                    pairing.write_empty_output(cand)
-                else:
-                    pairing.write_outputs(pairs, cand)
-                self._log_file("get_multiPrime_" + name, time.time() - t0)
+                    if jaxm._src.xla_bridge._backends:
+                        method = "spawn"
+                except Exception:
+                    method = "spawn"
+            ctx = multiprocessing.get_context(method)
+            with ctx.Pool(workers) as pool:
+                reports = pool.map(self._one_cluster, order)
+        else:
+            reports = [self._one_cluster(name, inner_nproc=cfg.nproc)
+                       for name in names]
+        for rep in reports:
+            if rep["align_s"]:
+                self.cfg.timings.setdefault("align", 0)
+                self.cfg.timings["align"] += rep["align_s"]
+            self.log.extend(rep["log"])
+
+    def _one_cluster(self, name, inner_nproc=1):
+        from ..align import centerstar
+        from ..models import mcdpd, pairing
+        cfg = self.cfg
+        rep = {"align_s": 0.0, "log": []}
+        tfa = self._p("Clusters_fa", name + ".tfa")
+        msa_path = self._p("Clusters_msa", name + ".tmsa")
+        if not os.path.exists(msa_path):
+            if cfg.align_backend == "external":
+                raise FileNotFoundError(
+                    "align.backend=external but missing " + msa_path)
+            ids, seqs = self._read_fasta(tfa)
+            t0 = time.time()
+            if cfg.align_backend == "progressive":
+                from ..align import progressive
+                _, rows = progressive.progressive_msa(ids, seqs)
+            else:
+                _, rows = centerstar.center_star_msa(
+                    ids, seqs,
+                    backend="device"
+                    if cfg.align_backend == "centerstar-device"
+                    else "numpy"
+                    if cfg.align_backend == "centerstar-numpy"
+                    else "auto")
+            if cfg.msa_refine > 0:
+                from ..align import refine
+                rows = refine.refine_msa(rows, cfg.msa_refine)
+            centerstar.write_msa(ids, rows, msa_path)
+            rep["align_s"] += time.time() - t0
+        if cfg.design_backend == "wrc":
+            self._wrc_cluster(name, msa_path, tfa)
+            return rep
+        out = self._p("Clusters_primer", name + ".top.primer.out")
+        cand = self._p("Clusters_cprimer",
+                       name + ".candidate.primers.txt")
+        if not self._design_cache_valid(out, "mcdpd"):
+            # a regenerated design table invalidates the downstream
+            # candidate cache (it may hold the other backend's format)
+            if os.path.exists(cand):
+                os.remove(cand)
+            params = mcdpd.DesignParams(
+                primer_length=cfg.primer_len, coverage=cfg.coverage,
+                dege_number=cfg.dege_number, degeneracy=cfg.degeneracy,
+                variation=cfg.variation, entropy_threshold=cfg.entropy,
+                gc=cfg.gc_content, min_product=cfg.product_size[0],
+                coordinate=cfg.coordinate, hairpin_distance=cfg.distance,
+                algo=cfg.algo, nproc=inner_nproc, stage_a=cfg.stage_a)
+            ids, chars = mcdpd.parse_msa(msa_path)
+            eng = mcdpd.DesignEngine(params)
+            t0 = time.time()
+            try:
+                results = eng.design(ids, chars)
+            except ValueError as e:
+                rep["log"].append(("design:" + name, "skipped: %s" % e, 0))
+                results = []
+            mcdpd.write_outputs(results, out)
+            self._log_file("multiPrime_" + name, time.time() - t0)
+        if not os.path.exists(cand):
+            t0 = time.time()
+            pparams = pairing.PairingParams(
+                size=cfg.product_size, fraction=cfg.coverage,
+                end_dege=cfg.end, hairpin_distance=cfg.distance,
+                diff_tm=cfg.diff_tm, adaptor=cfg.adaptor, max_seq=0)
+            primers = pairing.parse_primer_table(out)
+            gap_ids = json.load(open(out + ".gap_seq_id_json"))
+            non_cover = json.load(
+                open(out + ".non_coverage_seq_id_json"))
+            number = pairing.count_ref_seqs(tfa, 0)
+            peng = pairing.PairingEngine(pparams)
+            pairs, _ = peng.pair(primers, gap_ids, non_cover, number)
+            if pairs is None:
+                pairing.write_empty_output(cand)
+            else:
+                pairing.write_outputs(pairs, cand)
+            self._log_file("get_multiPrime_" + name, time.time() - t0)
+        return rep
 
     def _wrc_cluster(self, name, msa_path, tfa):
         """multi-DegePrime flow: trim + WRC design + get_degePrimer pairing

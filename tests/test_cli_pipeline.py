@@ -1,6 +1,7 @@
 """CLI + pipeline driver smoke/parity tests."""
 
 import json
+import os
 import subprocess
 import sys
 
@@ -110,6 +111,42 @@ def test_pipeline_two_clusters(tmp_path):
            "final_maxprimers_set.xls").read_text().splitlines()
     assert len(xls) >= 3               # one pair per cluster
     assert (tmp_path / "res" / "pipeline_metrics.json").exists()
+
+
+def test_pipeline_cluster_pool_identical(tmp_path):
+    """nproc>1 fans clusters out over a fork pool (the Snakemake
+    checkpoint fan-out, multiPrime.py --cores); every output must be
+    byte-identical to the sequential run.  Both runs use the same
+    results path because several reference formats embed the output
+    path in column 1."""
+    rng = np.random.default_rng(5)
+    lut = np.array(list("ACGT"))
+    bases = ["".join(rng.choice(lut, size=500)) for _ in range(3)]
+    fa = tmp_path / "three.fa"
+    with open(fa, "w") as f:
+        for b, base in enumerate(bases):
+            for i in range(8):
+                s = list(base)
+                for _ in range(6):
+                    s[rng.integers(0, len(s))] = str(rng.choice(lut))
+                f.write(">%c%d\n%s\n" % (65 + b, i, "".join(s)))
+    from multiprime_tpu.pipeline.driver import run_pipeline
+    res = tmp_path / "res"
+    kw = dict(input_fa=str(fa), results_dir=str(res), virus_name="three",
+              coverage=0.5, min_seq_length=100, product_size=(100, 400),
+              algo="v20")
+    run_pipeline(None, **kw)
+    seq_dir = tmp_path / "res_seq"
+    os.rename(res, seq_dir)
+    run_pipeline(None, nproc=3, **kw)
+    skip = ("pipeline_metrics.json", ".hairpin", ".dimer")
+    seq_files = sorted(p for p in seq_dir.rglob("*") if p.is_file())
+    assert seq_files
+    for p in seq_files:
+        rel = p.relative_to(seq_dir)
+        if any(str(rel).endswith(s) for s in skip):
+            continue
+        assert (res / rel).read_bytes() == p.read_bytes(), str(rel)
 
 
 def test_reference_yaml_key_parity():
