@@ -78,6 +78,10 @@ def _load_locked():
     lib.profile_align_ops.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
         ctypes.c_float, ctypes.c_void_p]
+    lib.gotoh_ops_batch.restype = None
+    lib.gotoh_ops_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
     lib.fasta_scan.restype = ctypes.c_int64
     lib.fasta_scan.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
@@ -99,6 +103,20 @@ def _load_locked():
 
 def available():
     return load() is not None
+
+
+def default_threads():
+    """Thread budget for the threaded native kernels.  The pipeline's
+    per-cluster fork pool (pipeline/driver._per_cluster_stages) divides the
+    machine between workers via MPTPU_NATIVE_THREADS so W workers x T
+    threads never oversubscribes the host."""
+    env = os.environ.get("MPTPU_NATIVE_THREADS")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    return min(os.cpu_count() or 1, 16)
 
 
 def banded_identity(a_codes: np.ndarray, b_codes: np.ndarray, band=64):
@@ -143,7 +161,7 @@ def refine_realign(rows_bytes, codes, counts, gap_open, gap_ext, nthreads=0):
     counts = np.ascontiguousarray(counts, np.int32)
     out = ctypes.create_string_buffer(m * c)
     if nthreads <= 0:
-        nthreads = min(os.cpu_count() or 1, 16)
+        nthreads = default_threads()
     lib.refine_realign(rows_bytes, codes.ctypes.data, m, c,
                        counts.ctypes.data, gap_open, gap_ext, nthreads, out)
     return out.raw
@@ -164,6 +182,33 @@ def profile_align_ops(score: np.ndarray, gap_open: float, gap_ext: float):
                               ctypes.c_float(gap_open),
                               ctypes.c_float(gap_ext), ops.ctypes.data)
     return ops[:n]
+
+
+def gotoh_ops_batch(c_codes, member_codes, nthreads=0):
+    """Native center-vs-members affine Gotoh, threaded over members
+    (align/centerstar.align_ops_batch semantics, op-for-op identical).
+    Returns the forward op-code matrix [M, la+lb_max] uint8 (0=M, 1=D,
+    2=I, 3=pad at the end), or None when the library is missing."""
+    lib = load()
+    if lib is None or not member_codes:
+        return None
+    c = np.ascontiguousarray(c_codes, np.int8)
+    m = len(member_codes)
+    offs = np.zeros(m + 1, np.int64)
+    for i, b in enumerate(member_codes):
+        offs[i + 1] = offs[i] + len(b)
+    buf = np.empty(max(int(offs[-1]), 1), np.int8)
+    for i, b in enumerate(member_codes):
+        buf[offs[i]:offs[i + 1]] = b
+    lb_max = int((offs[1:] - offs[:-1]).max())
+    stride = max(len(c) + lb_max, 1)
+    out = np.empty((m, stride), np.uint8)
+    if nthreads <= 0:
+        nthreads = default_threads()
+    lib.gotoh_ops_batch(c.ctypes.data, len(c), buf.ctypes.data,
+                        offs.ctypes.data, m, out.ctypes.data, stride,
+                        nthreads)
+    return out
 
 
 class PostingIndex:

@@ -433,4 +433,129 @@ int64_t profile_align_ops(const float* score, int64_t la, int64_t lb,
     return n;
 }
 
+// Sequence-vs-center Gotoh for the center-star MSA
+// (align/centerstar.align_ops_batch): int32 scores MATCH=2/MISMATCH=-1,
+// GAP_OPEN=-4/GAP_EXT=-1, identical tie rules and prefix-max E recurrence
+// to the NumPy row loop, so op strings are bit-identical.  Writes forward
+// op codes (0=M, 1=D, 2=I, 3=pad at the end) into out[mi*out_stride..].
+static void gotoh_seq_one(const int8_t* a, int64_t la, const int8_t* b,
+                          int64_t lb, uint8_t* cell, int32_t* v_prev,
+                          int32_t* f_prev, uint8_t* out,
+                          int64_t out_stride) {
+    const int32_t MATCH = 2, MISMATCH = -1, GO = -4, GE = -1;
+    const int32_t NEG = -(1 << 28);
+    if (la == 0) {
+        int64_t j = 0;
+        for (; j < lb; j++) out[j] = 2;
+        for (; j < out_stride; j++) out[j] = 3;
+        return;
+    }
+    if (lb == 0) {
+        int64_t i = 0;
+        for (; i < la; i++) out[i] = 1;
+        for (; i < out_stride; i++) out[i] = 3;
+        return;
+    }
+    // row 0: all-left with extensions from j >= 2
+    cell[0] = 0;
+    for (int64_t j = 1; j <= lb; j++) cell[j] = (uint8_t)(2 | (j >= 2 ? 8 : 0));
+    v_prev[0] = 0;
+    for (int64_t j = 1; j <= lb; j++) v_prev[j] = GO + GE * (int32_t)j;
+    for (int64_t j = 0; j <= lb; j++) f_prev[j] = NEG;
+    for (int64_t i = 1; i <= la; i++) {
+        const int8_t ai = a[i - 1];
+        const bool acgt = ai >= 0 && ai < 4;
+        uint8_t* ci = cell + (size_t)i * (lb + 1);
+        // j = 0
+        int32_t vp_diag = v_prev[0];          // old v[i-1][j-1] for diag
+        {
+            const int32_t ext = f_prev[0] + GE;
+            const int32_t opn = v_prev[0] + GO + GE;
+            const bool fc = ext >= opn;
+            const int32_t f0 = fc ? ext : opn;
+            f_prev[0] = f0;
+            v_prev[0] = f0;                    // vert[0] = f_cur[0]; E = NEG
+            ci[0] = (uint8_t)(1 | (fc ? 4 : 0));
+        }
+        int32_t run = v_prev[0] + GO;          // t[0] = vert[0] + GO - GE*0
+        int32_t t_prev = run;
+        for (int64_t j = 1; j <= lb; j++) {
+            const int32_t old_vj = v_prev[j];
+            const int32_t ext = f_prev[j] + GE;
+            const int32_t opn = old_vj + GO + GE;
+            const bool fc = ext >= opn;
+            const int32_t f_cur = fc ? ext : opn;
+            const int32_t sub = (b[j - 1] == ai && acgt) ? MATCH : MISMATCH;
+            const int32_t diag = vp_diag + sub;
+            int32_t vert;
+            uint8_t p;
+            if (diag >= f_cur) { vert = diag; p = 0; }
+            else { vert = f_cur; p = 1; }
+            const int32_t t_j = vert + GO - GE * (int32_t)j;  // pre-E vert
+            const int32_t e = run + GE * (int32_t)j;
+            uint8_t flags = (uint8_t)((fc ? 4 : 0) | (t_prev < run ? 8 : 0));
+            if (e > vert) { vert = e; p = 2; }
+            ci[j] = (uint8_t)(p | flags);
+            v_prev[j] = vert;
+            f_prev[j] = f_cur;
+            vp_diag = old_vj;
+            if (t_j > run) run = t_j;
+            t_prev = t_j;
+        }
+    }
+    // traceback — the exact NumPy state machine
+    int64_t i = la, j = lb, state = 0, n = 0;
+    uint8_t* rev = out;                        // reuse out as scratch: write
+    while (i > 0 || j > 0) {                   // reversed ops first ...
+        int m;
+        if (i == 0) m = 2;
+        else if (j == 0) m = 1;
+        else if (state == 1) m = 1;
+        else if (state == 2) m = 2;
+        else m = cell[(size_t)i * (lb + 1) + j] & 3;
+        if (m == 0) {
+            rev[n++] = 0; i--; j--; state = 0;
+        } else if (m == 1) {
+            rev[n++] = 1;
+            state = (cell[(size_t)i * (lb + 1) + j] & 4) ? 1 : 0;
+            i--;
+        } else {
+            rev[n++] = 2;
+            state = (i > 0 && j > 0 &&
+                     (cell[(size_t)i * (lb + 1) + j] & 8)) ? 2 : 0;
+            j--;
+        }
+    }
+    for (int64_t x = 0; x < n / 2; x++)        // ... then reverse in place
+        std::swap(rev[x], rev[n - 1 - x]);
+    for (int64_t x = n; x < out_stride; x++) out[x] = 3;
+}
+
+void gotoh_ops_batch(const int8_t* c, int64_t la, const int8_t* members,
+                     const int64_t* offs, int64_t m, uint8_t* out,
+                     int64_t out_stride, int64_t nthreads) {
+    int64_t lb_max = 1;
+    for (int64_t mi = 0; mi < m; mi++)
+        lb_max = std::max(lb_max, offs[mi + 1] - offs[mi]);
+    const int64_t nt = std::max<int64_t>(
+        1, std::min(nthreads, m));
+    std::atomic<int64_t> next(0);
+    auto work = [&]() {
+        std::vector<uint8_t> cell((size_t)(la + 1) * (lb_max + 1));
+        std::vector<int32_t> v(lb_max + 1), f(lb_max + 1);
+        for (;;) {
+            const int64_t mi = next.fetch_add(1);
+            if (mi >= m) return;
+            gotoh_seq_one(c, la, members + offs[mi],
+                          offs[mi + 1] - offs[mi], cell.data(), v.data(),
+                          f.data(), out + (size_t)mi * out_stride,
+                          out_stride);
+        }
+    };
+    if (nt <= 1) { work(); return; }
+    std::vector<std::thread> pool;
+    for (int64_t t = 0; t < nt; t++) pool.emplace_back(work);
+    for (auto& th : pool) th.join();
+}
+
 }  // extern "C"

@@ -32,6 +32,13 @@ from dataclasses import dataclass, field
 import numpy as np
 
 
+def _set_native_threads(n):
+    # fork-pool worker initializer: divide the machine's cores between
+    # cluster workers so native threaded kernels (gotoh_ops_batch,
+    # refine_realign) never oversubscribe W workers x 16 threads.
+    os.environ["MPTPU_NATIVE_THREADS"] = str(n)
+
+
 @dataclass
 class PipelineConfig:
     input_fa: str = ""
@@ -377,7 +384,9 @@ class Pipeline:
                 except Exception:
                     method = "spawn"
             ctx = multiprocessing.get_context(method)
-            with ctx.Pool(workers) as pool:
+            threads = max(1, (os.cpu_count() or 1) // workers)
+            with ctx.Pool(workers, initializer=_set_native_threads,
+                          initargs=(threads,)) as pool:
                 reports = pool.map(self._one_cluster, order)
         else:
             reports = [self._one_cluster(name, inner_nproc=cfg.nproc)

@@ -79,6 +79,39 @@ def test_center_star_backend_invariance():
     _, rows_np = cs.center_star_msa(ids, seqs, backend="numpy")
     _, rows_dev = cs.center_star_msa(ids, seqs, backend="device")
     assert rows_np == rows_dev
+    _, rows_nat = cs.center_star_msa(ids, seqs, backend="native")
+    assert rows_np == rows_nat
+
+
+def test_native_gotoh_ops_match_numpy():
+    """Threaded C++ Gotoh (gotoh_ops_batch) is op-for-op identical to the
+    NumPy batch row loop, including affine tie-breaks and padding."""
+    from multiprime_tpu import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(17)
+    c = rng.integers(0, 5, size=210).astype(np.int8)
+    members = _rand_members(rng, c, 30, 60)
+    members += [
+        np.empty(0, np.int8),                         # empty member
+        rng.integers(0, 4, size=1).astype(np.int8),   # single base
+        rng.integers(0, 4, size=460).astype(np.int8), # longer than center
+        c[80:],                                       # long leading deletion
+        np.concatenate([c[:60], rng.integers(0, 4, 55).astype(np.int8),
+                        c[60:]]),                     # long insertion
+    ]
+    ref = cs._ops_to_code_matrix(cs.align_ops_batch(c, members))
+    nat = native.gotoh_ops_batch(c, members)
+    s = ref.shape[1]
+    assert nat.shape[1] >= s
+    assert (nat[:, :s] == ref).all()
+    assert (nat[:, s:] == 3).all()
+    # empty-center edge: everything is an insertion
+    nat0 = native.gotoh_ops_batch(np.empty(0, np.int8), members[:3])
+    ref0 = cs._ops_to_code_matrix(cs.align_ops_batch(
+        np.empty(0, np.int8), members[:3]))
+    assert (nat0[:, :ref0.shape[1]] == ref0).all()
 
 
 def test_refine_device_matches_numpy():
