@@ -301,9 +301,12 @@ def _roc(argv):
     p.add_argument("-i", "--input", required=True,
                    help="csv: sample,real,predict")
     p.add_argument("-o", "--out", default=None)
+    p.add_argument("-d", "--plot-dir", default=None,
+                   help="write roc.<auc>.png/.pdf here (ROC.py plotauc)")
     a = p.parse_args(argv)
-    result = metrics.roc_analysis(a.input, a.out)
-    print("acc={acc} mcc={mcc} auc={auc}".format(**result))
+    result = metrics.roc_analysis(a.input, a.out, plot_dir=a.plot_dir)
+    print("acc={acc} mcc={mcc} auc={auc}".format(
+        acc=result["acc"], mcc=result["mcc"], auc=result["auc"]))
     return 0
 
 

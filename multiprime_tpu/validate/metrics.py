@@ -59,8 +59,35 @@ def roc_auc(y_true, scores):
     return float(np.trapezoid(tpr, fpr))
 
 
-def roc_analysis(csv_path, out_path=None):
-    """ROC.csv (sample,real,predict) -> dict of ACC/MCC/AUC (+tsv report)."""
+def roc_plot(fpr, tpr, auc, out_dir, title="ROC"):
+    """Write roc.<auc>.png/.pdf like ROC.py's plotauc
+    (test_data/ROC/ROC.py:22-29: blue curve, 'AUC = %0.2f' legend lower
+    right, TPR/FPR axis labels).  Returns the written paths, or [] when
+    matplotlib is unavailable."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:  # pragma: no cover - matplotlib is in the image
+        return []
+    fig = plt.figure()
+    plt.title(title)
+    plt.plot(fpr, tpr, "b", label="AUC = %0.2f" % auc)
+    plt.legend(loc="lower right")
+    plt.ylabel("True Positive Rate")
+    plt.xlabel("False Positive Rate")
+    paths = []
+    for ext in ("png", "pdf"):
+        p = "%s/roc.%s.%s" % (out_dir, auc, ext)
+        fig.savefig(p)
+        paths.append(p)
+    plt.close(fig)
+    return paths
+
+
+def roc_analysis(csv_path, out_path=None, plot_dir=None):
+    """ROC.csv (sample,real,predict) -> dict of ACC/MCC/AUC (+tsv report,
+    + roc.<auc>.png/.pdf when ``plot_dir`` is given)."""
     rows = [line.strip().split(",") for line in
             open(csv_path, encoding="utf-8-sig").read().splitlines()[1:]
             if line.strip()]
@@ -73,6 +100,9 @@ def roc_analysis(csv_path, out_path=None):
             f.write("metric\tvalue\n")
             for k, v in result.items():
                 f.write("%s\t%s\n" % (k, v))
+    if plot_dir:
+        fpr, tpr = roc_curve_points(real, pred)
+        result["plots"] = roc_plot(fpr, tpr, result["auc"], plot_dir)
     return result
 
 

@@ -70,6 +70,46 @@ def test_ont_classification(tmp_path):
     assert (tmp_path / "out.num").read_text().startswith("Primer_F")
 
 
+def test_ont_packed_banded_matches_loop(tmp_path):
+    """The packed native batch classifier (one ctypes call per read end) is
+    label-identical to the per-candidate banded classify_end loop, across
+    mutated / random / length-mismatched ends and both label modes."""
+    import random
+
+    from multiprime_tpu import native
+
+    lib = native.load()
+    if lib is None:
+        import pytest
+        pytest.skip("no native toolchain")
+    rng = random.Random(5)
+    bases, deg = "ACGT", "ACGTRYSWKM"
+    pfa = tmp_path / "p.fa"
+    with open(pfa, "w") as f:
+        for i in range(12):
+            s = "".join(rng.choice(deg if rng.random() < 0.15 else bases)
+                        for _ in range(18))
+            f.write(">P%d\n%s\n" % (i, s))
+    expand = ont.expand_primer_set(str(pfa))
+    packed = ont._PackedExpansion(expand)
+    exp_seqs = list(expand.keys())
+    for _ in range(120):
+        r = rng.random()
+        if r < 0.5:
+            s = list(rng.choice(exp_seqs))
+            for _ in range(rng.randrange(0, 5)):
+                s[rng.randrange(len(s))] = rng.choice(bases)
+            seq = "".join(s)
+        elif r < 0.7:
+            seq = "".join(rng.choice(bases) for _ in range(18))
+        else:
+            seq = "".join(rng.choice(bases)
+                          for _ in range(rng.choice([12, 16, 22])))
+        for rv in (False, True):
+            assert (ont.classify_end(seq, expand, 0.8, "banded", rv)
+                    == packed.classify(seq, 0.8, rv, lib))
+
+
 def test_update_dimer_check(tmp_path):
     core = tmp_path / "core.fa"
     core.write_text(">C1\nACGGTCAGTACGGTCAGT\n")
@@ -131,6 +171,22 @@ def test_roc_metrics_golden():
     # the golden plot filename encodes the AUC to full precision
     assert r["auc"] == 0.9070961718020542
     assert r["acc"] == 0.89
+
+
+def test_roc_plot_artifact(tmp_path):
+    import pathlib
+    import pytest
+    csv = pathlib.Path("/root/reference/test_data/ROC/ROC.csv")
+    if not csv.exists():
+        pytest.skip("reference not mounted")
+    from multiprime_tpu.validate import metrics
+    r = metrics.roc_analysis(str(csv), plot_dir=str(tmp_path))
+    # same artifact names as test_data/ROC/roc.<auc>.png/.pdf
+    names = sorted(p.name for p in tmp_path.iterdir())
+    assert names == ["roc.0.9070961718020542.pdf",
+                     "roc.0.9070961718020542.png"]
+    assert all((tmp_path / n).stat().st_size > 1000 for n in names)
+    assert r["plots"]
 
 
 def test_dimer_matrix_matches_host():
