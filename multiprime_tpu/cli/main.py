@@ -10,6 +10,7 @@ Subcommands map 1:1 onto the reference's script zoo:
   scan         mismatch coverage validation   (primer_coverage_validation_by_BWT.py)
   pcr          perfect-match in-silico PCR    (extract_PCR_product.py)
   tm           melting temperatures           (CalcTm.py)
+  tm-primer3   oligotm cross-check Tm         (CalcTm_primer3.py)
   dg           free energies                  (free_energy.py)
   expand       degenerate expansion           (dege_expand.py)
   kmer-filter  k-mer prefilter                (kmer_filter.py)
@@ -52,6 +53,9 @@ def main(argv=None):
     if cmd == "tm":
         from . import tools
         return tools.tm_main(rest)
+    if cmd == "tm-primer3":
+        from . import tools
+        return tools.tm_primer3_main(rest)
     if cmd == "dg":
         from . import tools
         return tools.dg_main(rest)

@@ -1,6 +1,7 @@
 """Standalone tool CLIs mirroring the reference's utility scripts:
 
 * tm          — CalcTm.py (NN Tm with settable PCR conditions)
+* tm-primer3  — CalcTm_primer3.py (native oligotm re-implementation)
 * dg          — free_energy.py (unified / H_bonds dG)
 * expand      — dege_expand.py (degenerate fasta -> expanded fasta)
 * kmer-filter — kmer_filter.py (GC / run / clamp filter for k-mer fastas)
@@ -50,6 +51,47 @@ def tm_main(argv=None):
             emit(name, seq)
     if out is not sys.stdout:
         out.close()
+
+
+def tm_primer3_main(argv=None):
+    """CalcTm_primer3.py equivalent (reference scripts/CalcTm_primer3.py:
+    46-144): same flags/defaults, same output rows (info\\tprimer\\tTm with
+    full float repr), backed by the native oligotm re-implementation in
+    thermo/primer3_tm.py instead of the absent primer3 C library."""
+    from ..thermo import primer3_tm
+    p = argparse.ArgumentParser(
+        description="primer3-backed Tm cross-check (CalcTm_primer3)")
+    p.add_argument("-i", "--input", required=True,
+                   help="fasta of primers, or a bare sequence with -f seq")
+    p.add_argument("-f", "--format", default="fa", choices=["fa", "seq"])
+    p.add_argument("-o", "--out", default="primer_Tm.xls")
+    p.add_argument("-p", "--primer_conc", type=float, default=150,
+                   help="primer concentration, nM (default 150)")
+    p.add_argument("-m", "--mono_conc", type=float, default=50,
+                   help="monovalent concentration, mM (default 50)")
+    p.add_argument("-d", "--diva_conc", type=float, default=1.5,
+                   help="divalent concentration, mM (default 1.5)")
+    p.add_argument("-n", "--dntp_conc", type=float, default=0.6,
+                   help="dNTP concentration, mM (default 0.6)")
+    p.add_argument("--expand", action="store_true",
+                   help="average Tm over IUPAC expansions instead of "
+                        "reporting the library's error value (extension)")
+    args = p.parse_args(argv)
+
+    def one_tm(seq):
+        fn = (primer3_tm.calc_tm_degenerate if args.expand
+              else primer3_tm.calc_tm)
+        return fn(seq, mv_conc=args.mono_conc, dv_conc=args.diva_conc,
+                  dntp_conc=args.dntp_conc, dna_conc=args.primer_conc)
+
+    with open(args.out, "w") as o:
+        if args.format == "fa":
+            for name, seq in _iter_fasta(args.input):
+                o.write("%s\t%s\t%s\n" % (name, seq, one_tm(seq)))
+        else:
+            tm_val = one_tm(args.input)
+            print("{}: {}".format(args.input, tm_val))
+            o.write(args.input + "\t" + str(tm_val) + "\n")
 
 
 def dg_main(argv=None):
