@@ -25,7 +25,6 @@ BASELINE_SECONDS = 61.86 + 14.65   # multiPrime_Cluster_0_20727.log + pairing lo
 
 
 def bench_pipeline():
-    import json as _json
     from multiprime_tpu.models import mcdpd, pairing
 
     ids, chars = mcdpd.parse_msa(REF_MSA)
@@ -33,14 +32,21 @@ def bench_pipeline():
         primer_length=18, coverage=0.7, dege_number=4, degeneracy=10,
         variation=1, entropy_threshold=3.6, gc=(0.2, 0.7), min_product=150,
         coordinate="2,3,-1", hairpin_distance=4, algo="v16",
-        nproc=min(4, os.cpu_count() or 1))
+        nproc=min(8, os.cpu_count() or 1))
     tmp = tempfile.mkdtemp()
     out = os.path.join(tmp, "Cluster_0_20727.top.primer.out")
+
+    import threading
 
     t0 = time.time()
     eng = mcdpd.DesignEngine(params)
     results = eng.design(ids, chars)
-    mcdpd.write_outputs(results, out)
+    # same overlap the pipeline driver uses: TSV now, JSON sidecars on a
+    # background thread, pairing consumes the results in memory
+    mcdpd.write_table(results, out)
+    sidecars = threading.Thread(target=mcdpd.write_sidecars,
+                                args=(results, out))
+    sidecars.start()
 
     pparams = pairing.PairingParams(
         size=(150, 1200), fraction=0.7, end_dege=4, hairpin_distance=4,
@@ -48,13 +54,13 @@ def bench_pipeline():
         adaptor=("TCTTTCCCTACACGACGCTCTTCCGATCT",
                  "TGGAGTTCAGACGTGTGCTCTTCCGATCT"))
     primers = pairing.parse_primer_table(out)
-    gap_ids = _json.load(open(out + ".gap_seq_id_json"))
-    non_cover = _json.load(open(out + ".non_coverage_seq_id_json"))
+    gap_ids, non_cover = mcdpd.pairing_inputs(results)
     number = pairing.count_ref_seqs(REF_TFA, 0)
     peng = pairing.PairingEngine(pparams)
     pairs, _ = peng.pair(primers, gap_ids, non_cover, number)
     pairing.write_outputs(pairs, os.path.join(
         tmp, "Cluster_0_20727.candidate.primers.txt"))
+    sidecars.join()
     elapsed = time.time() - t0
 
     identical = open(out, "rb").read() == open(REF_OUT, "rb").read()

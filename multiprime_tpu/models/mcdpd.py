@@ -1186,11 +1186,72 @@ HEADERS = ["Position", "Entropy of cover (bit)", "Entropy of total (bit)",
            "Mis-R-coverage", "Tm", "Information"]
 
 
-def write_outputs(results, outfile):
-    """Write the .top.primer.out TSV and the two JSON sidecars with the
-    reference's formats (core.py:1146-1177).  v2 rows carry the extra
-    degeneracy column after primer_degenerate_number."""
+_JSON_PLAIN = None
+
+
+def _fast_json_dump(obj, fh):
+    """json.dump(obj, fh, indent=4) byte-identical, ~6x faster.
+
+    json.dump with indent streams through the pure-Python _iterencode
+    generator (the C encoder only serves the one-shot no-indent path),
+    which dominated the design wall-clock: the two sidecars carry ~700k
+    accession strings.  This builds the exact indent=4 rendering with
+    join-based loops for the int/str-keyed dict-of-nested-string-lists
+    shape the sidecars have, delegating any string needing escapes to
+    json.dumps and any non-conforming value to the stock encoder."""
     import json
+    import re
+    global _JSON_PLAIN
+    if _JSON_PLAIN is None:
+        _JSON_PLAIN = re.compile(r'[^ !#-\[\]-~]').search  # " or \ or non-ascii
+
+    parts = []
+    add = parts.append
+
+    def emit(v, ind):
+        if isinstance(v, str):
+            if _JSON_PLAIN(v) is None:
+                add('"' + v + '"')
+            else:
+                add(json.dumps(v))
+        elif isinstance(v, list):
+            if not v:
+                add("[]")
+            else:
+                nxt = ind + "    "
+                add("[\n" + nxt)
+                last = len(v) - 1
+                for i, item in enumerate(v):
+                    emit(item, nxt)
+                    add(",\n" + nxt if i != last else "\n" + ind + "]")
+        elif isinstance(v, bool) or not isinstance(v, (int, dict)):
+            add(json.dumps(v, indent=4).replace(
+                "\n", "\n" + ind))  # rare fallback, keeps relative indent
+        elif isinstance(v, int):
+            add(str(v))
+        else:
+            if not v:
+                add("{}")
+                return
+            add("{\n")
+            nxt = ind + "    "
+            last = len(v) - 1
+            for i, (k, val) in enumerate(v.items()):
+                key = k if isinstance(k, str) else str(k)
+                if _JSON_PLAIN(key) is None:
+                    add(nxt + '"' + key + '": ')
+                else:
+                    add(nxt + json.dumps(key) + ": ")
+                emit(val, nxt)
+                add(",\n" if i != last else "\n" + ind + "}")
+
+    emit(obj, "")
+    fh.write("".join(parts))
+
+
+def write_table(results, outfile):
+    """The .top.primer.out TSV (core.py:1146-1152).  v2 rows carry the
+    extra degeneracy column after primer_degenerate_number."""
     results = sorted(results, key=lambda r: r.position)
     v2 = results and hasattr(results[0], "degeneracy")
     headers = HEADERS if not v2 else \
@@ -1203,8 +1264,34 @@ def write_outputs(results, outfile):
                 row = row[:4] + [r.degeneracy] + row[4:]
             fo.write(str(r.position) + "\t"
                      + "\t".join(map(str, row)) + "\n")
+
+
+def write_sidecars(results, outfile):
+    """The two JSON sidecars (core.py:1172-1177 formats).  Pure function
+    of `results` — safe to run on a background thread while pairing
+    consumes the same results in memory (pairing only reads them)."""
+    results = sorted(results, key=lambda r: r.position)
     with open(outfile + ".non_coverage_seq_id_json", "w") as fj:
-        json.dump({r.position: [r.f_non_cover, r.r_non_cover]
-                   for r in results}, fj, indent=4)
+        _fast_json_dump({r.position: [r.f_non_cover, r.r_non_cover]
+                         for r in results}, fj)
     with open(outfile + ".gap_seq_id_json", "w") as fg:
-        json.dump({r.position: r.gap_ids for r in results}, fg, indent=4)
+        _fast_json_dump({r.position: r.gap_ids for r in results}, fg)
+
+
+def pairing_inputs(results):
+    """(gap_ids, non_cover) dicts exactly as a json.load of the sidecars
+    would yield them, minus the serialize/parse round-trip: the payloads
+    are accession strings and plain dicts/lists, so identity is exact
+    (int keys instead of JSON's stringified ones — pairing falls back to
+    int-key lookup)."""
+    gap_ids = {r.position: r.gap_ids for r in results}
+    non_cover = {r.position: [r.f_non_cover, r.r_non_cover]
+                 for r in results}
+    return gap_ids, non_cover
+
+
+def write_outputs(results, outfile):
+    """Write the .top.primer.out TSV and the two JSON sidecars with the
+    reference's formats (core.py:1146-1177)."""
+    write_table(results, outfile)
+    write_sidecars(results, outfile)

@@ -26,6 +26,7 @@ import json
 import os
 import pickle
 import random
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -452,26 +453,43 @@ class Pipeline:
             except ValueError as e:
                 rep["log"].append(("design:" + name, "skipped: %s" % e, 0))
                 results = []
-            mcdpd.write_outputs(results, out)
+            # table now (pairing parses it); sidecars on a background
+            # thread overlapped with pairing — they are a pure function
+            # of `results`, which pairing only reads
+            mcdpd.write_table(results, out)
+            sidecar_thread = threading.Thread(
+                target=mcdpd.write_sidecars, args=(results, out))
+            sidecar_thread.start()
+            fresh = mcdpd.pairing_inputs(results)
             self._log_file("multiPrime_" + name, time.time() - t0)
-        if not os.path.exists(cand):
-            t0 = time.time()
-            pparams = pairing.PairingParams(
-                size=cfg.product_size, fraction=cfg.coverage,
-                end_dege=cfg.end, hairpin_distance=cfg.distance,
-                diff_tm=cfg.diff_tm, adaptor=cfg.adaptor, max_seq=0)
-            primers = pairing.parse_primer_table(out)
-            gap_ids = json.load(open(out + ".gap_seq_id_json"))
-            non_cover = json.load(
-                open(out + ".non_coverage_seq_id_json"))
-            number = pairing.count_ref_seqs(tfa, 0)
-            peng = pairing.PairingEngine(pparams)
-            pairs, _ = peng.pair(primers, gap_ids, non_cover, number)
-            if pairs is None:
-                pairing.write_empty_output(cand)
-            else:
-                pairing.write_outputs(pairs, cand)
-            self._log_file("get_multiPrime_" + name, time.time() - t0)
+        else:
+            sidecar_thread = None
+            fresh = None
+        try:
+            if not os.path.exists(cand):
+                t0 = time.time()
+                pparams = pairing.PairingParams(
+                    size=cfg.product_size, fraction=cfg.coverage,
+                    end_dege=cfg.end, hairpin_distance=cfg.distance,
+                    diff_tm=cfg.diff_tm, adaptor=cfg.adaptor, max_seq=0)
+                primers = pairing.parse_primer_table(out)
+                if fresh is not None:
+                    gap_ids, non_cover = fresh
+                else:
+                    gap_ids = json.load(open(out + ".gap_seq_id_json"))
+                    non_cover = json.load(
+                        open(out + ".non_coverage_seq_id_json"))
+                number = pairing.count_ref_seqs(tfa, 0)
+                peng = pairing.PairingEngine(pparams)
+                pairs, _ = peng.pair(primers, gap_ids, non_cover, number)
+                if pairs is None:
+                    pairing.write_empty_output(cand)
+                else:
+                    pairing.write_outputs(pairs, cand)
+                self._log_file("get_multiPrime_" + name, time.time() - t0)
+        finally:
+            if sidecar_thread is not None:
+                sidecar_thread.join()
         return rep
 
     def _wrc_cluster(self, name, msa_path, tfa):

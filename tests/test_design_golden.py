@@ -167,3 +167,39 @@ def test_viterbi_matches_numpy_reference():
             path[t - 1] = backptr[t, path[t]]
         got = mcdpd._viterbi(freq, nn)
         assert got.tolist() == path.tolist()
+
+
+def test_fast_json_dump_byte_parity():
+    """_fast_json_dump must render exactly like json.dump(indent=4) on
+    the sidecar shape and on randomized nested values (incl. escapes,
+    non-ascii, floats, bools, None, nested dicts)."""
+    import io
+    import random
+    import string
+
+    from multiprime_tpu.models.mcdpd import _fast_json_dump
+
+    rng = random.Random(7)
+    alphabet = string.ascii_letters + '_.|"\\é\t'
+
+    def rand_val(d=0):
+        r = rng.random()
+        if d > 3 or r < 0.4:
+            return "".join(rng.choices(alphabet, k=rng.randrange(0, 12)))
+        if r < 0.6:
+            return [rand_val(d + 1) for _ in range(rng.randrange(0, 5))]
+        if r < 0.7:
+            return rng.randrange(-100, 10 ** 12)
+        if r < 0.8:
+            return {str(rng.randrange(999)): rand_val(d + 1)
+                    for _ in range(rng.randrange(0, 4))}
+        if r < 0.9:
+            return rng.random() * 100
+        return rng.choice([True, False, None])
+
+    for trial in range(200):
+        obj = {rng.randrange(10 ** 6): rand_val()
+               for _ in range(rng.randrange(0, 6))}
+        buf = io.StringIO()
+        _fast_json_dump(obj, buf)
+        assert buf.getvalue() == json.dumps(obj, indent=4), trial
