@@ -202,6 +202,7 @@ def dedup(ids, seqs):
     clusters = []
     seen = {}
     anchor_posting = {}     # anchor -> [(cluster id, position in rep)]
+    max_rep_len = len(seqs[order[0]]) if order else 0
 
     for i in order:
         seq = seqs[i]
@@ -209,7 +210,10 @@ def dedup(ids, seqs):
         if seq in seen:
             clusters[seen[seq]].members.append((i, 1.0))
             placed = True
-        elif len(seq) >= _ANCHOR:
+        elif _ANCHOR <= len(seq) < max_rep_len:
+            # Strict containment needs a strictly longer rep (equal-length
+            # containment IS equality, already handled by the hash above);
+            # length-uniform datasets skip the posting probes entirely.
             # A contained query aligns one of its first 16 offset-shifted
             # anchors (one per stride offset) with a rep anchor; the stored position pins
             # the alignment, so verification is a single early-exit

@@ -256,18 +256,52 @@ def hit_codes_pallas(targets_1h, primers_1h, suffix_1h, *, mm, term,
     return out[:n, :n_out, :]
 
 
+def hit_codes_conv(targets_1h, primers_1h, suffix_1h, *, mm, term):
+    """ONE conv + fused epilogue -> int8 hit codes [N, O, P].
+
+    The total-match and 3'-suffix conditions fold into a single weight set
+    ``primers + W*suffix`` (W=64 > plen): score = counts + W*suffix_counts,
+    and since counts < W the pair is uniquely decodable —
+    ``score >= W*term + plen - mm``  <=>  suffix clean AND mism <= mm, with
+    mism = plen - (score - W*term).  One conv instead of two, and the
+    int8-code epilogue fuses into it, so the f32 counts never reach HBM."""
+    plen = primers_1h.shape[1]
+    w = 64
+    assert plen < w and mm < w
+    combined = (primers_1h.astype(jnp.bfloat16)
+                + w * suffix_1h.astype(jnp.bfloat16))
+    score = match_counts_conv.__wrapped__(targets_1h, combined)
+    thresh = w * term + plen - mm
+    mism = plen - (score - w * term)
+    return jnp.where(score >= thresh, mism + 1, 0).astype(jnp.int8)
+
+
+# level-1 compaction block length: per-block any/count stats shrink the
+# nonzero problem by 64x before the exact index extraction
+_BLK = 64
+
+
 @functools.partial(jax.jit,
                    static_argnames=("mm", "term", "max_hits", "backend"))
 def find_hits(targets_1h, lengths, primers_1h, suffix_1h, *, mm=1, term=4,
               max_hits=1 << 18, backend="conv"):
     """Sparse scan: -> (hit_idx [max_hits], n_hits, mismatches [max_hits]).
 
-    hit_idx encodes n * (O * P) + o * P + p; -1 padding.  suffix_1h is the
-    primer one-hot with everything but the 3'-terminal `term` positions
-    zeroed (suffix mismatches must be 0).
+    hit_idx encodes n * (O * P) + o * P + p; -1 padding, ascending, first
+    max_hits hits.  suffix_1h is the primer one-hot with everything but the
+    3'-terminal `term` positions zeroed (suffix mismatches must be 0).
 
     targets_1h may be either the one-hot [N, L, 4] or the compact
     [N, L] 4-bit mask form (expanded on device — preferred for uploads).
+
+    Extraction is a two-level compaction: a flat nonzero over the [N,O,P]
+    hit tensor costs a full int32 cumsum round-trip (~8x the code bytes),
+    so instead per-64-element block any/count stats are reduced in the same
+    pass that reads the codes, the (sparse) nonempty blocks are compacted
+    and gathered, and the exact nonzero runs on max_hits*64 candidates
+    only.  Capture guarantee: <= max_hits true hits occupy <= max_hits
+    blocks, and blocks/offsets are enumerated ascending, so the result
+    equals the flat nonzero's first-max_hits-ascending contract exactly.
     """
     if targets_1h.ndim == 2:
         targets_1h = expand_masks(targets_1h)
@@ -275,22 +309,34 @@ def find_hits(targets_1h, lengths, primers_1h, suffix_1h, *, mm=1, term=4,
     if backend == "pallas":
         codes = hit_codes_pallas(targets_1h, primers_1h, suffix_1h,
                                  mm=mm, term=term)
-        n, n_out, p = codes.shape
-        ok = codes > 0
-        mism = codes.astype(jnp.int32) - 1
     else:
-        counts = match_counts_conv(targets_1h, primers_1h)
-        suffix_counts = match_counts_conv(targets_1h, suffix_1h)
-        n, n_out, p = counts.shape
-        mism = plen - counts
-        ok = (mism <= mm) & (suffix_counts >= term)
+        codes = hit_codes_conv(targets_1h, primers_1h, suffix_1h,
+                               mm=mm, term=term)
+    n, n_out, p = codes.shape
     # windows must lie inside the real sequence
-    o_idx = jnp.arange(n_out)[None, :, None]
-    ok &= (o_idx + plen) <= lengths[:, None, None]
-    flat = ok.reshape(-1)
-    idx = jnp.nonzero(flat, size=max_hits, fill_value=-1)[0]
-    n_hits = jnp.sum(flat)
-    mism_flat = jnp.where(idx >= 0, mism.reshape(-1)[idx], -1)
+    o_idx = jnp.arange(n_out, dtype=jnp.int32)[None, :, None]
+    codes = jnp.where((o_idx + plen) <= lengths[:, None, None], codes, 0)
+
+    total = n * n_out * p
+    pad = -total % _BLK
+    flat = codes.reshape(-1)
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros(pad, jnp.int8)])
+    blocks = flat.reshape(-1, _BLK)                  # [NB, 64]
+    hit = blocks > 0
+    blk_cnt = jnp.sum(hit, axis=1, dtype=jnp.int32)  # [NB]
+    n_hits = jnp.sum(blk_cnt)
+    blk_idx = jnp.nonzero(blk_cnt > 0, size=max_hits, fill_value=-1)[0]
+    gathered = blocks[jnp.maximum(blk_idx, 0)]       # [max_hits, 64] int8
+    valid = (blk_idx >= 0)[:, None] & (gathered > 0)
+    # global flat indices, monotone over (block, offset) — stays ascending
+    gidx = (blk_idx[:, None].astype(jnp.int32) * _BLK
+            + jnp.arange(_BLK, dtype=jnp.int32)[None, :])
+    pos = jnp.nonzero(valid.reshape(-1), size=max_hits, fill_value=-1)[0]
+    idx = jnp.where(pos >= 0, gidx.reshape(-1)[jnp.maximum(pos, 0)], -1)
+    mism_flat = jnp.where(
+        pos >= 0,
+        gathered.reshape(-1)[jnp.maximum(pos, 0)].astype(jnp.int32) - 1, -1)
     return idx, n_hits, mism_flat
 
 
