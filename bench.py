@@ -153,18 +153,21 @@ def bench_cluster_scale():
     """Upstream scaling: dedup + greedy clustering on a synthetic 100k-seq
     set (50 families x 2000 members, 700 bp, 5% divergence, 10% exact
     dups) — seqs/s and peak RSS per the reference's 1M-seq/30 GB envelope
-    (README.md:35)."""
+    (README.md:35).  MPTPU_SCALE_FAMS/MPTPU_SCALE_MEMBERS scale it up
+    (100 x 10000 reproduces the recorded 1M-seq run, ~7 min)."""
     try:
         import resource
         import numpy as np
         from multiprime_tpu.cluster import greedy
         rng = np.random.default_rng(0)
         lut = np.array(list("ACGT"))
-        fams = ["".join(rng.choice(lut, size=700)) for _ in range(50)]
+        n_fam = int(os.environ.get("MPTPU_SCALE_FAMS", "50"))
+        members = int(os.environ.get("MPTPU_SCALE_MEMBERS", "2000"))
+        fams = ["".join(rng.choice(lut, size=700)) for _ in range(n_fam)]
         seqs = []
         for fam in fams:
             base = np.frombuffer(fam.encode(), np.uint8).copy()
-            for m in range(2000):
+            for m in range(members):
                 if m % 10 == 0:
                     seqs.append(fam)
                     continue
