@@ -29,6 +29,7 @@ from functools import lru_cache
 
 import numpy as np
 
+from .. import native
 from ..thermo import exact as thermo
 from ..utils import iupac
 
@@ -443,9 +444,23 @@ class DesignEngine:
         penalty denominator (core_V15.py:240-242), v20 the exponential one.
         The expansion substring index screens out ends whose RC cannot occur
         anywhere; the exact find loop only runs on real candidates."""
+        linear = self.p.algo in ("v15", "v16")
+        cands = native.dimer_screen(primer)
+        if cands is not None:
+            # native string phase (same candidates, same order — see
+            # seqlib.cpp dimer_screen); float verdicts stay in Python
+            for end, d2 in cands:
+                gc = end.count("G") + end.count("C")
+                if linear:
+                    loss = thermo.penalty_points_linear(len(end), gc, 0, d2)
+                else:
+                    loss = thermo.penalty_points(len(end), gc, 0, d2)
+                dg = thermo.delta_g(end, both_ends=True)
+                if loss >= 3 or (dg < -5 and d2 == 0):
+                    return True
+            return False
         ends = sorted(self.current_end(primer), key=len, reverse=True)
         expansions = iupac.expand(primer)
-        linear = self.p.algo in ("v15", "v16")
         # Bit-parallel offset screen on the degenerate pattern: occ[b] has
         # bit i set iff position i of the primer admits base b.  An end can
         # only hit some expansion if its RC matches the pattern at some

@@ -97,6 +97,10 @@ def _load_locked():
     lib.posting_query.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_double,
         ctypes.c_void_p, ctypes.c_int64]
+    lib.dimer_screen.restype = ctypes.c_int64
+    lib.dimer_screen.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
     _lib = lib
     return lib
 
@@ -292,3 +296,24 @@ def read_fasta_packed(path):
     ids = [data[hs[i]:he[i]].split(b" ")[0].decode() for i in range(n)]
     seqs = [out[starts[i]:ends[i]].copy() for i in range(n)]
     return ids, seqs
+
+
+def dimer_screen(primer: str, num=5, length=14):
+    """Candidate (end, d2) pairs for the design engine's self-dimer check
+    (the string-search phase of multiPrime-core.py:487-503), in the exact
+    Python evaluation order.  Returns None when the native library is
+    unavailable or declines (gaps, expansion blowup) — caller falls back."""
+    lib = load()
+    if lib is None:
+        return None
+    plen = len(primer)
+    max_out = 4096
+    ends_buf = ctypes.create_string_buffer(max_out * 64)
+    out = np.empty(3 * max_out, np.int64)
+    n = lib.dimer_screen(primer.encode("ascii"), plen, num, num + length - 1,
+                         ends_buf, len(ends_buf), out.ctypes.data, max_out)
+    if n < 0:
+        return None
+    raw = ends_buf.raw
+    return [(raw[out[3 * i]:out[3 * i] + out[3 * i + 1]].decode("ascii"),
+             int(out[3 * i + 2])) for i in range(n)]

@@ -15,6 +15,7 @@
 // Build: g++ -O3 -march=native -shared -fPIC seqlib.cpp -o libseqlib.so
 
 #include <atomic>
+#include <string>
 #include <cstdint>
 #include <cstring>
 #include <cstdio>
@@ -556,6 +557,134 @@ void gotoh_ops_batch(const int8_t* c, int64_t la, const int8_t* members,
     std::vector<std::thread> pool;
     for (int64_t t = 0; t < nt; t++) pool.emplace_back(work);
     for (auto& th : pool) th.join();
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Degenerate 3'-end dimer screen (multiPrime-core.py:487-503 string phase).
+//
+// Enumerates the reference's candidate (end, d2) pairs for the self-dimer
+// check of one degenerate primer, in the exact nested order the Python
+// engine evaluates them: suffix lengths 18 down to 5 (each suffix expanded
+// in multiPrime's member order, appended in product order), and for each
+// end the first occurrence of RC(end) inside every expansion of the full
+// primer.  The float Loss/dG verdicts stay in (memoised) Python — this
+// returns only the few surviving string candidates, so bit-parity of the
+// decision is untouched.
+
+static const char* kMembers(char c) {
+    // multiPrime-core.py:105-107 member order
+    switch (c) {
+        case 'A': return "A"; case 'G': return "G"; case 'C': return "C";
+        case 'T': return "T";
+        case 'R': return "AG"; case 'Y': return "CT"; case 'M': return "AC";
+        case 'K': return "GT"; case 'S': return "GC"; case 'W': return "AT";
+        case 'H': return "ATC"; case 'B': return "GTC"; case 'V': return "GAC";
+        case 'D': return "GAT"; case 'N': return "ATGC";
+        default: return nullptr;  // gap / unknown: caller falls back
+    }
+}
+
+static int kMask(char c) {
+    const char* m = kMembers(c);
+    if (!m) return 0;
+    int out = 0;
+    for (; *m; m++)
+        out |= (*m == 'A') ? 1 : (*m == 'C') ? 2 : (*m == 'G') ? 4 : 8;
+    return out;
+}
+
+// product expansion in itertools.product order (rightmost varies fastest);
+// returns false if any char is unknown or the count exceeds cap
+static bool expandAll(const char* s, int64_t len,
+                      std::vector<std::string>* out, int64_t cap) {
+    std::vector<const char*> lists(len);
+    int64_t total = 1;
+    for (int64_t i = 0; i < len; i++) {
+        lists[i] = kMembers(s[i]);
+        if (!lists[i]) return false;
+        total *= (int64_t)strlen(lists[i]);
+        if (total > cap) return false;
+    }
+    std::string cur(len, 'A');
+    std::vector<int> idx(len, 0);
+    for (int64_t i = 0; i < len; i++) cur[i] = lists[i][0];
+    for (;;) {
+        out->push_back(cur);
+        int64_t i = len - 1;
+        for (; i >= 0; i--) {
+            idx[i]++;
+            if (lists[i][idx[i]] != '\0') { cur[i] = lists[i][idx[i]]; break; }
+            idx[i] = 0;
+            cur[i] = lists[i][0];
+        }
+        if (i < 0) return true;
+    }
+}
+
+extern "C" {
+
+// Candidates for dimer_check(primer): out triples (end_offset_in_buf,
+// end_len, d2) in evaluation order; end strings concatenated into ends_buf.
+// Returns the candidate count, or -1 when the caller must fall back to the
+// Python path (unknown code, expansion blowup, or buffer overflow).
+int64_t dimer_screen(const char* primer, int64_t plen, int64_t num_min,
+                     int64_t num_max, char* ends_buf, int64_t ends_cap,
+                     int64_t* out, int64_t max_out) {
+    if (plen <= 0 || plen > 63) return -1;
+    std::vector<std::string> expansions;
+    if (!expandAll(primer, plen, &expansions, 4096)) return -1;
+    uint64_t occ[4] = {0, 0, 0, 0};
+    for (int64_t i = 0; i < plen; i++) {
+        const int m = kMask(primer[i]);
+        if (!m) return -1;
+        if (m & 1) occ[0] |= 1ull << i;
+        if (m & 2) occ[1] |= 1ull << i;
+        if (m & 4) occ[2] |= 1ull << i;
+        if (m & 8) occ[3] |= 1ull << i;
+    }
+    std::vector<std::string> ends;
+    int64_t n_out = 0, buf_used = 0;
+    // sorted(key=len, reverse=True) over the i=num_min..num_max suffixes is
+    // a stable longest-first walk; ext[-i:] clamps to the whole primer
+    for (int64_t i = num_max; i >= num_min; i--) {
+        const int64_t elen = std::min(i, plen);
+        const char* suffix = primer + (plen - elen);
+        ends.clear();
+        if (!expandAll(suffix, elen, &ends, 4096)) return -1;
+        for (const std::string& end : ends) {
+            std::string rce(elen, 'A');
+            for (int64_t k = 0; k < elen; k++) {
+                const char c = end[elen - 1 - k];
+                rce[k] = (c == 'A') ? 'T' : (c == 'T') ? 'A'
+                         : (c == 'G') ? 'C' : 'G';
+            }
+            if (elen > plen) continue;
+            uint64_t ok = (plen - elen + 1 >= 64)
+                ? ~0ull : ((1ull << (plen - elen + 1)) - 1);
+            for (int64_t j = 0; j < elen && ok; j++) {
+                const char c = rce[j];
+                const int b = (c == 'A') ? 0 : (c == 'C') ? 1
+                              : (c == 'G') ? 2 : 3;
+                ok &= occ[b] >> j;
+            }
+            if (!ok) continue;
+            for (const std::string& p : expansions) {
+                const size_t idx = p.find(rce);
+                if (idx == std::string::npos) continue;
+                if (n_out >= max_out || buf_used + elen > ends_cap)
+                    return -1;
+                memcpy(ends_buf + buf_used, end.data(), (size_t)elen);
+                out[3 * n_out] = buf_used;
+                out[3 * n_out + 1] = elen;
+                out[3 * n_out + 2] = plen - elen - (int64_t)idx;
+                buf_used += elen;
+                n_out++;
+            }
+        }
+    }
+    return n_out;
 }
 
 }  // extern "C"

@@ -203,3 +203,57 @@ def test_fast_json_dump_byte_parity():
         buf = io.StringIO()
         _fast_json_dump(obj, buf)
         assert buf.getvalue() == json.dumps(obj, indent=4), trial
+
+
+def test_native_dimer_screen_parity():
+    """The native dimer_screen must produce the exact candidate (end, d2)
+    list — same pairs, same order — as the Python string phase, and the
+    full dimer_check verdict must be identical through either path."""
+    import random
+
+    from multiprime_tpu import native
+    from multiprime_tpu.models import mcdpd
+    from multiprime_tpu.utils import iupac
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+
+    random.seed(3)
+    codes = "ACGTACGTACGTRYMKSWHBVDN"
+    eng = mcdpd.DesignEngine(mcdpd.DesignParams(algo="v16"))
+
+    def py_candidates(primer):
+        ends = sorted(eng.current_end(primer), key=len, reverse=True)
+        expansions = iupac.expand(primer)
+        out = []
+        for end in ends:
+            rce = iupac.rc(end)
+            if len(rce) > len(primer):
+                continue
+            for p in expansions:
+                idx = p.find(rce)
+                if idx >= 0:
+                    out.append((end, len(p) - len(end) - idx))
+        return out
+
+    n_nonempty = 0
+    for _ in range(800):
+        plen = random.choice([16, 18, 20])
+        primer = "".join(random.choice(codes) for _ in range(plen))
+        if iupac.degeneracy(primer) > 64:
+            continue
+        nat = native.dimer_screen(primer)
+        py = py_candidates(primer)
+        assert nat == py, (primer, nat[:4], py[:4])
+        if py:
+            n_nonempty += 1
+        got = eng.dimer_check(primer)
+        real = native.dimer_screen
+        try:
+            native.dimer_screen = lambda *a, **k: None
+            want = eng.dimer_check(primer)
+        finally:
+            native.dimer_screen = real
+        assert got == want, (primer, got, want)
+    assert n_nonempty >= 1
