@@ -85,6 +85,43 @@ def parse_primer_table(path):
     return out
 
 
+@lru_cache(maxsize=200000)
+def _dimer_hit_ends(primer):
+    """All 3'-ends that trigger the cross-dimer verdict when searched in
+    `primer` (the target side of get_multiPrime.py:419-437, factored out
+    of the per-pair loop).
+
+    An end ``e`` hits iff ``rc(e)`` occurs in some expansion ``p`` of the
+    primer — at its FIRST occurrence ``idx = p.find(rc(e))``, exactly like
+    the reference — with ``loss > 3.6`` or (``dG(e) < -5`` and ``d2 == 0``),
+    ``d2 = len(p) - len(e) - idx``.  Enumerating every distinct substring of
+    every expansion at its first index (lengths 5..18, the 3'-end length
+    range of current_end) yields the complete hit set once per primer;
+    GC(e) == GC(rc(e)) so the penalty arguments come straight from the
+    substring."""
+    out = set()
+    for p in iupac.expand(primer):
+        n = len(p)
+        first = {}
+        for start in range(n):
+            top = min(18, n - start)
+            for ln in range(5, top + 1):
+                s = p[start:start + ln]
+                if s not in first:
+                    first[s] = start
+        for s, idx in first.items():
+            d2 = n - len(s) - idx
+            loss = thermo.penalty_points(
+                len(s), s.count("G") + s.count("C"), 0, d2)
+            if loss > 3.6:
+                out.add(iupac.rc(s))
+            elif d2 == 0:
+                e = iupac.rc(s)
+                if thermo.delta_g(e, both_ends=False) < -5:
+                    out.add(e)
+    return frozenset(out)
+
+
 class PairingEngine:
     def __init__(self, params: PairingParams):
         self.p = params
@@ -156,17 +193,39 @@ class PairingEngine:
         ends = self._helper.current_end(primer)
         return tuple((e, iupac.rc(e)) for e in dict.fromkeys(ends))
 
+    @lru_cache(maxsize=200000)
+    def _end_fset(self, primer):
+        """The primer's 3'-end set as a frozenset (order is irrelevant to
+        the boolean dimer verdict)."""
+        return frozenset(self._helper.current_end(primer))
+
     def dimer_check(self, primer_f, primer_r):
         """F/R cross-dimer (get_multiPrime.py:419-437): Loss > 3.6 with the
-        exponential penalty, dG with the single-end initiation variant."""
+        exponential penalty, dG with the single-end initiation variant.
+
+        The reference scans every 3'-end of both primers against both
+        primers' expansions per pair — O(ends × expansions) string searches
+        × O(pairs).  The verdict is a pure OR over independent (end, target)
+        hits, so it factors into per-primer sets computed once:
+        ``hit(F,R) = ends(F∪R) ∩ hits(F) ≠ ∅  or  ends(F∪R) ∩ hits(R) ≠ ∅``
+        where ``hits(X)`` is the set of ends that trigger when searched in X
+        (see _dimer_hit_ends).  Identical verdicts (fuzz-tested against the
+        direct scan), ~5x less work per pair."""
+        ef = self._end_fset(primer_f)
+        er = self._end_fset(primer_r)
+        hf = _dimer_hit_ends(primer_f)
+        hr = _dimer_hit_ends(primer_r)
+        return (not ef.isdisjoint(hf) or not er.isdisjoint(hr)
+                or not ef.isdisjoint(hr) or not er.isdisjoint(hf))
+
+    def _dimer_check_ref(self, primer_f, primer_r):
+        """Direct per-pair scan (the reference's formulation) — kept as the
+        parity oracle for dimer_check's factored form."""
         seen = dict.fromkeys(self._ends_rc(primer_f))
         seen.update(dict.fromkeys(self._ends_rc(primer_r)))
         ends = list(seen)
         for pp in (primer_f, primer_r):
             expansions = iupac.expand(pp)
-            # the cached substring index pays here: the same primers recur
-            # across thousands of pair candidates (unlike the design engine,
-            # which sees each primer once and scans directly)
             index = self._helper._substring_maxstart(pp, 5)
             for end, rce in ends:
                 if rce not in index:
@@ -267,10 +326,11 @@ class PairingEngine:
                         break
                     if not (min_len <= distance <= max_len):
                         continue
-                    primer_f = primers[start_pos][0]
-                    primer_r = r_seq[stop_pos]
-                    if self.dimer_check(primer_f, primer_r):
-                        continue
+                    # Gates are independent pure predicates ANDed together;
+                    # the reference tests dimer -> Tm -> coverage
+                    # (get_multiPrime.py:544-574) but cheapest-first gives
+                    # the identical surviving set: two float compares, then
+                    # a set union, then the (precomputed-set) dimer verdict.
                     tm_f = primers[start_pos][3]
                     tm_r = primers[stop_pos][3]
                     if abs(tm_f - tm_r) > p.diff_tm:
@@ -278,6 +338,10 @@ class PairingEngine:
                     uncovered = len(_id_bits(start_pos, 0)
                                     | _id_bits(stop_pos, 1))
                     if uncovered / number > threshold:
+                        continue
+                    primer_f = primers[start_pos][0]
+                    primer_r = r_seq[stop_pos]
+                    if self.dimer_check(primer_f, primer_r):
                         continue
                     covered = number - uncovered
                     avg_tm = str(round(thermo._stat_mean([tm_f, tm_r]), 2))

@@ -69,3 +69,32 @@ def test_count_ref_seqs(tmp_path):
     f.write_text(">a\nACGT\n>b\nACGT\n>c\nACGT\n")
     assert pairing.count_ref_seqs(str(f)) == 3
     assert pairing.count_ref_seqs(str(f), max_seq=2) == 2
+
+
+def test_dimer_check_factored_matches_direct_scan():
+    """The factored per-primer-set dimer verdict must equal the reference's
+    direct per-pair scan (_dimer_check_ref) on degenerate fuzz primers."""
+    import random
+
+    rng = random.Random(11)
+    eng = pairing.PairingEngine(pairing.PairingParams())
+    codes = "ACGTRYSWKMBDHVN"
+
+    def mk(bias=None):
+        length = rng.choice([16, 18, 20])
+        out = []
+        deg = 0
+        for _ in range(length):
+            if deg < 2 and rng.random() < 0.15:
+                out.append(rng.choice(codes))
+                deg += 1
+            elif bias and rng.random() < 0.6:
+                out.append(rng.choice(bias))
+            else:
+                out.append(rng.choice("ACGT"))
+        return "".join(out)
+
+    for trial in range(400):
+        f = mk("GC" if trial % 3 == 0 else None)
+        r = mk()
+        assert eng.dimer_check(f, r) == eng._dimer_check_ref(f, r), (f, r)
