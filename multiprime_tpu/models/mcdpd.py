@@ -24,6 +24,7 @@ see multiprime_tpu.parallel.
 
 from __future__ import annotations
 
+import itertools
 from dataclasses import dataclass, field
 from functools import lru_cache
 
@@ -37,6 +38,41 @@ BASES = ("A", "C", "G", "T")
 _BASE2IDX = {"A": 0, "C": 1, "G": 2, "T": 3}
 _MEMBER_COUNT = {ch: len(m) for ch, m in iupac.CODE_MEMBERS.items()}
 _PURE_BYTES = np.frombuffer(b"ACGT-", np.uint8)
+# byte -> "needs degenerate expansion" (anything outside ACGT-)
+_IMPURE_TABLE = np.ones(256, dtype=bool)
+_IMPURE_TABLE[_PURE_BYTES] = False
+
+
+def _build_argsort4_desc():
+    """np.argsort(vals)[::-1] for every 4-value tie pattern.
+
+    The refinement loop's candidate order comes from np.argsort on
+    4-element count vectors; its tie order is an implementation detail of
+    NumPy's small-array sort (not stable), and the reference's output
+    depends on it.  A comparison sort's permutation depends only on the
+    dense-rank pattern of the inputs, so tabulating np.argsort itself over
+    all rank patterns (4^4 representatives) reproduces it exactly without
+    a per-call NumPy round-trip."""
+    table = {}
+    for vals in itertools.product(range(4), repeat=4):
+        s = sorted(set(vals))
+        key = (s.index(vals[0]), s.index(vals[1]),
+               s.index(vals[2]), s.index(vals[3]))
+        if key not in table:
+            table[key] = tuple(
+                int(i) for i in np.argsort(np.array(vals))[::-1])
+    return table
+
+
+_ARGSORT4_DESC = _build_argsort4_desc()
+
+
+def _argsort4_desc(vals):
+    s = sorted(set(vals))
+    return _ARGSORT4_DESC[(s.index(vals[0]), s.index(vals[1]),
+                           s.index(vals[2]), s.index(vals[3]))]
+
+
 _ASCII_BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 
 # Tri/di-nucleotide run patterns (multiPrime-core.py:196-207): XXXX, XYXYXYXY,
@@ -640,7 +676,7 @@ class DesignEngine:
         plen = p.primer_length
         gapcnt = (win_chars == ord("-")).sum(axis=1)
         is_gap = gapcnt > p.variation
-        needs_expand = ~np.isin(win_chars, _PURE_BYTES).all(axis=1)
+        needs_expand = _IMPURE_TABLE[win_chars].any(axis=1)
 
         # Gap gate: the reference checks the running rounded fraction after
         # each gappy sequence and at the end; the fraction is monotone, so it
@@ -652,24 +688,28 @@ class DesignEngine:
         # Distinct raw windows with first-occurrence order and per-row member
         # lists: expansion/dict building then runs over the distinct rows
         # only, preserving the reference's file-order insertion semantics.
-        raw = np.ascontiguousarray(win_chars).view(
-            np.dtype((np.void, plen))).ravel()
-        uniq, first_idx, inverse, u_counts = np.unique(
-            raw, return_index=True, return_inverse=True, return_counts=True)
-        order = np.argsort(first_idx, kind="stable")
-        by_raw = np.argsort(inverse, kind="stable")
-        bounds = np.concatenate([[0], np.cumsum(u_counts)])
+        # A bytes-keyed dict in row order gives first-occurrence iteration
+        # and ascending member indices directly (dict preserves insertion
+        # order), with none of np.unique's per-window sort cost.
+        flat = np.ascontiguousarray(win_chars).tobytes()
+        groups = {}
+        for si in range(total):
+            key = flat[si * plen:(si + 1) * plen]
+            g = groups.get(key)
+            if g is None:
+                groups[key] = [si]
+            else:
+                g.append(si)
 
         cover = {}
         cover_for_mm = {}
         non_gap_seq_id = {}
         gap_sequence = {}
         gap_seq_id = {}
-        multi_exp = {}          # expansion -> [seq index arrays] for merging
-        for ui in order:
-            row = uniq[ui].tobytes().decode("ascii")
-            members = by_raw[bounds[ui]:bounds[ui + 1]]   # ascending seq idx
-            count = int(u_counts[ui])
+        multi_exp = {}          # expansion -> [seq index lists] for merging
+        for rkey, members in groups.items():
+            row = rkey.decode("ascii")
+            count = len(members)
             expansions = iupac.expand(row) if needs_expand[members[0]] \
                 else (row,)
             if is_gap[members[0]]:
@@ -689,14 +729,14 @@ class DesignEngine:
         # Merge seq-id lists for expansions shared by several raw windows
         # (reference appends in global sequence order).
         for e, extra in multi_exp.items():
-            merged = np.sort(np.concatenate([non_gap_seq_id[e]] + extra))
+            merged = sorted(itertools.chain(non_gap_seq_id[e], *extra))
             non_gap_seq_id[e] = merged
         for e in non_gap_seq_id:
             non_gap_seq_id[e] = [seq_ids[s] for s in non_gap_seq_id[e]]
         for e in gap_seq_id:
             parts = gap_seq_id[e]
-            idxs = parts[0] if len(parts) == 1 else np.sort(
-                np.concatenate(parts))
+            idxs = parts[0] if len(parts) == 1 else sorted(
+                itertools.chain(*parts))
             gap_seq_id[e] = [seq_ids[s] for s in idxs]
         if len(cover) < 1:
             return None
@@ -873,7 +913,9 @@ class DesignEngine:
         coverage_init = cover.get(consensus, 0)
         nn_index = [[int(path[i]), int(path[i + 1])]
                     for i in range(len(path) - 1)]
-        nn_cov = [int(nn[i, a, b]) for i, (a, b) in enumerate(nn_index)]
+        # exact small ints as nested lists for the pure-Python refine loop
+        nn = [[[int(v) for v in r] for r in layer] for layer in nn]
+        nn_cov = [nn[i][a][b] for i, (a, b) in enumerate(nn_index)]
 
         if p.algo in ("v15", "v16"):
             # Perfect-coverage-driven loop, mis-check only once at the end
@@ -927,83 +969,104 @@ class DesignEngine:
         code and merges the corresponding NN rows/columns.  The reference's
         in-place list aliasing means each candidate's "updated" primer is the
         candidate's own working copy - replicated here with explicit copies.
-        """
-        nn_cov_arr = np.asarray(nn_cov)
-        refine_positions = np.where(nn_cov_arr == nn_cov_arr.min())[0]
+
+        Pure-Python int lists: nn is [L-1][4][4] small exact ints, far below
+        NumPy per-op overhead.  The candidate order np.argsort(..)[::-1] has
+        an unstable, version-specific tie order; _argsort4_desc tabulates
+        np.argsort itself over all 4-element rank patterns, so the order is
+        exact by construction (fuzz-verified against the NumPy formulation
+        in tests/test_design_golden.py)."""
+        m = min(nn_cov)
+        refine_positions = [i for i, v in enumerate(nn_cov) if v == m]
         cand_primers, cand_cov, cand_nn, cand_nncov = [], [], [], []
+        rng4 = (0, 1, 2, 3)
+        last = len(nn_index) - 1
         for i in refine_positions:
-            i = int(i)
-            nn_tmp = nn.copy()
+            nn_tmp = [[r[:] for r in layer] for layer in nn]
             nncov_tmp = list(nn_cov)
             lst = list(primer_list)
             cov_renew = coverage_init
             row, column = nn_index[i]
             if i == 0:
-                if len(np.where(nn_tmp[0, :, column] > 0)[0]) > 1:
-                    order = np.argsort(nn_tmp[i, :, column], axis=0)[::-1]
+                li = nn_tmp[0]
+                if sum(1 for r in li if r[column] > 0) > 1:
+                    order = _argsort4_desc([li[j][column] for j in rng4])
                     for idx in order:
-                        idx = int(idx)
                         if idx != row:
                             merged = iupac.union_char([lst[i], BASES[idx]])
                             lst[i] = BASES[idx]
                             cov_renew += self._coverage_of(lst, cover)
                             lst[i] = merged
-                            nn_tmp[i, row, :] += nn_tmp[i, idx, :]
-                            nn_tmp[i, idx, :] = 0
-                            nncov_tmp[i] = int(nn_tmp[i, row, column])
+                            rr = li[row]
+                            ri = li[idx]
+                            for j in rng4:
+                                rr[j] += ri[j]
+                                ri[j] = 0
+                            nncov_tmp[i] = rr[column]
                             break
-                elif len(np.where(nn_tmp[0, row, :] > 0)[0]) > 1:
+                elif sum(1 for v in li[row] if v > 0) > 1:
                     nrow, ncol = nn_index[i + 1]
-                    rmin = np.minimum(nn_tmp[i, row, :], nn_tmp[i + 1, :, ncol])
-                    order = np.argsort(rmin, axis=0)[::-1]
-                    if len(np.where(rmin > 0)[0]) > 1:
+                    lnext = nn_tmp[i + 1]
+                    rmin = [min(li[row][j], lnext[j][ncol]) for j in rng4]
+                    order = _argsort4_desc(rmin)
+                    if sum(1 for v in rmin if v > 0) > 1:
                         for idx in order:
-                            idx = int(idx)
                             if idx != column:
-                                merged = iupac.union_char([lst[i + 1], BASES[idx]])
+                                merged = iupac.union_char(
+                                    [lst[i + 1], BASES[idx]])
                                 lst[i + 1] = BASES[idx]
                                 cov_renew += self._coverage_of(lst, cover)
                                 lst[i + 1] = merged
-                                nn_tmp[i, :, column] += nn_tmp[i, :, idx]
-                                nn_tmp[i, :, idx] = 0
-                                nn_tmp[i + 1, nrow, :] += nn_tmp[i + 1, idx, :]
-                                nn_tmp[i + 1, idx, :] = 0
-                                nncov_tmp[i] = int(nn_tmp[i, row, column])
-                                nncov_tmp[i + 1] = int(nn_tmp[i + 1, nrow, ncol])
+                                for r in li:
+                                    r[column] += r[idx]
+                                    r[idx] = 0
+                                rn = lnext[nrow]
+                                rx = lnext[idx]
+                                for j in rng4:
+                                    rn[j] += rx[j]
+                                    rx[j] = 0
+                                nncov_tmp[i] = li[row][column]
+                                nncov_tmp[i + 1] = rn[ncol]
                                 break
-            elif i == len(nn_index) - 1:
-                rrow = nn_tmp[i, row, :]
-                order = np.argsort(rrow, axis=0)[::-1]
-                if len(np.where(rrow > 0)[0]) > 1:
+            elif i == last:
+                li = nn_tmp[i]
+                rrow = li[row]
+                order = _argsort4_desc(rrow)
+                if sum(1 for v in rrow if v > 0) > 1:
                     for idx in order:
-                        idx = int(idx)
                         if idx != column:
                             merged = iupac.union_char([lst[i + 1], BASES[idx]])
                             lst[i + 1] = BASES[idx]
                             cov_renew += self._coverage_of(lst, cover)
                             lst[i + 1] = merged
-                            nn_tmp[i, :, column] += nn_tmp[i, :, idx]
-                            nn_tmp[i, :, idx] = 0
-                            nncov_tmp[i] = int(nn_tmp[i, row, column])
+                            for r in li:
+                                r[column] += r[idx]
+                                r[idx] = 0
+                            nncov_tmp[i] = li[row][column]
                             break
             else:
                 nrow, ncol = nn_index[i + 1]
-                rmin = np.minimum(nn_tmp[i, row, :], nn_tmp[i + 1, :, ncol])
-                order = np.argsort(rmin, axis=0)[::-1]
-                if len(np.where(rmin > 0)[0]) > 1:
+                li = nn_tmp[i]
+                lnext = nn_tmp[i + 1]
+                rmin = [min(li[row][j], lnext[j][ncol]) for j in rng4]
+                order = _argsort4_desc(rmin)
+                if sum(1 for v in rmin if v > 0) > 1:
                     for idx in order:
-                        idx = int(idx)
                         if idx != column:
                             merged = iupac.union_char([lst[i + 1], BASES[idx]])
                             lst[i + 1] = BASES[idx]
                             cov_renew += self._coverage_of(lst, cover)
                             lst[i + 1] = merged
-                            nn_tmp[i, :, column] += nn_tmp[i, :, idx]
-                            nn_tmp[i, :, idx] = 0
-                            nn_tmp[i + 1, nrow, :] += nn_tmp[i + 1, idx, :]
-                            nn_tmp[i + 1, idx, :] = 0
-                            nncov_tmp[i] = int(nn_tmp[i, row, column])
-                            nncov_tmp[i + 1] = int(nn_tmp[i + 1, nrow, ncol])
+                            for r in li:
+                                r[column] += r[idx]
+                                r[idx] = 0
+                            rn = lnext[nrow]
+                            rx = lnext[idx]
+                            for j in rng4:
+                                rn[j] += rx[j]
+                                rx[j] = 0
+                            nncov_tmp[i] = li[row][column]
+                            nncov_tmp[i + 1] = rn[ncol]
                             break
             cand_primers.append(lst)
             cand_nncov.append(nncov_tmp)

@@ -257,3 +257,133 @@ def test_native_dimer_screen_parity():
             native.dimer_screen = real
         assert got == want, (primer, got, want)
     assert n_nonempty >= 1
+
+
+def test_refine_step_matches_numpy_formulation():
+    """The pure-Python _refine_step must replicate the NumPy original,
+    including np.argsort(desc) tie order (stable ascending reversed =>
+    higher index first on ties) — fuzzed on tie-heavy small counts."""
+    import random
+
+    import numpy as np
+
+    from multiprime_tpu.models import mcdpd
+    from multiprime_tpu.utils import iupac
+
+    BASES = mcdpd.BASES
+
+    def oracle(eng, primer_list, coverage_init, cover, nn_index, nn_cov, nn):
+        nn = np.asarray(nn, dtype=np.int64)
+        nn_cov_arr = np.asarray(nn_cov)
+        refine_positions = np.where(nn_cov_arr == nn_cov_arr.min())[0]
+        cand_primers, cand_cov, cand_nn, cand_nncov = [], [], [], []
+        for i in refine_positions:
+            i = int(i)
+            nn_tmp = nn.copy()
+            nncov_tmp = list(nn_cov)
+            lst = list(primer_list)
+            cov_renew = coverage_init
+            row, column = nn_index[i]
+            if i == 0:
+                if len(np.where(nn_tmp[0, :, column] > 0)[0]) > 1:
+                    order = np.argsort(nn_tmp[i, :, column], axis=0)[::-1]
+                    for idx in order:
+                        idx = int(idx)
+                        if idx != row:
+                            merged = iupac.union_char([lst[i], BASES[idx]])
+                            lst[i] = BASES[idx]
+                            cov_renew += eng._coverage_of(lst, cover)
+                            lst[i] = merged
+                            nn_tmp[i, row, :] += nn_tmp[i, idx, :]
+                            nn_tmp[i, idx, :] = 0
+                            nncov_tmp[i] = int(nn_tmp[i, row, column])
+                            break
+                elif len(np.where(nn_tmp[0, row, :] > 0)[0]) > 1:
+                    nrow, ncol = nn_index[i + 1]
+                    rmin = np.minimum(nn_tmp[i, row, :],
+                                      nn_tmp[i + 1, :, ncol])
+                    order = np.argsort(rmin, axis=0)[::-1]
+                    if len(np.where(rmin > 0)[0]) > 1:
+                        for idx in order:
+                            idx = int(idx)
+                            if idx != column:
+                                merged = iupac.union_char(
+                                    [lst[i + 1], BASES[idx]])
+                                lst[i + 1] = BASES[idx]
+                                cov_renew += eng._coverage_of(lst, cover)
+                                lst[i + 1] = merged
+                                nn_tmp[i, :, column] += nn_tmp[i, :, idx]
+                                nn_tmp[i, :, idx] = 0
+                                nn_tmp[i + 1, nrow, :] += nn_tmp[i + 1, idx, :]
+                                nn_tmp[i + 1, idx, :] = 0
+                                nncov_tmp[i] = int(nn_tmp[i, row, column])
+                                nncov_tmp[i + 1] = int(
+                                    nn_tmp[i + 1, nrow, ncol])
+                                break
+            elif i == len(nn_index) - 1:
+                rrow = nn_tmp[i, row, :]
+                order = np.argsort(rrow, axis=0)[::-1]
+                if len(np.where(rrow > 0)[0]) > 1:
+                    for idx in order:
+                        idx = int(idx)
+                        if idx != column:
+                            merged = iupac.union_char([lst[i + 1], BASES[idx]])
+                            lst[i + 1] = BASES[idx]
+                            cov_renew += eng._coverage_of(lst, cover)
+                            lst[i + 1] = merged
+                            nn_tmp[i, :, column] += nn_tmp[i, :, idx]
+                            nn_tmp[i, :, idx] = 0
+                            nncov_tmp[i] = int(nn_tmp[i, row, column])
+                            break
+            else:
+                nrow, ncol = nn_index[i + 1]
+                rmin = np.minimum(nn_tmp[i, row, :], nn_tmp[i + 1, :, ncol])
+                order = np.argsort(rmin, axis=0)[::-1]
+                if len(np.where(rmin > 0)[0]) > 1:
+                    for idx in order:
+                        idx = int(idx)
+                        if idx != column:
+                            merged = iupac.union_char([lst[i + 1], BASES[idx]])
+                            lst[i + 1] = BASES[idx]
+                            cov_renew += eng._coverage_of(lst, cover)
+                            lst[i + 1] = merged
+                            nn_tmp[i, :, column] += nn_tmp[i, :, idx]
+                            nn_tmp[i, :, idx] = 0
+                            nn_tmp[i + 1, nrow, :] += nn_tmp[i + 1, idx, :]
+                            nn_tmp[i + 1, idx, :] = 0
+                            nncov_tmp[i] = int(nn_tmp[i, row, column])
+                            nncov_tmp[i + 1] = int(nn_tmp[i + 1, nrow, ncol])
+                            break
+            cand_primers.append(lst)
+            cand_nncov.append(nncov_tmp)
+            cand_cov.append(cov_renew)
+            cand_nn.append(nn_tmp)
+        best = cand_cov.index(max(cand_cov))
+        return (cand_primers[best], cand_cov[best], cand_nncov[best],
+                np.asarray(cand_nn[best]))
+
+    rng = random.Random(3)
+    eng = mcdpd.DesignEngine(mcdpd.DesignParams(algo="v16"))
+    for trial in range(300):
+        plen = rng.choice([6, 8])
+        path = [rng.randrange(4) for _ in range(plen)]
+        primer_list = [BASES[i] for i in path]
+        nn_index = [[path[i], path[i + 1]] for i in range(plen - 1)]
+        # tie-heavy small counts to exercise argsort tie order
+        nn = [[[rng.choice([0, 0, 1, 1, 2, 3]) for _ in range(4)]
+               for _ in range(4)] for _ in range(plen - 1)]
+        for i, (a, b) in enumerate(nn_index):
+            nn[i][a][b] = max(nn[i][a][b], 1)
+        nn_cov = [nn[i][a][b] for i, (a, b) in enumerate(nn_index)]
+        cover = {}
+        for _ in range(12):
+            key = "".join(rng.choice("ACGT") for _ in range(plen))
+            cover[key] = rng.randrange(1, 5)
+        got = eng._refine_step(primer_list, 3, cover, nn_index,
+                               list(nn_cov), [[r[:] for r in l] for l in nn])
+        want = oracle(eng, primer_list, 3, cover, nn_index,
+                      list(nn_cov), nn)
+        assert got[0] == want[0], trial
+        assert got[1] == want[1], trial
+        assert got[2] == want[2], trial
+        assert np.array_equal(np.asarray(got[3]), want[3]), trial
