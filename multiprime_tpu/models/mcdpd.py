@@ -25,6 +25,7 @@ see multiprime_tpu.parallel.
 from __future__ import annotations
 
 import itertools
+import os
 from dataclasses import dataclass, field
 from functools import lru_cache
 
@@ -1354,6 +1355,41 @@ def write_sidecars(results, outfile):
                          for r in results}, fj)
     with open(outfile + ".gap_seq_id_json", "w") as fg:
         _fast_json_dump({r.position: r.gap_ids for r in results}, fg)
+
+
+def write_sidecars_forked(results, outfile):
+    """Write the JSON sidecars in a forked child so the (CPU-bound) JSON
+    emit genuinely overlaps the parent's pairing — a background *thread*
+    just timeshares the GIL with pairing and measures slower than running
+    the two sequentially.  Returns a waiter callable; falls back to a
+    synchronous write when fork is unsafe (live JAX backend — libtpu does
+    not survive fork) or unavailable."""
+    import sys
+    safe = hasattr(os, "fork")
+    jaxm = sys.modules.get("jax")
+    if safe and jaxm is not None:
+        try:
+            safe = not jaxm._src.xla_bridge._backends
+        except Exception:
+            safe = False
+    if not safe:
+        write_sidecars(results, outfile)
+        return lambda: None
+    pid = os.fork()
+    if pid == 0:
+        code = 1
+        try:
+            write_sidecars(results, outfile)
+            code = 0
+        finally:
+            os._exit(code)
+
+    def wait():
+        _, status = os.waitpid(pid, 0)
+        if status != 0:
+            # deterministic fallback: redo in-process
+            write_sidecars(results, outfile)
+    return wait
 
 
 def pairing_inputs(results):

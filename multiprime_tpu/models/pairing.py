@@ -85,6 +85,13 @@ def parse_primer_table(path):
     return out
 
 
+@lru_cache(maxsize=None)
+def _loss_triggers(length, gc, d2):
+    """penalty_points(length, gc, 0, d2) > 3.6 — the cross-dimer loss gate
+    on a tiny (len, gc, d2) domain, memoized once per tuple."""
+    return thermo.penalty_points(length, gc, 0, d2) > 3.6
+
+
 @lru_cache(maxsize=200000)
 def _dimer_hit_ends(primer):
     """All 3'-ends that trigger the cross-dimer verdict when searched in
@@ -100,6 +107,7 @@ def _dimer_hit_ends(primer):
     GC(e) == GC(rc(e)) so the penalty arguments come straight from the
     substring."""
     out = set()
+    done = set()        # substrings already known to trigger (any expansion)
     for p in iupac.expand(primer):
         n = len(p)
         first = {}
@@ -109,15 +117,24 @@ def _dimer_hit_ends(primer):
                 s = p[start:start + ln]
                 if s not in first:
                     first[s] = start
+        gcpre = [0] * (n + 1)
+        acc = 0
+        for i, ch in enumerate(p):
+            if ch == "G" or ch == "C":
+                acc += 1
+            gcpre[i + 1] = acc
         for s, idx in first.items():
-            d2 = n - len(s) - idx
-            loss = thermo.penalty_points(
-                len(s), s.count("G") + s.count("C"), 0, d2)
-            if loss > 3.6:
+            if s in done:
+                continue
+            ln = len(s)
+            d2 = n - ln - idx
+            if _loss_triggers(ln, gcpre[idx + ln] - gcpre[idx], d2):
+                done.add(s)
                 out.add(iupac.rc(s))
             elif d2 == 0:
                 e = iupac.rc(s)
                 if thermo.delta_g(e, both_ends=False) < -5:
+                    done.add(s)
                     out.add(e)
     return frozenset(out)
 

@@ -453,17 +453,16 @@ class Pipeline:
             except ValueError as e:
                 rep["log"].append(("design:" + name, "skipped: %s" % e, 0))
                 results = []
-            # table now (pairing parses it); sidecars on a background
-            # thread overlapped with pairing — they are a pure function
-            # of `results`, which pairing only reads
+            # table now (pairing parses it); sidecars in a forked child
+            # overlapped with pairing — they are a pure function of
+            # `results`, and a fork (unlike a thread) doesn't timeshare
+            # the GIL with the pairing loop
             mcdpd.write_table(results, out)
-            sidecar_thread = threading.Thread(
-                target=mcdpd.write_sidecars, args=(results, out))
-            sidecar_thread.start()
+            sidecar_wait = mcdpd.write_sidecars_forked(results, out)
             fresh = mcdpd.pairing_inputs(results)
             self._log_file("multiPrime_" + name, time.time() - t0)
         else:
-            sidecar_thread = None
+            sidecar_wait = None
             fresh = None
         try:
             if not os.path.exists(cand):
@@ -488,8 +487,8 @@ class Pipeline:
                     pairing.write_outputs(pairs, cand)
                 self._log_file("get_multiPrime_" + name, time.time() - t0)
         finally:
-            if sidecar_thread is not None:
-                sidecar_thread.join()
+            if sidecar_wait is not None:
+                sidecar_wait()
         return rep
 
     def _wrc_cluster(self, name, msa_path, tfa):
