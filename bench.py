@@ -55,9 +55,11 @@ def bench_pipeline():
     number = pairing.count_ref_seqs(REF_TFA, 0)
     peng = pairing.PairingEngine(pparams)
     pairs, _ = peng.pair(primers, gap_ids, non_cover, number)
-    pairing.write_outputs(pairs, os.path.join(
-        tmp, "Cluster_0_20727.candidate.primers.txt"))
-    sidecar_wait()
+    try:
+        pairing.write_outputs(pairs, os.path.join(
+            tmp, "Cluster_0_20727.candidate.primers.txt"))
+    finally:
+        sidecar_wait()
     elapsed = time.time() - t0
 
     identical = open(out, "rb").read() == open(REF_OUT, "rb").read()
@@ -194,6 +196,20 @@ def bench_cluster_scale():
         return {"error": str(e)}
 
 
+def _clear_memo_caches():
+    """Reset every module-level lru_cache the design/pairing hot path uses
+    so a repeat bench run re-does the same cold-cluster work."""
+    import functools
+
+    from multiprime_tpu.models import mcdpd, pairing
+    from multiprime_tpu.thermo import exact as thermo
+    from multiprime_tpu.utils import iupac
+    for mod in (mcdpd, pairing, thermo, iupac):
+        for obj in vars(mod).values():
+            if hasattr(obj, "cache_clear"):
+                obj.cache_clear()
+
+
 def main():
     if not os.path.exists(REF_MSA):
         print(json.dumps({"metric": "error", "value": 0,
@@ -202,15 +218,17 @@ def main():
                           "note": "reference data not mounted"}))
         return
     # Two timed runs, report the min: the host is a small shared VM with
-    # +-25% wall-clock noise, and the second run reflects steady-state
-    # (warm allocator/caches) the way any repeated-cluster production run
-    # would.  Bit-identity is asserted on every run.
+    # +-25% wall-clock noise.  Per-primer memo caches are cleared between
+    # runs so both measure the same cold-cluster work — the min only
+    # removes scheduler noise, not real compute.  Bit-identity is asserted
+    # on every run.
     runs = []
     identical = True
     for _ in range(2):
         elapsed, ident, n_pairs = bench_pipeline()
         runs.append(round(elapsed, 3))
         identical = identical and ident
+        _clear_memo_caches()
     elapsed = min(runs)
     # primary metric first — the scan warm-up below may take minutes of
     # (remote) compile time and must not delay the driver's one JSON line

@@ -815,15 +815,15 @@ class DesignEngine:
             mm_path = [_BASE2IDX[ch] for ch in best[0]]
             if viterbi_path.tolist() == mm_path:
                 branch = self._coverage_stats(
-                    viterbi_path, nn.copy(), cover, keys, key_chars,
+                    viterbi_path, nn, cover, keys, key_chars,
                     counts_list, non_gap_seq_id, cover_number, cover_extra)
                 (primer, f_mis, r_mis, info, f_non, r_non) = branch
             else:
                 nm = self._coverage_stats(
-                    viterbi_path, nn.copy(), cover, keys, key_chars,
+                    viterbi_path, nn, cover, keys, key_chars,
                     counts_list, non_gap_seq_id, cover_number, cover_extra)
                 mm = self._coverage_stats(
-                    np.array(mm_path), nn.copy(), cover, keys, key_chars,
+                    np.array(mm_path), nn, cover, keys, key_chars,
                     counts_list, non_gap_seq_id, cover_number, cover_extra)
                 if (nm[1] + nm[2]) > (mm[1] + mm[2]):
                     primer, f_mis, r_mis, info, f_non, r_non = nm
@@ -831,7 +831,7 @@ class DesignEngine:
                     primer, f_mis, r_mis, info, f_non, r_non = mm
         else:
             branch = self._coverage_stats(
-                viterbi_path, nn.copy(), cover, keys, key_chars,
+                viterbi_path, nn, cover, keys, key_chars,
                 counts_list, non_gap_seq_id, cover_number, cover_extra)
             primer, f_mis, r_mis, info, f_non, r_non = branch
 
@@ -1357,22 +1357,30 @@ def write_sidecars(results, outfile):
         _fast_json_dump({r.position: r.gap_ids for r in results}, fg)
 
 
+def fork_safe():
+    """True when os.fork is available and no JAX backend is live in this
+    process (libtpu does not survive fork) — the shared probe for every
+    fork-based fan-out (sidecar writer, the pipeline driver's pools)."""
+    import sys
+    if not hasattr(os, "fork"):
+        return False
+    jaxm = sys.modules.get("jax")
+    if jaxm is None:
+        return True
+    try:
+        return not jaxm._src.xla_bridge._backends
+    except Exception:
+        return False
+
+
 def write_sidecars_forked(results, outfile):
     """Write the JSON sidecars in a forked child so the (CPU-bound) JSON
     emit genuinely overlaps the parent's pairing — a background *thread*
     just timeshares the GIL with pairing and measures slower than running
-    the two sequentially.  Returns a waiter callable; falls back to a
-    synchronous write when fork is unsafe (live JAX backend — libtpu does
-    not survive fork) or unavailable."""
-    import sys
-    safe = hasattr(os, "fork")
-    jaxm = sys.modules.get("jax")
-    if safe and jaxm is not None:
-        try:
-            safe = not jaxm._src.xla_bridge._backends
-        except Exception:
-            safe = False
-    if not safe:
+    the two sequentially.  Returns an idempotent waiter callable; falls
+    back to a synchronous write when fork is unsafe (live JAX backend) or
+    unavailable."""
+    if not fork_safe():
         write_sidecars(results, outfile)
         return lambda: None
     pid = os.fork()
@@ -1383,8 +1391,12 @@ def write_sidecars_forked(results, outfile):
             code = 0
         finally:
             os._exit(code)
+    done = []
 
     def wait():
+        if done:                       # idempotent, like Thread.join
+            return
+        done.append(True)
         _, status = os.waitpid(pid, 0)
         if status != 0:
             # deterministic fallback: redo in-process

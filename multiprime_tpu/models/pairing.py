@@ -92,7 +92,7 @@ def _loss_triggers(length, gc, d2):
     return thermo.penalty_points(length, gc, 0, d2) > 3.6
 
 
-@lru_cache(maxsize=200000)
+@lru_cache(maxsize=50000)
 def _dimer_hit_ends(primer):
     """All 3'-ends that trigger the cross-dimer verdict when searched in
     `primer` (the target side of get_multiPrime.py:419-437, factored out
@@ -213,8 +213,9 @@ class PairingEngine:
     @lru_cache(maxsize=200000)
     def _end_fset(self, primer):
         """The primer's 3'-end set as a frozenset (order is irrelevant to
-        the boolean dimer verdict)."""
-        return frozenset(self._helper.current_end(primer))
+        the boolean dimer verdict); derived from _ends_rc so the
+        current_end expansion is computed once per primer."""
+        return frozenset(e for e, _ in self._ends_rc(primer))
 
     def dimer_check(self, primer_f, primer_r):
         """F/R cross-dimer (get_multiPrime.py:419-437): Loss > 3.6 with the

@@ -26,7 +26,6 @@ import json
 import os
 import pickle
 import random
-import threading
 import time
 from dataclasses import dataclass, field
 
@@ -371,19 +370,13 @@ class Pipeline:
         workers = min(cfg.nproc, len(names))
         if workers > 1:
             import multiprocessing
-            import sys
+
+            from ..models import mcdpd
             order = sorted(
                 names, key=lambda n: -int(n.rsplit("_", 1)[1]))
             # fork (cheap, COW) unless a jax backend is already live in
             # this process — libtpu does not survive fork; spawn then.
-            method = "fork"
-            jaxm = sys.modules.get("jax")
-            if jaxm is not None:
-                try:
-                    if jaxm._src.xla_bridge._backends:
-                        method = "spawn"
-                except Exception:
-                    method = "spawn"
+            method = "fork" if mcdpd.fork_safe() else "spawn"
             ctx = multiprocessing.get_context(method)
             threads = max(1, (os.cpu_count() or 1) // workers)
             with ctx.Pool(workers, initializer=_set_native_threads,
