@@ -806,6 +806,7 @@ class DesignEngine:
                 keys, key_chars, counts_list, non_gap_seq_id, cover_number,
                 gap_seq_id)
 
+        nn = nn.tolist()     # one C-speed conversion shared by both branches
         if cover_for_mm:
             # stable max with insertion-order tie-break == sorted(reverse=True)[0]
             best = None
@@ -915,7 +916,9 @@ class DesignEngine:
         nn_index = [[int(path[i]), int(path[i + 1])]
                     for i in range(len(path) - 1)]
         # exact small ints as nested lists for the pure-Python refine loop
-        nn = [[[int(v) for v in r] for r in layer] for layer in nn]
+        # (ndarray.tolist() is C-speed; a list passed in is already converted)
+        if isinstance(nn, np.ndarray):
+            nn = nn.tolist()
         nn_cov = [nn[i][a][b] for i, (a, b) in enumerate(nn_index)]
 
         if p.algo in ("v15", "v16"):

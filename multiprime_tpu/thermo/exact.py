@@ -117,6 +117,10 @@ def _stat_mean(values) -> float:
     # largest denominator; CPython's int/int true division is correctly
     # rounded, identical to float(Fraction(num, den)) — bit-parity without
     # per-element Fraction/gcd overhead.
+    if len(values) == 1:
+        # mean of [x] is exactly x (the rational reduces to x itself);
+        # most windows expand to a single sequence, so this is the hot case
+        return float(values[0])
     nums = []
     dens = []
     max_d = 1
@@ -232,6 +236,7 @@ def gc_degenerate_mean(primer: str) -> float:
     return round(_stat_mean(values), 2)
 
 
+@lru_cache(maxsize=200000)
 def gc_degenerate_mean_unrounded(primer: str) -> float:
     """statistics.mean without the final round (get_multiPrime.py:453-459)."""
     values = [gc_fraction(s) for s in iupac.expand(primer)]
