@@ -404,6 +404,9 @@ class DesignEngine:
         length = len(primer)
         if length < 10 + d:
             return False
+        flag = native.hairpin_flag(primer, d)
+        if flag is not None:
+            return flag
         prep = _occ_union(primer)
         if prep is None:
             return self._hairpin_check_ref(primer)
@@ -436,6 +439,9 @@ class DesignEngine:
     def di_nucleotide(self, primer: str) -> bool:
         """Di/tri-nucleotide run filter (core.py:196-207, 462-468) — exact
         bit-parallel pattern match over the degenerate primer."""
+        flag = native.di_nucleotide_flag(primer)
+        if flag is not None:
+            return flag
         prep = _occ_union(primer)
         if prep is None:
             return self._di_nucleotide_ref(primer)

@@ -170,10 +170,16 @@ class PairingEngine:
         # "every rck base intersects the tail mask at some offset" — the
         # same bit-parallel walk as the full check, with first-member masks.
         from .mcdpd import _occ_union, _BASE_OF
+        from .. import native
         d = self.p.hairpin_distance
         length = len(primer)
         if length < 10 + d:
             return False
+        flag = native.hairpin_flag(
+            primer, d, "".join(iupac.CODE_MEMBERS.get(ch, ["A"])[0]
+                               for ch in primer))
+        if flag is not None:
+            return flag
         prep = _occ_union(primer)
         if prep is None:
             return self._hairpin_weak_ref(primer)

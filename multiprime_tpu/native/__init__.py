@@ -101,6 +101,11 @@ def _load_locked():
     lib.dimer_screen.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
+    lib.di_nucleotide_flag.restype = ctypes.c_int64
+    lib.di_nucleotide_flag.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.hairpin_flag.restype = ctypes.c_int64
+    lib.hairpin_flag.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p]
     _lib = lib
     return lib
 
@@ -296,6 +301,30 @@ def read_fasta_packed(path):
     ids = [data[hs[i]:he[i]].split(b" ")[0].decode() for i in range(n)]
     seqs = [out[starts[i]:ends[i]].copy() for i in range(n)]
     return ids, seqs
+
+
+def di_nucleotide_flag(primer: str):
+    """Native di/tri-nucleotide run filter (multiPrime-core.py:196-207).
+    Returns True/False, or None when the caller must use the Python walk
+    (library unavailable, non-IUPAC char, length > 63)."""
+    lib = load()
+    if lib is None:
+        return None
+    r = lib.di_nucleotide_flag(primer.encode("ascii"), len(primer))
+    return None if r < 0 else bool(r)
+
+
+def hairpin_flag(primer: str, distance: int, first_members=None):
+    """Native hairpin scan (multiPrime-core.py:387-398 strong form;
+    get_multiPrime.py:360-386 weak form when `first_members` — the first
+    member base of each position's code, computed by the caller so the
+    member-order contract stays in Python — is given).  None => fallback."""
+    lib = load()
+    if lib is None:
+        return None
+    fm = first_members.encode("ascii") if first_members is not None else None
+    r = lib.hairpin_flag(primer.encode("ascii"), len(primer), distance, fm)
+    return None if r < 0 else bool(r)
 
 
 def dimer_screen(primer: str, num=5, length=14):

@@ -688,3 +688,135 @@ int64_t dimer_screen(const char* primer, int64_t plen, int64_t num_min,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Bit-parallel string filters (multiPrime-core.py:196-207, 387-398 and
+// get_multiPrime.py:360-386): di/tri-nucleotide run detection and the
+// hairpin scans over degenerate primers.  Exact ports of the Python
+// occurrence-plane walks in models/mcdpd.py / models/pairing.py — the
+// IUPAC expansion is a full cartesian product, so "some expansion contains
+// some expansion of the probe" is "every overlap position's masks
+// intersect", evaluated as shift/AND over per-base occurrence bitsets.
+
+extern "C" {
+
+// 1 if the primer contains an XXXX / XYXYXYXY / XYZXYZXYZ run in some
+// expansion, else 0; -1 when the caller must use the Python fallback
+// (non-IUPAC character or length > 63).
+int64_t di_nucleotide_flag(const char* primer, int64_t plen) {
+    if (plen <= 0 || plen > 63) return -1;
+    uint64_t occ[4] = {0, 0, 0, 0};
+    for (int64_t i = 0; i < plen; i++) {
+        const int m = kMask(primer[i]);
+        if (!m) return -1;
+        if (m & 1) occ[0] |= 1ull << i;
+        if (m & 2) occ[1] |= 1ull << i;
+        if (m & 4) occ[2] |= 1ull << i;
+        if (m & 8) occ[3] |= 1ull << i;
+    }
+    const char bases[4] = {'A', 'C', 'G', 'T'};
+    auto scan = [&](const char* pat, int lp) -> bool {
+        if (lp > plen) return false;
+        uint64_t ok = (plen - lp + 1 >= 64)
+            ? ~0ull : ((1ull << (plen - lp + 1)) - 1);
+        for (int j = 0; j < lp && ok; j++) {
+            const char c = pat[j];
+            const int b = (c == 'A') ? 0 : (c == 'C') ? 1
+                          : (c == 'G') ? 2 : 3;
+            ok &= occ[b] >> j;
+        }
+        return ok != 0;
+    };
+    char pat[10];
+    // XXXX runs
+    for (int i = 0; i < 4; i++) {
+        pat[0] = pat[1] = pat[2] = pat[3] = bases[i];
+        if (scan(pat, 4)) return 1;
+    }
+    // XYXYXYXY (i != j)
+    for (int i = 0; i < 4; i++) {
+        for (int j = 0; j < 4; j++) {
+            if (i == j) continue;
+            for (int k = 0; k < 4; k++) {
+                pat[2 * k] = bases[i];
+                pat[2 * k + 1] = bases[j];
+            }
+            if (scan(pat, 8)) return 1;
+        }
+    }
+    // XYZXYZXYZ (i != j, j != k; i == k allowed, matching the reference)
+    for (int i = 0; i < 4; i++) {
+        for (int j = 0; j < 4; j++) {
+            if (i == j) continue;
+            for (int k = 0; k < 4; k++) {
+                if (j == k) continue;
+                for (int r = 0; r < 3; r++) {
+                    pat[3 * r] = bases[i];
+                    pat[3 * r + 1] = bases[j];
+                    pat[3 * r + 2] = bases[k];
+                }
+                if (scan(pat, 9)) return 1;
+            }
+        }
+    }
+    return 0;
+}
+
+// Hairpin scan.  strong mode (first_members == NULL): every 5-mer mask vs
+// the downstream tail (core.py:387-398).  weak mode: only the FIRST
+// expansion of each 5' 5-mer is probed (get_multiPrime.py:360-386);
+// first_members carries the caller-computed first member base of each
+// position's code, so the member-order contract stays in Python.
+// Returns 1/0, or -1 for fallback.
+int64_t hairpin_flag(const char* primer, int64_t plen, int64_t d,
+                     const char* first_members) {
+    if (plen <= 0 || plen > 63) return -1;
+    if (plen < 10 + d) return 0;
+    uint64_t occ[4] = {0, 0, 0, 0};
+    int masks[64];
+    for (int64_t i = 0; i < plen; i++) {
+        const int m = kMask(primer[i]);
+        if (!m) return -1;
+        masks[i] = m;
+        if (m & 1) occ[0] |= 1ull << i;
+        if (m & 2) occ[1] |= 1ull << i;
+        if (m & 4) occ[2] |= 1ull << i;
+        if (m & 8) occ[3] |= 1ull << i;
+    }
+    // union plane for a 4-bit mask
+    auto occOf = [&](int m) -> uint64_t {
+        uint64_t v = 0;
+        if (m & 1) v |= occ[0];
+        if (m & 2) v |= occ[1];
+        if (m & 4) v |= occ[2];
+        if (m & 8) v |= occ[3];
+        return v;
+    };
+    // 4-bit complement: A<->T (1<->8), C<->G (2<->4) == nibble bit-reverse
+    auto comp4 = [](int m) -> int {
+        return ((m & 1) ? 8 : 0) | ((m & 2) ? 4 : 0)
+             | ((m & 4) ? 2 : 0) | ((m & 8) ? 1 : 0);
+    };
+    for (int64_t n = 0; n + 10 + d <= plen; n++) {
+        const int64_t lo = n + 5 + d;
+        const int64_t span = plen - 5 - lo + 1;
+        if (span <= 0) continue;
+        uint64_t ok = ((span >= 64) ? ~0ull : ((1ull << span) - 1)) << lo;
+        for (int j = 0; j < 5 && ok; j++) {
+            int m;
+            if (first_members) {
+                const char c = first_members[n + 4 - j];
+                const char rc = (c == 'A') ? 'T' : (c == 'T') ? 'A'
+                                : (c == 'G') ? 'C' : 'G';
+                m = kMask(rc);
+            } else {
+                m = comp4(masks[n + 4 - j]);
+            }
+            ok &= occOf(m) >> j;
+        }
+        if (ok) return 1;
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -387,3 +387,31 @@ def test_refine_step_matches_numpy_formulation():
         assert got[1] == want[1], trial
         assert got[2] == want[2], trial
         assert np.array_equal(np.asarray(got[3]), want[3]), trial
+
+
+def test_native_string_filters_match_reference_scans():
+    """Native di-nucleotide / hairpin flags must equal the reference's
+    expand-and-substring oracles on degenerate fuzz primers."""
+    import random
+
+    from multiprime_tpu import native
+    from multiprime_tpu.models import mcdpd, pairing
+    from multiprime_tpu.utils import iupac
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = random.Random(5)
+    codes = "ACGTRYSWKMBDHVN"
+    eng = mcdpd.DesignEngine(mcdpd.DesignParams(hairpin_distance=4,
+                                                algo="v20"))
+    weak = pairing.PairingEngine(pairing.PairingParams(
+        weak_hairpin=True, hairpin_distance=4))
+    for trial in range(800):
+        length = rng.choice([12, 18, 24, 47])
+        s = "".join(rng.choice(codes) if rng.random() < 0.2
+                    else rng.choice("ACGT") for _ in range(length))
+        assert native.di_nucleotide_flag(s) == eng._di_nucleotide_ref(s), s
+        assert native.hairpin_flag(s, 4) == eng._hairpin_check_ref(s), s
+        fm = "".join(iupac.CODE_MEMBERS.get(ch, ["A"])[0] for ch in s)
+        assert native.hairpin_flag(s, 4, fm) == weak._hairpin_weak_ref(s), s
