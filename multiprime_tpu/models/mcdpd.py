@@ -1226,9 +1226,13 @@ def _viterbi(freq, nn):
     (get_optimal_primer_by_viterbi, core.py:579-593).  Integer exact;
     ties resolve to the lowest base index like np.argmax.
 
-    Pure-Python int loop: the DP is 4 states x primer_len steps, far below
-    NumPy's per-call overhead (the node/transition scores are exact small
-    ints, so arithmetic is identical)."""
+    Native int64 DP when the library is available (exact same arithmetic
+    and tie rule, fuzz-tested); pure-Python int loop otherwise — the DP is
+    4 states x primer_len steps, far below NumPy's per-call overhead (the
+    node/transition scores are exact small ints)."""
+    out = native.viterbi_path(freq, nn)
+    if out is not None:
+        return out
     nodes = freq.T.tolist()              # [L][4] ints
     trans = nn.tolist()                  # [L-1][4][4]
     length = len(nodes)

@@ -235,12 +235,18 @@ class PairingEngine:
         where ``hits(X)`` is the set of ends that trigger when searched in X
         (see _dimer_hit_ends).  Identical verdicts (fuzz-tested against the
         direct scan), ~5x less work per pair."""
+        if self._self_hit(primer_f) or self._self_hit(primer_r):
+            return True
         ef = self._end_fset(primer_f)
         er = self._end_fset(primer_r)
-        hf = _dimer_hit_ends(primer_f)
-        hr = _dimer_hit_ends(primer_r)
-        return (not ef.isdisjoint(hf) or not er.isdisjoint(hr)
-                or not ef.isdisjoint(hr) or not er.isdisjoint(hf))
+        return (not ef.isdisjoint(_dimer_hit_ends(primer_r))
+                or not er.isdisjoint(_dimer_hit_ends(primer_f)))
+
+    @lru_cache(maxsize=200000)
+    def _self_hit(self, primer):
+        """ends(X) ∩ hits(X) ≠ ∅ — the pair-independent half of the
+        verdict, cached per primer."""
+        return not self._end_fset(primer).isdisjoint(_dimer_hit_ends(primer))
 
     def _dimer_check_ref(self, primer_f, primer_r):
         """Direct per-pair scan (the reference's formulation) — kept as the

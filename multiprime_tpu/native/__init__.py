@@ -103,6 +103,9 @@ def _load_locked():
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
     lib.di_nucleotide_flag.restype = ctypes.c_int64
     lib.di_nucleotide_flag.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.viterbi_path.restype = None
+    lib.viterbi_path.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
     lib.hairpin_flag.restype = ctypes.c_int64
     lib.hairpin_flag.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p]
@@ -301,6 +304,21 @@ def read_fasta_packed(path):
     ids = [data[hs[i]:he[i]].split(b" ")[0].decode() for i in range(n)]
     seqs = [out[starts[i]:ends[i]].copy() for i in range(n)]
     return ids, seqs
+
+
+def viterbi_path(freq, nn):
+    """Consensus Viterbi over int64 freq [4, L] / nn [L-1, 4, 4] tensors
+    (multiPrime-core.py:579-593 semantics, ties to the lowest base index).
+    Returns the int64 path [L], or None when the library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    f = np.ascontiguousarray(freq, dtype=np.int64)
+    t = np.ascontiguousarray(nn, dtype=np.int64)
+    length = f.shape[1]
+    out = np.empty(length, np.int64)
+    lib.viterbi_path(f.ctypes.data, t.ctypes.data, length, out.ctypes.data)
+    return out
 
 
 def di_nucleotide_flag(primer: str):

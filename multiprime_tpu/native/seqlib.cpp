@@ -820,3 +820,48 @@ int64_t hairpin_flag(const char* primer, int64_t plen, int64_t d,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Consensus Viterbi (multiPrime-core.py:579-593): max-sum DP over the
+// [4, L] frequency nodes and [L-1, 4, 4] NN transition counts, ties to the
+// lowest base index like np.argmax.  Exact int64 arithmetic, identical to
+// the Python loop in models/mcdpd.py::_viterbi.
+
+extern "C" {
+
+// freq: int64 [4*L] (base-major, freq[b*L + t]); nn: int64 [(L-1)*16]
+// (nn[(t)*16 + a*4 + b]); path_out: int64 [L].
+void viterbi_path(const int64_t* freq, const int64_t* nn, int64_t L,
+                  int64_t* path_out) {
+    if (L <= 0) return;
+    int64_t scores[4], nscores[4];
+    // backpointers: 2 bits per state, one byte each for simplicity
+    static thread_local std::vector<uint8_t> bp;
+    bp.resize((size_t)(L > 1 ? (L - 1) * 4 : 0));
+    for (int j = 0; j < 4; j++) scores[j] = freq[j * L];
+    for (int64_t t = 1; t < L; t++) {
+        const int64_t* tr = nn + (t - 1) * 16;
+        for (int j = 0; j < 4; j++) {
+            int64_t best = scores[0] + tr[0 * 4 + j];
+            int bi = 0;
+            for (int a = 1; a < 4; a++) {
+                const int64_t v = scores[a] + tr[a * 4 + j];
+                if (v > best) { best = v; bi = a; }
+            }
+            nscores[j] = best + freq[j * L + t];
+            bp[(size_t)(t - 1) * 4 + j] = (uint8_t)bi;
+        }
+        for (int j = 0; j < 4; j++) scores[j] = nscores[j];
+    }
+    int bi = 0;
+    int64_t best = scores[0];
+    for (int j = 1; j < 4; j++) {
+        if (scores[j] > best) { best = scores[j]; bi = j; }
+    }
+    path_out[L - 1] = bi;
+    for (int64_t t = L - 1; t > 0; t--) {
+        path_out[t - 1] = bp[(size_t)(t - 1) * 4 + path_out[t]];
+    }
+}
+
+}  // extern "C"

@@ -145,7 +145,7 @@ def num_degenerate_positions(seq: str) -> int:
     return n
 
 
-@lru_cache(maxsize=200000)
+@lru_cache(maxsize=500000)
 def expand(seq: str) -> tuple:
     """All expansions of a degenerate sequence, in the reference's product
     order (degenerate_seq, multiPrime-core.py:368-380).  Gaps stay as '-'."""

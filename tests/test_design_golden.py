@@ -415,3 +415,56 @@ def test_native_string_filters_match_reference_scans():
         assert native.hairpin_flag(s, 4) == eng._hairpin_check_ref(s), s
         fm = "".join(iupac.CODE_MEMBERS.get(ch, ["A"])[0] for ch in s)
         assert native.hairpin_flag(s, 4, fm) == weak._hairpin_weak_ref(s), s
+
+
+def test_native_viterbi_matches_python_loop():
+    """Native viterbi_path must equal the Python DP including argmax tie
+    rule (lowest base index) on tie-heavy small counts."""
+    import numpy as np
+
+    from multiprime_tpu import native
+    from multiprime_tpu.models import mcdpd
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(1)
+
+    def python_viterbi(freq, nn):
+        nodes = freq.T.tolist()
+        trans = nn.tolist()
+        length = len(nodes)
+        scores = nodes[0]
+        backptr = [None] * length
+        for t in range(1, length):
+            tr = trans[t - 1]
+            nd = nodes[t]
+            new = [0] * 4
+            bp = [0] * 4
+            for j in range(4):
+                best = scores[0] + tr[0][j]
+                bi = 0
+                for a in (1, 2, 3):
+                    v = scores[a] + tr[a][j]
+                    if v > best:
+                        best, bi = v, a
+                new[j] = best + nd[j]
+                bp[j] = bi
+            scores = new
+            backptr[t] = bp
+        best, bi = scores[0], 0
+        for j in (1, 2, 3):
+            if scores[j] > best:
+                best, bi = scores[j], j
+        path = [0] * length
+        path[-1] = bi
+        for t in range(length - 1, 0, -1):
+            path[t - 1] = backptr[t][path[t]]
+        return path
+
+    for trial in range(400):
+        length = int(rng.integers(2, 25))
+        freq = rng.integers(0, 4, size=(4, length)).astype(np.int64)
+        nn = rng.integers(0, 3, size=(length - 1, 4, 4)).astype(np.int64)
+        assert list(native.viterbi_path(freq, nn)) == \
+            python_viterbi(freq, nn), trial
