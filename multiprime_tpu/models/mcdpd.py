@@ -1311,6 +1311,19 @@ def _fast_json_dump(obj, fh):
                 add("[]")
             else:
                 nxt = ind + "    "
+                # dominant shape: a list of plain accession strings — one
+                # C-speed plainness scan + one join instead of a per-item
+                # Python loop (space is in the plain class, '"' is not, so
+                # a clean space-join proves every element clean)
+                try:
+                    joined = " ".join(v)
+                except TypeError:
+                    joined = None
+                if joined is not None and _JSON_PLAIN(joined) is None:
+                    add('[\n' + nxt + '"'
+                        + ('",\n' + nxt + '"').join(v)
+                        + '"\n' + ind + ']')
+                    return
                 add("[\n" + nxt)
                 last = len(v) - 1
                 for i, item in enumerate(v):
