@@ -992,7 +992,12 @@ class DesignEngine:
         rng4 = (0, 1, 2, 3)
         last = len(nn_index) - 1
         for i in refine_positions:
-            nn_tmp = [[r[:] for r in layer] for layer in nn]
+            # copy-on-write: only layers i and i+1 are ever mutated below;
+            # the rest are shared read-only across candidates/iterations
+            nn_tmp = list(nn)
+            nn_tmp[i] = [r[:] for r in nn[i]]
+            if i + 1 < len(nn_tmp):
+                nn_tmp[i + 1] = [r[:] for r in nn[i + 1]]
             nncov_tmp = list(nn_cov)
             lst = list(primer_list)
             cov_renew = coverage_init
