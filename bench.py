@@ -199,8 +199,6 @@ def bench_cluster_scale():
 def _clear_memo_caches():
     """Reset every module-level lru_cache the design/pairing hot path uses
     so a repeat bench run re-does the same cold-cluster work."""
-    import functools
-
     from multiprime_tpu.models import mcdpd, pairing
     from multiprime_tpu.thermo import exact as thermo
     from multiprime_tpu.utils import iupac

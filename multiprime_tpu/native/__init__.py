@@ -23,12 +23,21 @@ _load_lock = threading.Lock()
 
 
 def _build():
+    # compile to a temp path and rename: dlopen dedups by inode, so a
+    # reload after replacing a stale .so must see a NEW inode or it gets
+    # the old (symbol-missing) handle back
+    tmp = _SO + ".build.%d" % os.getpid()
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-           _SRC, "-o", _SO]
+           _SRC, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _SO)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -53,8 +62,31 @@ def _load_locked():
             return None
     try:
         lib = ctypes.CDLL(_SO)
-    except OSError:
-        return None
+        _bind(lib)
+    except (OSError, AttributeError):
+        # AttributeError = a prebuilt .so from an older source missing new
+        # exports but with a fresh mtime (cp -p / restored cache).  Force
+        # one rebuild and load it under a unique temp path — glibc dedups
+        # dlopen by path *string*, so re-opening _SO would hand back the
+        # stale handle.  Give up (Python fallbacks) if that still fails.
+        if not _build():
+            return None
+        try:
+            import shutil
+            import tempfile
+            fd, alt = tempfile.mkstemp(suffix=".so")
+            os.close(fd)
+            shutil.copyfile(_SO, alt)
+            lib = ctypes.CDLL(alt)
+            _bind(lib)
+            os.unlink(alt)     # mapping survives the unlink
+        except (OSError, AttributeError):
+            return None
+    _lib = lib
+    return lib
+
+
+def _bind(lib):
     lib.banded_identity.restype = ctypes.c_double
     lib.banded_identity.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
@@ -109,8 +141,6 @@ def _load_locked():
     lib.hairpin_flag.restype = ctypes.c_int64
     lib.hairpin_flag.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p]
-    _lib = lib
-    return lib
 
 
 def available():

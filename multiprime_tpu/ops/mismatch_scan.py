@@ -427,6 +427,8 @@ def find_hits_numpy(targets_1h, lengths, primers_1h, suffix_1h, *, mm=1,
         ok &= (o_idx + plen) <= lengths[base:base + chunk, None, None]
         s, o, pi = np.nonzero(ok)
         out.append(np.stack([s + base, o, pi, mism[s, o, pi]], axis=1))
+    if not out:
+        return np.empty((0, 4), np.int64)
     return out[0] if len(out) == 1 else np.concatenate(out, axis=0)
 
 

@@ -431,36 +431,12 @@ def test_native_viterbi_matches_python_loop():
     rng = np.random.default_rng(1)
 
     def python_viterbi(freq, nn):
-        nodes = freq.T.tolist()
-        trans = nn.tolist()
-        length = len(nodes)
-        scores = nodes[0]
-        backptr = [None] * length
-        for t in range(1, length):
-            tr = trans[t - 1]
-            nd = nodes[t]
-            new = [0] * 4
-            bp = [0] * 4
-            for j in range(4):
-                best = scores[0] + tr[0][j]
-                bi = 0
-                for a in (1, 2, 3):
-                    v = scores[a] + tr[a][j]
-                    if v > best:
-                        best, bi = v, a
-                new[j] = best + nd[j]
-                bp[j] = bi
-            scores = new
-            backptr[t] = bp
-        best, bi = scores[0], 0
-        for j in (1, 2, 3):
-            if scores[j] > best:
-                best, bi = scores[j], j
-        path = [0] * length
-        path[-1] = bi
-        for t in range(length - 1, 0, -1):
-            path[t - 1] = backptr[t][path[t]]
-        return path
+        # drive the REAL production fallback: _viterbi with the native
+        # entry disabled, so a drift in the fallback loop fails this test
+        import unittest.mock as mock
+        with mock.patch.object(mcdpd.native, "viterbi_path",
+                               lambda f, t: None):
+            return list(mcdpd._viterbi(freq, nn))
 
     for trial in range(400):
         length = int(rng.integers(2, 25))
