@@ -444,3 +444,28 @@ def test_native_viterbi_matches_python_loop():
         nn = rng.integers(0, 3, size=(length - 1, 4, 4)).astype(np.int64)
         assert list(native.viterbi_path(freq, nn)) == \
             python_viterbi(freq, nn), trial
+
+
+def test_write_sidecars_forked_sync_fallback(tmp_path, monkeypatch):
+    """With fork unavailable/unsafe the sidecars are written synchronously
+    and the waiter is a no-op (and idempotent either way)."""
+    import json
+
+    from multiprime_tpu.models import mcdpd
+
+    res = mcdpd.WindowResult(5, 1.0, 1.0, "ACGTACGTACGTACGTAA", 0, 0, 3,
+                             3, 3, 55.0, 0.5, {"AA": ["x"]}, {}, {})
+    out = str(tmp_path / "t.out")
+    monkeypatch.setattr(mcdpd, "fork_safe", lambda: False)
+    wait = mcdpd.write_sidecars_forked([res], out)
+    wait()
+    wait()      # idempotent
+    gaps = json.load(open(out + ".gap_seq_id_json"))
+    assert gaps == {"5": {}}
+    # forked path: waiter reaps exactly once
+    monkeypatch.setattr(mcdpd, "fork_safe", lambda: True)
+    out2 = str(tmp_path / "t2.out")
+    wait2 = mcdpd.write_sidecars_forked([res], out2)
+    wait2()
+    wait2()     # second call must not raise ChildProcessError
+    assert json.load(open(out2 + ".gap_seq_id_json")) == {"5": {}}

@@ -172,3 +172,18 @@ def test_genome_scale_pcr_join(tmp_path):
     rows = vscan.run(str(prim), str(ref), str(tmp_path / "o.out"), params)
     assert any(r[1] == 70000 and r[2] == 70482 and r[5] == 483
                for r in rows)
+
+
+def test_find_hits_numpy_empty_targets():
+    """Zero-row target batches return an empty (0, 4) array, not a crash."""
+    import numpy as np
+
+    from multiprime_tpu.ops import mismatch_scan as ms
+
+    p1h = ms.encode_primers(["ACGTACGTACGTACGTAA"])
+    s1h = p1h.copy()
+    s1h[:, :-4, :] = 0
+    t1h = np.zeros((0, 64, 4), np.uint8)
+    out = ms.find_hits_numpy(t1h, np.zeros(0, np.int64), p1h, s1h,
+                             mm=1, term=4)
+    assert out.shape == (0, 4)
