@@ -23,6 +23,7 @@ device-scale sets.
 from __future__ import annotations
 
 import sys
+from functools import lru_cache
 
 from ..thermo import exact as thermo
 from ..utils import iupac
@@ -56,6 +57,47 @@ def _end_hits_primer(end, primer):
     return thermo.delta_g(end, both_ends=True) < -5 and d2 == 0
 
 
+@lru_cache(maxsize=None)
+def _maxset_loss_triggers(length, gc, d2):
+    """penalty_points(length, gc, 0, d2) >= 3 — the dimer_examination loss
+    gate on its tiny (len, gc, d2) domain."""
+    return thermo.penalty_points(length, gc, 0, d2) >= 3
+
+
+@lru_cache(maxsize=200000)
+def _hit_end_set(primer):
+    """All ends e with _end_hits_primer(e, primer) — every distinct
+    substring of the (already expanded, pure ACGT) primer at its FIRST
+    occurrence, rc'd, kept when the loss/dG verdict triggers.  Factoring
+    the target side out of the pair loop turns the ledger's O(ends x core)
+    string scans into set intersections (identical verdicts, fuzz-tested
+    against _end_hits_primer)."""
+    out = set()
+    n = len(primer)
+    first = {}
+    for start in range(n):
+        for ln in range(5, n - start + 1):
+            s = primer[start:start + ln]
+            if s not in first:
+                first[s] = start
+    gcpre = [0] * (n + 1)
+    acc = 0
+    for i, ch in enumerate(primer):
+        if ch == "G" or ch == "C":
+            acc += 1
+        gcpre[i + 1] = acc
+    for s, idx in first.items():
+        ln = len(s)
+        d2 = n - ln - idx
+        if _maxset_loss_triggers(ln, gcpre[idx + ln] - gcpre[idx], d2):
+            out.add(iupac.rc(s))
+        elif d2 == 0:
+            e = iupac.rc(s)
+            if thermo.delta_g(e, both_ends=True) < -5:
+                out.add(e)
+    return frozenset(out)
+
+
 class DimerLedger:
     """Incremental replacement for the reference's full-rescan
     dimer_examination.  Maintains the invariant that the accepted core set is
@@ -66,8 +108,13 @@ class DimerLedger:
         self.core_primers = []      # accepted expanded primers
         self.core_ends = set()      # accepted expanded 3'-suffixes
         self.core_primers_set = set()
+        self.core_hit_ends = set()  # ends that hit SOME core primer
 
     def pair_is_dimer(self, primer_f, primer_r):
+        """Factored form: 'some end scans dirty against some primer' is a
+        set intersection with the per-primer hit-end sets (_hit_end_set),
+        maintained incrementally for the core.  Verdict-identical to the
+        reference's rescan (see _pair_is_dimer_ref + fuzz test)."""
         new_primers = list(dict.fromkeys(
             list(iupac.expand(primer_f)) + list(iupac.expand(primer_r))))
         new_set = set(new_primers)
@@ -75,7 +122,30 @@ class DimerLedger:
         new_ends = set()
         for p in new_set:
             new_ends |= suffix_ends(p)
-        # new ends vs (core + new) primers
+        # new ends vs core primers
+        if not new_ends.isdisjoint(self.core_hit_ends):
+            return True
+        # new ends vs new primers
+        for p in new_primers:
+            if not new_ends.isdisjoint(_hit_end_set(p)):
+                return True
+        # core ends vs new primers (core vs core already proven clean)
+        for p in new_primers:
+            if p in core_set:
+                continue
+            if not self.core_ends.isdisjoint(_hit_end_set(p)):
+                return True
+        return False
+
+    def _pair_is_dimer_ref(self, primer_f, primer_r):
+        """The direct rescan formulation (parity oracle)."""
+        new_primers = list(dict.fromkeys(
+            list(iupac.expand(primer_f)) + list(iupac.expand(primer_r))))
+        new_set = set(new_primers)
+        core_set = self.core_primers_set
+        new_ends = set()
+        for p in new_set:
+            new_ends |= suffix_ends(p)
         for end in new_ends:
             for p in self.core_primers:
                 if _end_hits_primer(end, p):
@@ -83,7 +153,6 @@ class DimerLedger:
             for p in new_primers:
                 if _end_hits_primer(end, p):
                     return True
-        # core ends vs new primers (core vs core already proven clean)
         for end in self.core_ends:
             for p in new_primers:
                 if p in core_set:
@@ -98,14 +167,16 @@ class DimerLedger:
                 self.core_primers_set.add(p)
                 self.core_primers.append(p)
                 self.core_ends |= suffix_ends(p)
+                self.core_hit_ends |= _hit_end_set(p)
 
     def snapshot(self):
         return (list(self.core_primers), set(self.core_ends),
-                set(self.core_primers_set))
+                set(self.core_primers_set), set(self.core_hit_ends))
 
     def restore(self, snap):
         self.core_primers, self.core_ends, self.core_primers_set = \
             list(snap[0]), set(snap[1]), set(snap[2])
+        self.core_hit_ends = set(snap[3])
 
 
 def parse_and_sort(infile, sort_file):

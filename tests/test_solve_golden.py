@@ -109,3 +109,38 @@ def test_seq_format(tmp_path):
     assert "C3" not in text           # GC 1.0 -> filtered
     filt = (tmp_path / "out.filtered.fa").read_text()
     assert "B2" in filt and "C3" in filt
+
+
+def test_dimer_ledger_factored_matches_rescan():
+    """The set-factored pair_is_dimer must equal the direct rescan
+    formulation across a growing accepted core (degenerate fuzz)."""
+    import random
+
+    from multiprime_tpu.solve import maxset
+
+    rng = random.Random(9)
+    codes = "ACGTRYSWKM"
+
+    def mk():
+        return "".join(
+            rng.choice(codes) if rng.random() < 0.12 else rng.choice("ACGT")
+            for _ in range(rng.choice([18, 20, 22])))
+
+    led_new = maxset.DimerLedger()
+    led_ref = maxset.DimerLedger()
+    accepted = 0
+    for trial in range(150):
+        f, r = mk(), mk()
+        a = led_new.pair_is_dimer(f, r)
+        assert a == led_ref._pair_is_dimer_ref(f, r), (f, r)
+        if not a and accepted < 40 and rng.random() < 0.5:
+            led_new.accept(f, r)
+            led_ref.accept(f, r)
+            accepted += 1
+    # snapshot/restore keeps the incremental hit-end set consistent
+    snap = led_new.snapshot()
+    f, r = mk(), mk()
+    if not led_new.pair_is_dimer(f, r):
+        led_new.accept(f, r)
+    led_new.restore(snap)
+    assert led_new.core_hit_ends == set(snap[3])
