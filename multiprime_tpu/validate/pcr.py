@@ -81,14 +81,95 @@ def pcr_products(primer_f, primer_r, ref_file):
     return products, non_products
 
 
+class _Corpus:
+    """All target lines read once, with a cached corpus-wide substring
+    locator: occurrences of an expansion across every target in ONE
+    C-level find loop instead of a per-pair re-read + per-target scan
+    (the reference re-reads the FASTA for every pair,
+    extract_PCR_product.py:189-215)."""
+
+    def __init__(self, ref_file):
+        self.headers = []
+        self.lines = []          # raw sequence lines incl. trailing newline
+        with open(ref_file) as r:
+            for line in r:
+                if line.startswith(">"):
+                    self.headers.append(line.strip())
+                else:
+                    self.lines.append(line)
+        starts = []
+        pos = 0
+        for ln in self.lines:
+            starts.append(pos)
+            pos += len(ln)
+        self._starts = starts
+        self._corpus = "".join(self.lines)   # '\n' separators: ACGT
+        self._occ = {}                       # expansion -> {tidx: first idx}
+
+    def first_occurrences(self, pattern):
+        """{target_index: first in-line offset} for a pure-ACGT pattern."""
+        got = self._occ.get(pattern)
+        if got is not None:
+            return got
+        from bisect import bisect_right
+        out = {}
+        corpus = self._corpus
+        starts = self._starts
+        i = corpus.find(pattern)
+        while i >= 0:
+            t = bisect_right(starts, i) - 1
+            if t not in out:
+                out[t] = i - starts[t]
+            # jump to the end of this target: only the FIRST occurrence
+            # per target matters (str.split semantics)
+            nxt = starts[t + 1] if t + 1 < len(starts) else len(corpus)
+            i = corpus.find(pattern, nxt)
+        self._occ[pattern] = out
+        return out
+
+
+def _pcr_products_corpus(primer_f, primer_r, corpus):
+    """pcr_products over a preloaded corpus — identical semantics: per
+    target, the first F expansion (in expansion order) whose occurrence
+    yields a downstream R match wins; targets with no such pair are
+    non-products."""
+    f_exp = iupac.expand(primer_f)
+    r_exp = iupac.expand(primer_r)
+    occ_maps = [corpus.first_occurrences(fseq) for fseq in f_exp]
+    products, non_products = {}, {}
+    for t, key in enumerate(corpus.headers):
+        line = corpus.lines[t]
+        value = ""
+        for fseq, occ in zip(f_exp, occ_maps):
+            idx = occ.get(t)
+            if idx is None:
+                continue
+            product = fseq + line[idx + len(fseq):]
+            for rseq in r_exp:
+                rc = _rc(rseq)
+                ridx = product.find(rc)
+                if ridx >= 0:
+                    value = product[:ridx].strip() + rc
+                    break
+            if value:
+                break
+        if value:
+            products[key] = value
+        else:
+            non_products[key] = line.strip()
+    return products, non_products
+
+
 def run(pairs, ref_file, out_dir, coverage_file):
     """Drive all pairs; write per-pair FASTAs + the coverage summary
     (extract_PCR_product.py:218-263)."""
     os.makedirs(out_dir, exist_ok=True)
     covered, uncovered = set(), set()
+    corpus = _Corpus(ref_file)
     with open(coverage_file, "a+") as cov:
         for key, (primer_f, primer_r) in pairs.items():
-            products, non_products = pcr_products(primer_f, primer_r, ref_file)
+            products, non_products = _pcr_products_corpus(
+                primer_f, primer_r, corpus)
             cov.write("Number of Product/non_Product, primer-F and primer-R: "
                       "{}\t{}\t{}\t{}\t{}\n".format(
                           key, len(products), len(non_products),

@@ -95,3 +95,46 @@ def test_nondimer_filter(tmp_path):
               "-o", str(out)])
     text = out.read_text()
     assert ">clean" in text and ">bad" not in text
+
+
+def test_pcr_corpus_path_matches_per_pair_reader(tmp_path):
+    """The batched corpus PCR scan must equal the reference's per-pair
+    file reader on planted and random degenerate pairs."""
+    import random
+
+    from multiprime_tpu.validate import pcr
+
+    rng = random.Random(3)
+    codes = "ACGTRYSWKM"
+    ref = tmp_path / "t.fa"
+    seqs = ["".join(rng.choice("ACGT") for _ in range(400))
+            for _ in range(40)]
+    with open(ref, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(">t%d desc\n%s\n" % (i, s))
+    corpus = pcr._Corpus(str(ref))
+
+    def mk(n):
+        return "".join(rng.choice(codes) if rng.random() < 0.15
+                       else rng.choice("ACGT") for _ in range(n))
+
+    for trial in range(30):
+        F, R = mk(18), mk(18)
+        assert pcr._pcr_products_corpus(F, R, corpus) == \
+            pcr.pcr_products(F, R, str(ref)), (F, R)
+    # planted F + RC(R) product
+    for trial in range(20):
+        t = rng.randrange(40)
+        F = "".join(rng.choice("ACGT") for _ in range(18))
+        R = "".join(rng.choice("ACGT") for _ in range(18))
+        seq = seqs[t]
+        pos = rng.randrange(0, 250)
+        seq2 = seq[:pos] + F + seq[pos + 18:]
+        pos2 = rng.randrange(pos + 30, 380)
+        seq2 = seq2[:pos2] + pcr._rc(R) + seq2[pos2 + 18:]
+        ref2 = tmp_path / ("t2_%d.fa" % trial)
+        with open(ref2, "w") as f:
+            for i, ln in enumerate(seqs):
+                f.write(">t%d\n%s\n" % (i, seq2 if i == t else ln))
+        assert pcr._pcr_products_corpus(F, R, pcr._Corpus(str(ref2))) == \
+            pcr.pcr_products(F, R, str(ref2)), (F, R, t)
