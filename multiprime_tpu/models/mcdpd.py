@@ -602,10 +602,12 @@ class DesignEngine:
             # Measured on the golden 500x1951 MSA (v5e behind a tunnel,
             # 2026-08): full design host 2.66 s vs device 4.10 s warm — the
             # hot cost is the order-dependent host Stage B, and shipping the
-            # patched-window tensor back outweighs the einsum savings.  auto
-            # therefore picks host; "device" stays as the explicit opt-in
-            # (outputs identical, tests/test_design_device.py) and pays off
-            # only when Stage A dominates (very large N x W per window).
+            # patched-window tensor back outweighs the einsum savings.  The
+            # round-2 host Stage B rewrites (~1.5 s full design) widen that
+            # gap further.  auto therefore picks host; "device" stays as the
+            # explicit opt-in (outputs identical, tests/test_design_device
+            # .py) and pays off only when Stage A dominates (very large
+            # N x W per window).
             stage_a = "host"
         if stage_a == "device":
             return self._design_device(chars, positions, seq_ids, n,
