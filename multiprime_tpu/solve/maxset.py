@@ -34,13 +34,15 @@ COLUMNS = ["#Primer", "Primer_rank", "Primer_F", "Primer_R",
            "Primer position (representative sequence)"]
 
 
+@lru_cache(maxsize=200000)
 def suffix_ends(primer):
     """Expanded 3'-suffixes of length 5..len-1 (current_end,
-    get_Maxprimerset.py:149-154).  Note: excludes the full-length suffix."""
+    get_Maxprimerset.py:149-154).  Note: excludes the full-length suffix.
+    Frozen + cached: callers only union it into their own sets."""
     out = []
     for a in range(5, len(primer)):
         out.extend(iupac.expand(primer[-a:]))
-    return set(out)
+    return frozenset(out)
 
 
 def _end_hits_primer(end, primer):
@@ -170,13 +172,23 @@ class DimerLedger:
                 self.core_hit_ends |= _hit_end_set(p)
 
     def snapshot(self):
-        return (list(self.core_primers), set(self.core_ends),
-                set(self.core_primers_set), set(self.core_hit_ends))
+        """O(1): the accepted-expansion list is append-only, so a prefix
+        length fully determines the ledger state (the derived sets rebuild
+        from cached per-primer sets on restore — greedy_maximum keeps one
+        snapshot per accepted row, so copies of the large hit-end union
+        would be quadratic)."""
+        return len(self.core_primers)
 
     def restore(self, snap):
-        self.core_primers, self.core_ends, self.core_primers_set = \
-            list(snap[0]), set(snap[1]), set(snap[2])
-        self.core_hit_ends = set(snap[3])
+        self.core_primers = self.core_primers[:snap]
+        self.core_primers_set = set(self.core_primers)
+        ends = set()
+        hit_ends = set()
+        for p in self.core_primers:
+            ends |= suffix_ends(p)
+            hit_ends |= _hit_end_set(p)
+        self.core_ends = ends
+        self.core_hit_ends = hit_ends
 
 
 def parse_and_sort(infile, sort_file):

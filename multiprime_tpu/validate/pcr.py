@@ -89,22 +89,32 @@ class _Corpus:
     extract_PCR_product.py:189-215)."""
 
     def __init__(self, ref_file):
-        self.headers = []
-        self.lines = []          # raw sequence lines incl. trailing newline
+        # One record per NON-HEADER LINE, keyed by the most recent header —
+        # exactly the reference reader's streaming semantics (wrapped FASTA
+        # lines are separate records that overwrite the same dict key there
+        # too; a header with no line contributes nothing).
+        self.headers = []        # per-line record key (current header)
+        lines = []               # raw sequence lines incl. trailing newline
         with open(ref_file) as r:
+            key = None
             for line in r:
                 if line.startswith(">"):
-                    self.headers.append(line.strip())
+                    key = line.strip()
                 else:
-                    self.lines.append(line)
+                    self.headers.append(key)
+                    lines.append(line)
         starts = []
         pos = 0
-        for ln in self.lines:
+        for ln in lines:
             starts.append(pos)
             pos += len(ln)
+        starts.append(pos)                   # sentinel
         self._starts = starts
-        self._corpus = "".join(self.lines)   # '\n' separators: ACGT
+        self._corpus = "".join(lines)        # '\n' separators: patterns ACGT
         self._occ = {}                       # expansion -> {tidx: first idx}
+
+    def line(self, t):
+        return self._corpus[self._starts[t]:self._starts[t + 1]]
 
     def first_occurrences(self, pattern):
         """{target_index: first in-line offset} for a pure-ACGT pattern."""
@@ -122,8 +132,7 @@ class _Corpus:
                 out[t] = i - starts[t]
             # jump to the end of this target: only the FIRST occurrence
             # per target matters (str.split semantics)
-            nxt = starts[t + 1] if t + 1 < len(starts) else len(corpus)
-            i = corpus.find(pattern, nxt)
+            i = corpus.find(pattern, starts[t + 1])
         self._occ[pattern] = out
         return out
 
@@ -136,17 +145,17 @@ def _pcr_products_corpus(primer_f, primer_r, corpus):
     f_exp = iupac.expand(primer_f)
     r_exp = iupac.expand(primer_r)
     occ_maps = [corpus.first_occurrences(fseq) for fseq in f_exp]
+    r_rcs = [_rc(rseq) for rseq in r_exp]
     products, non_products = {}, {}
     for t, key in enumerate(corpus.headers):
-        line = corpus.lines[t]
+        line = corpus.line(t)
         value = ""
         for fseq, occ in zip(f_exp, occ_maps):
             idx = occ.get(t)
             if idx is None:
                 continue
             product = fseq + line[idx + len(fseq):]
-            for rseq in r_exp:
-                rc = _rc(rseq)
+            for rc in r_rcs:
                 ridx = product.find(rc)
                 if ridx >= 0:
                     value = product[:ridx].strip() + rc

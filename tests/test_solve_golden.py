@@ -139,8 +139,10 @@ def test_dimer_ledger_factored_matches_rescan():
             accepted += 1
     # snapshot/restore keeps the incremental hit-end set consistent
     snap = led_new.snapshot()
+    before = set(led_new.core_hit_ends)
     f, r = mk(), mk()
     if not led_new.pair_is_dimer(f, r):
         led_new.accept(f, r)
     led_new.restore(snap)
-    assert led_new.core_hit_ends == set(snap[3])
+    assert led_new.core_hit_ends == before
+    assert led_new.core_ends == led_ref.core_ends
