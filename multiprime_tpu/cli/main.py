@@ -348,10 +348,9 @@ def _nondimer_filter(argv):
     p = argparse.ArgumentParser(prog="mptpu nondimer-filter")
     p.add_argument("-i", "--input", required=True, help="new primers fasta")
     p.add_argument("-p", "--pool", required=True, help="pool/core fasta")
-    p.add_argument("-t", "--threshold", type=float, default=3.96)
     p.add_argument("-o", "--out", required=True, help="clean fasta")
     a = p.parse_args(argv)
-    kept = update.select_nondimer(a.input, a.pool, a.out, a.threshold)
+    kept = update.select_nondimer(a.input, a.pool, a.out)
     print("kept %d dimer-free primers -> %s" % (len(kept), a.out))
     return 0
 

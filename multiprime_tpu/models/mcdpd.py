@@ -189,8 +189,10 @@ class DesignParams:
     # Stage-A backend: "host" (bit-exact NumPy), "device" (the batched
     # JAX/TPU kernel ops/design_scan.design_stats_full; freq/NN/Viterbi for
     # all windows in one fused call, host Stage B consumes them), or "auto"
-    # (device when the default JAX backend is a real accelerator).  Outputs
-    # are identical either way (tests/test_design_device.py).
+    # — which currently resolves to host: measured on the golden workload
+    # the device path loses to the vectorised host Stage A because the
+    # order-dependent host Stage B dominates (see design()).  Outputs are
+    # identical either way (tests/test_design_device.py).
     stage_a: str = "host"
 
 

@@ -145,6 +145,13 @@ class PairingEngine:
         # String-filter machinery shared with the design engine.
         self._helper = mcdpd.DesignEngine(mcdpd.DesignParams(
             hairpin_distance=params.hairpin_distance, algo="v20"))
+        # per-instance memo caches: an @lru_cache on the METHOD would key
+        # on (engine, primer) in a class-level cache and pin every
+        # per-cluster engine (and its primer sets) for the process
+        # lifetime; these die with the engine
+        self._ends_rc = lru_cache(maxsize=200000)(self._ends_rc)
+        self._end_fset = lru_cache(maxsize=200000)(self._end_fset)
+        self._self_hit = lru_cache(maxsize=200000)(self._self_hit)
 
     # -- per-primer filters (get_multiPrime semantics) -------------------------
     def _gc_mean(self, primer):
@@ -209,14 +216,12 @@ class PairingEngine:
             n += 1
         return False
 
-    @lru_cache(maxsize=200000)
     def _ends_rc(self, primer):
         """(end, RC(end)) tuples for a primer's 3'-end set — cached because
         the same primers recur across thousands of pair candidates."""
         ends = self._helper.current_end(primer)
         return tuple((e, iupac.rc(e)) for e in dict.fromkeys(ends))
 
-    @lru_cache(maxsize=200000)
     def _end_fset(self, primer):
         """The primer's 3'-end set as a frozenset (order is irrelevant to
         the boolean dimer verdict); derived from _ends_rc so the
@@ -242,7 +247,6 @@ class PairingEngine:
         return (not ef.isdisjoint(_dimer_hit_ends(primer_r))
                 or not er.isdisjoint(_dimer_hit_ends(primer_f)))
 
-    @lru_cache(maxsize=200000)
     def _self_hit(self, primer):
         """ends(X) ∩ hits(X) ≠ ∅ — the pair-independent half of the
         verdict, cached per primer."""

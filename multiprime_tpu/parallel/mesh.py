@@ -153,6 +153,10 @@ def _sharded_scan_fn(mesh, mm, term, max_hits, want_mism):
         in_specs=(P(("seq", "win")), P(("seq", "win")),
                   P(None, None, None), P(None, None, None)),
         out_specs=P(("seq", "win"))))
+    # bound the cache: fresh Mesh objects / max_hits retry-doubling would
+    # otherwise accumulate compiled executables for the process lifetime
+    if len(_SHARDED_SCAN_CACHE) >= 16:
+        _SHARDED_SCAN_CACHE.pop(next(iter(_SHARDED_SCAN_CACHE)))
     _SHARDED_SCAN_CACHE[key] = fn
     return fn
 

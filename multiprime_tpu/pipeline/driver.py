@@ -205,6 +205,22 @@ class Pipeline:
         instead of mis-parsing."""
         if not os.path.exists(path):
             return False
+        if backend == "mcdpd":
+            # sidecars are written by a forked child overlapped with
+            # pairing; a run killed in that window leaves a valid-looking
+            # table with missing/torn JSONs that the resume path would
+            # json.load — regenerate the whole trio instead
+            for suffix in (".gap_seq_id_json", ".non_coverage_seq_id_json"):
+                side = path + suffix
+                if not os.path.exists(side):
+                    return False
+                try:
+                    with open(side, "rb") as f:
+                        f.seek(-1, os.SEEK_END)
+                        if f.read(1) != b"}":
+                            return False
+                except OSError:
+                    return False
         with open(path) as f:
             first = f.readline()
         want = "Pos\t" if backend == "wrc" else "Position\t"
@@ -381,7 +397,10 @@ class Pipeline:
             threads = max(1, (os.cpu_count() or 1) // workers)
             with ctx.Pool(workers, initializer=_set_native_threads,
                           initargs=(threads,)) as pool:
-                reports = pool.map(self._one_cluster, order)
+                # chunksize=1: default chunking hands one worker a contiguous
+                # block of the LARGEST clusters (order is size-sorted),
+                # serialising the heavy tail and defeating LPT
+                reports = pool.map(self._one_cluster, order, chunksize=1)
         else:
             reports = [self._one_cluster(name, inner_nproc=cfg.nproc)
                        for name in names]

@@ -124,6 +124,8 @@ def iter_reads(path, fmt="fq"):
 
 def run(read_file, primer_fa, outfile, primer_len=18, min_ident=0.8,
         fmt="fq", metric="difflib", report_variant=False):
+    # .strip("fa") (NOT rstrip of ".fa") reproduces the reference's own
+    # path quirk byte-for-byte (FindONTprimerV3.py:168)
     expand = expand_primer_set(primer_fa,
                                primer_fa.strip("fa") + "expand.fa")
     lib = None

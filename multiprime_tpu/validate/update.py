@@ -109,7 +109,7 @@ def _dimer_check(primer, primer_set, merged, rows):
             rows.append(hit)
 
 
-def check_new_primers(new_fa, core_fa, outfile, threshold=None):
+def check_new_primers(new_fa, core_fa, outfile):
     """Cross-dimer report: core primers vs uniq-new, then new primers vs the
     merged set (Dimer.run :285-318).  Writes the 11-column report +
     .dimer_num with the reference's SeqName row-sum format."""
@@ -199,17 +199,18 @@ def run(new_fa, core_fa, ref_fa, out_prefix, func="DO",
     return results
 
 
-def select_nondimer(new_fa, pool_fa, out_fa, threshold=3.96):
+def select_nondimer(new_fa, pool_fa, out_fa):
     """primer_filter.sh / select.nondimer.primer.sh equivalent: keep the new
     primers that form NO dimer against the pooled set (the shell helpers
     run finDimer/Primer_set_update over the merged fasta, join against the
-    candidate fasta, and keep records with no dimer row).
+    candidate fasta, and keep records with no dimer row).  The verdicts are
+    the tools' own fixed gates (Primer_set_update.py:270: Loss > 3 or
+    dG < -5) — neither shell helper exposes a threshold.
 
     -> list of kept primer names (without '>').
     """
     import os
-    rows = check_new_primers(new_fa, pool_fa,
-                             out_fa + ".dimer.tmp", threshold=threshold)
+    rows = check_new_primers(new_fa, pool_fa, out_fa + ".dimer.tmp")
     try:
         os.remove(out_fa + ".dimer.tmp")
         os.remove(out_fa + ".dimer.tmp.dimer_num")
