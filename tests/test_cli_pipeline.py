@@ -227,3 +227,48 @@ def test_pipeline_original_variant(tmp_path):
     # no unmatched.fa without a dict (reference -d None behaviour)
     assert not list((res / "Core_primers_set" / "BWT_coverage")
                     .glob("*unmatched*"))
+
+
+def test_pipeline_resume_regenerates_torn_sidecars(tmp_path):
+    """A run killed while the forked sidecar child was writing leaves a
+    valid-looking design table with missing/torn JSONs; the resume must
+    regenerate the design instead of crashing on json.load."""
+    import glob
+    import os
+
+    rng = np.random.default_rng(7)
+    lut = np.array(list("ACGT"))
+    base = "".join(rng.choice(lut, size=400))
+
+    def mutate(s, n=5):
+        s = list(s)
+        for _ in range(n):
+            i = rng.integers(0, len(s))
+            s[i] = str(rng.choice(lut))
+        return "".join(s)
+
+    fa = tmp_path / "toy.fa"
+    with open(fa, "w") as f:
+        for i in range(8):
+            f.write(">seq%d\n%s\n" % (i, mutate(base)))
+    from multiprime_tpu.pipeline.driver import run_pipeline
+    kwargs = dict(input_fa=str(fa), results_dir=str(tmp_path / "res"),
+                  virus_name="toy", coverage=0.5, min_seq_length=100,
+                  product_size=(100, 300), algo="v20")
+    run_pipeline(None, **kwargs)
+    tables = glob.glob(str(tmp_path / "res" / "Clusters_primer" /
+                           "*.top.primer.out"))
+    assert tables
+    gap = tables[0] + ".gap_seq_id_json"
+    want = open(gap, "rb").read()
+    # simulate the kill window: one sidecar missing, the other torn,
+    # downstream outputs cleared so the per-cluster stage re-runs
+    os.remove(gap)
+    non = tables[0] + ".non_coverage_seq_id_json"
+    with open(non, "r+b") as f:
+        f.truncate(max(os.path.getsize(non) // 2, 1))
+    for cand in glob.glob(str(tmp_path / "res" / "Clusters_cprimer" / "*")):
+        os.remove(cand)
+    run_pipeline(None, **kwargs)
+    assert open(gap, "rb").read() == want
+    assert open(non, "rb").read().rstrip().endswith(b"}")
