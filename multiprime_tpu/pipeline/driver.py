@@ -250,6 +250,9 @@ class Pipeline:
                                                    cluster_txt))
         self._per_cluster_stages()
         self._aggregate_and_solve()
+        for name in ("align", "design", "pair", "solve", "pcr", "scan"):
+            if name in cfg.timings:
+                self.log.append((name, "ran", round(cfg.timings[name], 2)))
         with open(self._p("pipeline_metrics.json"), "w") as f:
             json.dump({"stages": [list(row) for row in self.log],
                        "timings_s": self.cfg.timings,
@@ -405,16 +408,17 @@ class Pipeline:
             reports = [self._one_cluster(name, inner_nproc=cfg.nproc)
                        for name in names]
         for rep in reports:
-            if rep["align_s"]:
-                self.cfg.timings.setdefault("align", 0)
-                self.cfg.timings["align"] += rep["align_s"]
+            for key in ("align", "design", "pair"):
+                if rep.get(key + "_s"):
+                    self.cfg.timings[key] = round(
+                        self.cfg.timings.get(key, 0) + rep[key + "_s"], 3)
             self.log.extend(rep["log"])
 
     def _one_cluster(self, name, inner_nproc=1):
         from ..align import centerstar
         from ..models import mcdpd, pairing
         cfg = self.cfg
-        rep = {"align_s": 0.0, "log": []}
+        rep = {"align_s": 0.0, "design_s": 0.0, "pair_s": 0.0, "log": []}
         tfa = self._p("Clusters_fa", name + ".tfa")
         msa_path = self._p("Clusters_msa", name + ".tmsa")
         if not os.path.exists(msa_path):
@@ -472,6 +476,7 @@ class Pipeline:
             mcdpd.write_table(results, out)
             sidecar_wait = mcdpd.write_sidecars_forked(results, out)
             fresh = mcdpd.pairing_inputs(results)
+            rep["design_s"] += time.time() - t0
             self._log_file("multiPrime_" + name, time.time() - t0)
         else:
             sidecar_wait = None
@@ -497,6 +502,7 @@ class Pipeline:
                     pairing.write_empty_output(cand)
                 else:
                     pairing.write_outputs(pairs, cand)
+                rep["pair_s"] += time.time() - t0
                 self._log_file("get_multiPrime_" + name, time.time() - t0)
         finally:
             if sidecar_wait is not None:
@@ -543,6 +549,7 @@ class Pipeline:
                     f.write(open(cand).read())
         stages.txt2fa(agg, self._p("Primers_set", "candidate_primers_sets"),
                       agg.replace(".txt", ".number"), step=cfg.step)
+        t_solve = time.time()
         final = self._p("Primers_set", "final_maxprimers_set.xls")
         if not os.path.exists(final):
             primers = maxset.parse_and_sort(
@@ -579,16 +586,20 @@ class Pipeline:
             core_fa = self._p("Core_primers_set",
                               "core_final_maxprimers_set.fa")
             stages.primerset_format(core_final, core_fa)
+        self.cfg.timings["solve"] = round(time.time() - t_solve, 3)
         # perfect-match PCR products + coverage summary
         fmt_fa = self._p("Total_fa", self.v + ".format.fa")
         cov = self._p("Primers_set", "Coverage_stast.xls")
         if not os.path.exists(cov):
+            t0 = time.time()
             pairs = pcr.parse_pairs_xls(final)
             pcr.run(pairs, fmt_fa, self._p("Primers_set", "PCR_product"), cov)
+            self.cfg.timings["pcr"] = round(time.time() - t0, 3)
         # mismatch-tolerant coverage validation (BWT replacement)
         bwt_out = self._p("Core_primers_set", "BWT_coverage",
                           "final_maxprimers_set.out")
         if not os.path.exists(bwt_out):
+            t0 = time.time()
             dict_pkl = self._p("Total_fa", self.v + ".format.dict")
             targets_dict = None          # -original has no dict: like the
             if os.path.exists(dict_pkl):  # reference's -d None, no unmatched.fa
@@ -598,6 +609,7 @@ class Pipeline:
                 term=cfg.scan_term, mm=cfg.scan_mm,
                 product_size=cfg.product_size)
             vscan.run(final_fa, fmt_fa, bwt_out, params, targets_dict)
+            self.cfg.timings["scan"] = round(time.time() - t0, 3)
 
 
 def run_pipeline(config_path=None, **overrides):
