@@ -487,7 +487,8 @@ class Pipeline:
                 pparams = pairing.PairingParams(
                     size=cfg.product_size, fraction=cfg.coverage,
                     end_dege=cfg.end, hairpin_distance=cfg.distance,
-                    diff_tm=cfg.diff_tm, adaptor=cfg.adaptor, max_seq=0)
+                    diff_tm=cfg.diff_tm, adaptor=cfg.adaptor, max_seq=0,
+                    nproc=inner_nproc)
                 primers = pairing.parse_primer_table(out)
                 if fresh is not None:
                     gap_ids, non_cover = fresh

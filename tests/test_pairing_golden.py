@@ -98,3 +98,39 @@ def test_dimer_check_factored_matches_direct_scan():
         f = mk("GC" if trial % 3 == 0 else None)
         r = mk()
         assert eng.dimer_check(f, r) == eng._dimer_check_ref(f, r), (f, r)
+
+
+def test_forked_pair_pass_identical_to_serial():
+    """The fork-parallel enumeration (nproc>1, >=2048 candidates) must
+    return the exact pair list (content AND order) of the serial pass."""
+    import numpy as np
+    from multiprime_tpu.models import pairing
+
+    rng = np.random.default_rng(5)
+    primers, non_cover, gap_ids = {}, {}, {}
+    acgt = np.array(list("ACGT"))
+    ids = ["a%d" % i for i in range(12)]
+    for pos in range(0, 18000, 3):
+        primer = "".join(rng.choice(acgt, size=18))
+        tm = float(round(50 + 10 * rng.random(), 2))
+        primers[pos] = [primer, 10, 10, tm]
+        # a few uncovered ids per side so coverage varies across pairs
+        non_cover[pos] = [
+            {"x": list(rng.choice(ids, size=rng.integers(0, 3),
+                                  replace=False))},
+            {"x": list(rng.choice(ids, size=rng.integers(0, 3),
+                                  replace=False))}]
+        gap_ids[pos] = {}
+
+    def run(nproc):
+        eng = pairing.PairingEngine(pairing.PairingParams(
+            size=(150, 600), fraction=0.5, end_dege=4, hairpin_distance=4,
+            diff_tm=8, max_seq=0, nproc=nproc))
+        return eng.pair(primers, gap_ids, non_cover, len(ids))
+
+    serial, cand_s = run(1)
+    forked, cand_f = run(3)
+    assert len(cand_s) >= 2048, "gate not exercised"
+    assert cand_s == cand_f
+    assert serial == forked
+    assert len(serial) > 1000
