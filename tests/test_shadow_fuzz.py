@@ -50,8 +50,8 @@ def _fuzz_msa(seed):
 
 
 def _load_ref(msa_path, plen, coverage, dege_number, degeneracy, variation,
-              coordinate, min_product):
-    spec = importlib.util.spec_from_file_location("shadow_fuzz_core", REF_CORE)
+              coordinate, min_product, script=REF_CORE):
+    spec = importlib.util.spec_from_file_location("shadow_fuzz_core", script)
     mod = importlib.util.module_from_spec(spec)
     sys.modules["shadow_fuzz_core"] = mod
     spec.loader.exec_module(mod)
@@ -62,7 +62,8 @@ def _load_ref(msa_path, plen, coverage, dege_number, degeneracy, variation,
     eng.score_of_dege_bases = degeneracy
     eng.product = min_product
     eng.position = coordinate
-    eng.Y_strict, eng.Y_strict_R = eng.get_Y()
+    if hasattr(eng, "get_Y"):        # v20/v16; v15 uses an int margin
+        eng.Y_strict, eng.Y_strict_R = eng.get_Y()
     eng.variation = variation
     eng.distance = 4
     eng.GC = "0.2,0.7".split(",")
@@ -138,3 +139,77 @@ def test_fuzz_shadow_v20(seed, tmp_path):
             emitted += 1
     # the fuzz only means something if real windows were designed
     assert emitted >= 3, (seed, emitted, len(positions))
+
+
+V15_SCRIPT = "/root/reference/scripts/multiPrime-core_V15.py"
+V16_SCRIPT = ("/root/reference/test_data/Y_distance_update/"
+              "multiPrime-core_V16.py")
+
+
+@requires_reference
+@pytest.mark.slow
+@pytest.mark.parametrize("algo,seed", [
+    ("v16", 0), ("v16", 1), ("v16", 2),
+    ("v15", 0), ("v15", 1), ("v15", 2),
+])
+def test_fuzz_shadow_v15_v16(algo, seed, tmp_path):
+    """Same fuzz harness for the older engine generations (the golden files
+    were built with V16; V15 drives the -original pipeline)."""
+    rng = np.random.default_rng(3000 + seed)
+    plen = int(rng.choice([16, 18, 20]))
+    coverage = float(rng.choice([0.5, 0.6, 0.7, 0.8]))
+    dege_number = int(rng.choice([2, 4, 6]))
+    degeneracy = int(rng.choice([4, 10, 16]))
+    variation = int(rng.choice([0, 1, 2]))
+    min_product = int(rng.choice([100, 120, 150]))
+    if algo == "v15":
+        coordinate = int(rng.choice([3, 4, 9]))
+        script = V15_SCRIPT
+    else:
+        coordinate = str(rng.choice(["2,3,-1", "1,-1", "2,-1"]))
+        script = V16_SCRIPT
+
+    recs = _fuzz_msa(seed + 50)
+    msa = tmp_path / ("fz_%s_%d.msa" % (algo, seed))
+    msa.write_text("".join("%s\n%s\n" % r for r in recs))
+
+    try:
+        ref = _load_ref(msa, plen, coverage, dege_number, degeneracy,
+                        variation, coordinate, min_product, script=script)
+    except SystemExit:
+        pytest.skip("reference aborts on this span (window < product)")
+
+    ids, chars = mcdpd.parse_msa(str(msa))
+    params = mcdpd.DesignParams(
+        primer_length=plen, coverage=coverage, dege_number=dege_number,
+        degeneracy=degeneracy, variation=variation, entropy_threshold=3.6,
+        gc=(0.2, 0.7), min_product=min_product,
+        coordinate=coordinate if algo != "v15" else "2,3,-1",
+        position_margin=coordinate if algo == "v15" else 4,
+        hairpin_distance=4, algo=algo)
+    eng = mcdpd.DesignEngine(params)
+    ext = mcdpd.MSAWindows(ids, chars, plen)
+    positions = np.arange(ref.start_position,
+                          max(ref.start_position + 1,
+                              ref.stop_position - plen))
+    wins = ext.windows(positions)
+    emitted = 0
+    for wi, pos in enumerate(positions):
+        ref.resQ = _FakeQ()
+        ref.get_primers(ref.seq_dict, int(pos))
+        ref_res = ref.resQ[0]
+        mine = eng._design_window(int(pos), wins[:, wi, :], ids, len(ids),
+                                  ref.entropy_threshold)
+        if ref_res is None:
+            assert mine is None, (algo, seed, pos)
+        else:
+            assert mine is not None, (algo, seed, pos)
+            assert list(map(str, mine.row())) == \
+                [str(ref_res[0][0])] + [str(x) for x in ref_res[0][1]], \
+                (algo, seed, pos)
+            assert [dict(mine.f_non_cover), dict(mine.r_non_cover)] == \
+                [dict(ref_res[1][1][0]), dict(ref_res[1][1][1])], \
+                (algo, seed, pos)
+            assert dict(mine.gap_ids) == dict(ref_res[2][1]), (algo, seed, pos)
+            emitted += 1
+    assert emitted >= 3, (algo, seed, emitted, len(positions))
