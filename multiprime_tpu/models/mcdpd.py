@@ -816,7 +816,10 @@ class DesignEngine:
                 keys, key_chars, counts_list, non_gap_seq_id, cover_number,
                 gap_seq_id)
 
-        nn = nn.tolist()     # one C-speed conversion shared by both branches
+        if self.p.algo == "v20":
+            # one C-speed conversion shared by both branches; v15/v16 keep
+            # the ndarray for the native refine loop (which copies it)
+            nn = nn.tolist()
         if cover_for_mm:
             # stable max with insertion-order tie-break == sorted(reverse=True)[0]
             best = None
@@ -923,6 +926,25 @@ class DesignEngine:
         consensus = "".join(primer_list)
         cover_extra.add(consensus)               # defaultdict insertion quirk
         coverage_init = cover.get(consensus, 0)
+
+        if p.algo in ("v15", "v16"):
+            # Native transliteration of the perfect-coverage loop (its
+            # candidate order / integer bookkeeping is identical; parity
+            # pinned by tests/test_native_refine.py + the fuzz shadows).
+            # v20 can't go native: its loop interleaves _mis_primer_check,
+            # whose dict order depends on live CPython set layout.
+            res = native.refine_v16(
+                consensus, nn, keys, counts_list, coverage_init,
+                cover_number, p.degeneracy, p.dege_number)
+            if res is not None:
+                primer, coverage_init = res
+                f_mis, f_non, r_mis, r_non = self._mis_primer_check(
+                    keys, key_chars, counts_list, primer, non_gap_seq_id)
+                info = self.pre_filter_info(primer)
+                return (primer, coverage_init + f_mis,
+                        coverage_init + r_mis, info, dict(f_non),
+                        dict(r_non))
+
         nn_index = [[int(path[i]), int(path[i + 1])]
                     for i in range(len(path) - 1)]
         # exact small ints as nested lists for the pure-Python refine loop

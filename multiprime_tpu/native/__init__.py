@@ -141,6 +141,27 @@ def _bind(lib):
     lib.hairpin_flag.restype = ctypes.c_int64
     lib.hairpin_flag.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p]
+    lib.tm_init.restype = None
+    lib.tm_init.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p,                       # dh, ds
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,       # bit table
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,      # init tables
+        ctypes.c_int64,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double]
+    lib.tm_batch.restype = ctypes.c_int64
+    lib.tm_batch.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
+    lib.refine_init.restype = None
+    lib.refine_init.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                ctypes.c_void_p]
+    lib.refine_v16_loop.restype = ctypes.c_int64
+    lib.refine_v16_loop.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,                        # primer
+        ctypes.c_void_p,                                        # nn
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,       # keys/counts
+        ctypes.c_int64, ctypes.c_int64,                         # cov, total
+        ctypes.c_int64, ctypes.c_int64,                         # limits
+        ctypes.c_void_p, ctypes.c_void_p]                       # idx, out
 
 
 def available():
@@ -394,3 +415,115 @@ def dimer_screen(primer: str, num=5, length=14):
     raw = ends_buf.raw
     return [(raw[out[3 * i]:out[3 * i] + out[3 * i + 1]].decode("ascii"),
              int(out[3 * i + 2])) for i in range(n)]
+
+
+_TM_READY = False
+_REFINE_READY = False
+
+
+def _tm_ready(lib):
+    """Push the Python thermo tables into the C side once (passing them in,
+    rather than re-declaring them in C, means the two sides cannot drift)."""
+    global _TM_READY
+    if _TM_READY:
+        return True
+    from ..thermo import exact, tables as tb
+    dh = np.ascontiguousarray(tb.DH_L, np.float64)
+    ds = np.ascontiguousarray(tb.DS_L, np.float64)
+    bit_chars = "".join(tb.BASE_INDEX)
+    bit_vals = np.asarray(list(tb.BASE_INDEX.values()), np.int64)
+    init_chars = "".join(tb.DH_INIT)
+    dh_init = np.asarray([tb.DH_INIT[c] for c in init_chars], np.float64)
+    ds_init = np.asarray([tb.DS_INIT[c] for c in init_chars], np.float64)
+    lib.tm_init(dh.ctypes.data, ds.ctypes.data,
+                bit_chars.encode(), bit_vals.ctypes.data, len(bit_chars),
+                init_chars.encode(), dh_init.ctypes.data,
+                ds_init.ctypes.data, len(init_chars),
+                ctypes.c_double(tb.DS_SYMMETRY),
+                ctypes.c_double(exact._MG_CORRECTION),
+                ctypes.c_double(tb.PRIMER_CONC_NG_UL),
+                ctypes.c_double(tb.KELVIN))
+    _TM_READY = True
+    return True
+
+
+def tm_batch(expansions):
+    """Exact Calc_Tm_v2 for a tuple of same-length pure-base expansions.
+    Returns a float list (each rounded to 2 like the Python tm()), or None
+    when the caller must fall back (library unavailable, odd alphabet)."""
+    lib = load()
+    if lib is None or not expansions:
+        return None
+    length = len(expansions[0])
+    try:
+        blob = "".join(expansions).encode("ascii")
+    except UnicodeEncodeError:  # pragma: no cover
+        return None
+    if len(blob) != length * len(expansions):
+        return None               # ragged (cannot happen for iupac.expand)
+    _tm_ready(lib)
+    out = np.empty(len(expansions), np.float64)
+    r = lib.tm_batch(blob, len(expansions), length, out.ctypes.data)
+    if r < 0:
+        return None
+    return out.tolist()
+
+
+def _refine_ready(lib):
+    global _REFINE_READY
+    if _REFINE_READY:
+        return True
+    from ..models import mcdpd
+    from ..utils import iupac
+    table = np.zeros((256, 4), np.uint8)
+    for key, order in mcdpd._ARGSORT4_DESC.items():
+        idx = ((key[0] * 4 + key[1]) * 4 + key[2]) * 4 + key[3]
+        table[idx] = order
+    c2m = np.zeros(256, np.uint8)
+    for ch, m in iupac.CHAR_TO_MASK.items():
+        c2m[ord(ch)] = m
+    m2c = np.zeros(16, np.uint8)
+    for m, ch in iupac.MASK_TO_CHAR.items():
+        m2c[m] = ord(ch)
+    lib.refine_init(table.ctypes.data, c2m.ctypes.data, m2c.ctypes.data)
+    _REFINE_READY = True
+    return True
+
+
+def refine_v16(consensus: str, nn, keys, counts, coverage_init, cover_number,
+               degeneracy_limit, dege_limit):
+    """Native v15/v16 greedy NN refinement loop (core_V15.py:964-986 +
+    refine_by_NN_array).  `nn` is the [plen-1, 4, 4] int64 tensor (copied
+    here; the C side mutates its copy), `keys`/`counts` the cover dict in
+    insertion order.  Returns (refined_primer, coverage) or None when the
+    caller must run the Python loop."""
+    lib = load()
+    if lib is None:
+        return None
+    plen = len(consensus)
+    _refine_ready(lib)
+    prm = ctypes.create_string_buffer(consensus.encode("ascii"), plen)
+    nn_arr = np.ascontiguousarray(nn, np.int64).copy()
+    blob = "".join(keys).encode("ascii")
+    if len(blob) != plen * len(keys):
+        return None
+    cnt = np.ascontiguousarray(counts, np.int64)
+    # nn_index from the consensus path chars (BASES order A,C,G,T)
+    base_idx = {"A": 0, "C": 1, "G": 2, "T": 3}
+    try:
+        path = [base_idx[c] for c in consensus]
+    except KeyError:              # pragma: no cover - consensus is pure
+        return None
+    idx = np.empty((plen - 1, 2), np.uint8)
+    for i in range(plen - 1):
+        idx[i, 0] = path[i]
+        idx[i, 1] = path[i + 1]
+    out_cov = np.empty(1, np.int64)
+    r = lib.refine_v16_loop(
+        ctypes.addressof(prm), plen, nn_arr.ctypes.data, blob,
+        cnt.ctypes.data, len(keys), int(coverage_init), int(cover_number),
+        int(degeneracy_limit), int(dege_limit), idx.ctypes.data,
+        out_cov.ctypes.data)
+    if r < 0:
+        return None
+    return prm.raw[:plen].decode("ascii"), int(out_cov[0])

@@ -19,6 +19,8 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdio>
+#include <cstdlib>
+#include <cmath>
 #include <thread>
 #include <unordered_map>
 #include <vector>
@@ -862,6 +864,466 @@ void viterbi_path(const int64_t* freq, const int64_t* nn, int64_t L,
     for (int64_t t = L - 1; t > 0; t--) {
         path_out[t - 1] = bp[(size_t)(t - 1) * 4 + path_out[t]];
     }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Exact Calc_Tm_v2 (multiPrime-core.py:282-336 via thermo/exact.py): plain
+// IEEE-double transliteration with the identical operation order, including
+// the buggy constant magnesium correction.  round(x, 2) is reproduced with
+// glibc's correctly-rounded "%.2f" + strtod (round-half-even decimal
+// conversion, same as CPython's _Py_dg_dtoa; fuzz-verified over 2M samples
+// in tests/test_native_thermo.py).  All table values are passed in from the
+// Python tables at init so the two sides can never drift.
+
+extern "C" {
+
+static double TM_DH[5][5];
+static double TM_DS[5][5];
+static double TM_DH_INIT[256];
+static double TM_DS_INIT[256];
+static double TM_DS_SYMMETRY = 0.0;
+static double TM_MG_CORR = 0.0;
+static double TM_CONC = 0.0;
+static double TM_KELVIN = 0.0;
+static int TM_BIT[256];
+static uint8_t TM_COMP[256];
+
+void tm_init(const double* dh, const double* ds,
+             const char* bit_chars, const int64_t* bit_vals, int64_t nbit,
+             const char* init_chars, const double* dh_init,
+             const double* ds_init, int64_t ninit,
+             double ds_symmetry, double mg_corr, double conc, double kelvin) {
+    for (int i = 0; i < 5; i++)
+        for (int j = 0; j < 5; j++) {
+            TM_DH[i][j] = dh[i * 5 + j];
+            TM_DS[i][j] = ds[i * 5 + j];
+        }
+    for (int i = 0; i < 256; i++) TM_BIT[i] = -1;
+    for (int64_t i = 0; i < nbit; i++)
+        TM_BIT[(uint8_t)bit_chars[i]] = (int)bit_vals[i];
+    for (int i = 0; i < 256; i++) { TM_DH_INIT[i] = 0; TM_DS_INIT[i] = 0; }
+    for (int64_t i = 0; i < ninit; i++) {
+        TM_DH_INIT[(uint8_t)init_chars[i]] = dh_init[i];
+        TM_DS_INIT[(uint8_t)init_chars[i]] = ds_init[i];
+    }
+    for (int i = 0; i < 256; i++) TM_COMP[i] = 0;
+    TM_COMP[(uint8_t)'A'] = 'T'; TM_COMP[(uint8_t)'T'] = 'A';
+    TM_COMP[(uint8_t)'C'] = 'G'; TM_COMP[(uint8_t)'G'] = 'C';
+    TM_DS_SYMMETRY = ds_symmetry;
+    TM_MG_CORR = mg_corr;
+    TM_CONC = conc;
+    TM_KELVIN = kelvin;
+}
+
+static inline double round2_exact(double x) {
+    char buf[64];
+    snprintf(buf, sizeof buf, "%.2f", x);
+    return strtod(buf, NULL);
+}
+
+// The reference's "symmetry": first half == ELEMENTWISE complement of the
+// second half (its RC helper also reverses, cancelling the slice reversal).
+static inline int tm_symmetric(const char* s, int64_t n) {
+    if (n % 2) return 0;
+    const int64_t half = n / 2;
+    for (int64_t i = 0; i < half; i++)
+        if ((uint8_t)s[i] != TM_COMP[(uint8_t)s[half + i]]) return 0;
+    return 1;
+}
+
+// seqs: k pure-ACGT strings of identical length, concatenated.  Returns 0,
+// or -1 if any char is outside the NN table (caller falls back to Python).
+int64_t tm_batch(const char* seqs, int64_t k, int64_t len, double* out) {
+    if (len < 2) return -1;
+    for (int64_t q = 0; q < k; q++) {
+        const char* s = seqs + q * len;
+        double dh = 0.0, ds = 0.0;
+        for (int64_t n = 0; n < len - 1; n++) {
+            const int i = TM_BIT[(uint8_t)s[n + 1]];
+            const int j = TM_BIT[(uint8_t)s[n]];
+            if (i < 0 || j < 0 || i > 4 || j > 4) return -1;
+            dh += TM_DH[i][j];
+            ds += TM_DS[i][j];
+        }
+        // Python adds the two init terms together first, then accumulates.
+        dh += TM_DH_INIT[(uint8_t)s[0]] + TM_DH_INIT[(uint8_t)s[len - 1]];
+        ds += TM_DS_INIT[(uint8_t)s[0]] + TM_DS_INIT[(uint8_t)s[len - 1]];
+        const int sym = tm_symmetric(s, len);
+        if (sym) ds += TM_DS_SYMMETRY;
+        dh = dh * 1000;
+        // math.log(x, math.e) == log(x)/log(e); log(double-e) rounds to
+        // exactly 1.0, so plain log() is bit-identical (asserted Python-side)
+        const double denom = sym ? (1 * pow(10, 9)) : (4 * pow(10, 9));
+        const double t =
+            1 / ((1 / (dh / (ds + 1.9872 * log(TM_CONC / denom))))
+                 + TM_MG_CORR) - TM_KELVIN;
+        out[q] = round2_exact(t);
+    }
+    return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// v15/v16 greedy NN refinement loop (multiPrime-core_V15.py:964-986 /
+// refine_by_NN_array core.py:922-1089), transliterated from
+// models/mcdpd.py::_coverage_stats/_refine_step with identical candidate
+// order (the tabulated np.argsort descending tie order is passed in) and
+// identical integer bookkeeping.  v20 is NOT handled here: its loop
+// interleaves the mismatch check whose output dict order depends on live
+// CPython set layout.
+
+namespace refine_detail {
+
+struct KeyMap {
+    // open-addressing FNV-1a map from plen-byte keys to counts
+    std::vector<uint32_t> slot;   // index+1 into keys, 0 = empty
+    const uint8_t* keys = nullptr;
+    const int64_t* counts = nullptr;
+    int64_t plen = 0;
+    uint32_t mask = 0;
+
+    static uint64_t hash(const uint8_t* p, int64_t n) {
+        uint64_t h = 1469598103934665603ull;
+        for (int64_t i = 0; i < n; i++) {
+            h ^= p[i];
+            h *= 1099511628211ull;
+        }
+        return h;
+    }
+
+    void build(const uint8_t* k, const int64_t* c, int64_t K, int64_t pl) {
+        keys = k; counts = c; plen = pl;
+        uint32_t cap = 8;
+        while (cap < (uint32_t)(K * 2 + 2)) cap <<= 1;
+        mask = cap - 1;
+        slot.assign(cap, 0);
+        for (int64_t i = 0; i < K; i++) {
+            uint64_t h = hash(k + i * pl, pl);
+            uint32_t j = (uint32_t)h & mask;
+            while (slot[j]) j = (j + 1) & mask;
+            slot[j] = (uint32_t)i + 1;
+        }
+    }
+
+    int64_t get(const uint8_t* key) const {
+        uint64_t h = hash(key, plen);
+        uint32_t j = (uint32_t)h & mask;
+        while (slot[j]) {
+            const uint8_t* cand = keys + (size_t)(slot[j] - 1) * plen;
+            if (memcmp(cand, key, (size_t)plen) == 0)
+                return counts[slot[j] - 1];
+            j = (j + 1) & mask;
+        }
+        return 0;
+    }
+};
+
+}  // namespace refine_detail
+
+extern "C" {
+
+static uint8_t RF_ARGSORT[256][4];   // dense-rank pattern -> np.argsort desc
+static uint8_t RF_CHAR2MASK[256];
+static uint8_t RF_MASK2CHAR[16];
+static const char RF_BASES[4] = {'A', 'C', 'G', 'T'};
+
+void refine_init(const uint8_t* argsort_tab, const uint8_t* char2mask,
+                 const uint8_t* mask2char) {
+    memcpy(RF_ARGSORT, argsort_tab, 256 * 4);
+    memcpy(RF_CHAR2MASK, char2mask, 256);
+    memcpy(RF_MASK2CHAR, mask2char, 16);
+}
+
+// np.argsort(vals)[::-1] via the tabulated DENSE-rank pattern (the Python
+// table keys are sorted(set(vals)).index(v_i): count of DISTINCT smaller
+// values, not of smaller elements).
+static inline const uint8_t* argsort4_desc(const int64_t v[4]) {
+    int key = 0;
+    for (int i = 0; i < 4; i++) {
+        int r = 0;
+        for (int j = 0; j < 4; j++) {
+            if (v[j] >= v[i]) continue;
+            bool dup = false;
+            for (int k = 0; k < j; k++)
+                if (v[k] == v[j]) { dup = true; break; }
+            if (!dup) r++;
+        }
+        key = key * 4 + r;
+    }
+    return RF_ARGSORT[key];
+}
+
+// Sum of cover counts over all expansions of `prm` (iupac.expand member
+// order is irrelevant for a sum).  Returns -1 on expansion blowup.
+static int64_t coverage_of(const uint8_t* prm, int64_t plen,
+                           const refine_detail::KeyMap& cover) {
+    int64_t total_exp = 1;
+    int npos[40];
+    uint8_t members[40][4];
+    if (plen > 40) return -1;
+    for (int64_t i = 0; i < plen; i++) {
+        uint8_t m = RF_CHAR2MASK[prm[i]];
+        int c = 0;
+        if (m == 0) {
+            members[i][c++] = prm[i];      // gap stays itself
+        } else {
+            for (int b = 0; b < 4; b++)
+                if (m & (1 << b)) members[i][c++] = RF_MASK2CHAR[1 << b];
+        }
+        npos[i] = c;
+        total_exp *= c;
+        if (total_exp > (1 << 20)) return -1;
+    }
+    uint8_t buf[40];
+    int idx[40];
+    memset(idx, 0, sizeof(int) * (size_t)plen);
+    for (int64_t i = 0; i < plen; i++) buf[i] = members[i][0];
+    int64_t sum = 0;
+    for (;;) {
+        sum += cover.get(buf);
+        int64_t p = plen - 1;
+        for (; p >= 0; p--) {
+            if (++idx[p] < npos[p]) { buf[p] = members[p][idx[p]]; break; }
+            idx[p] = 0;
+            buf[p] = members[p][0];
+        }
+        if (p < 0) break;
+    }
+    return sum;
+}
+
+// One refine_by_NN_array move.  cur_* are replaced with the best candidate.
+// Returns dege (member-count product) via out params.
+static void refine_step(std::vector<uint8_t>& primer,          // plen chars
+                        int64_t& coverage,
+                        std::vector<int64_t>& nn,              // (plen-1)*16
+                        std::vector<int64_t>& nncov,           // plen-1
+                        const uint8_t* nn_index,               // (plen-1)*2
+                        const refine_detail::KeyMap& cover,
+                        int64_t plen, int* fallback,
+                        int64_t* out_dege, int64_t* out_ndege) {
+    const int64_t L = plen - 1;
+    int64_t m = nncov[0];
+    for (int64_t i = 1; i < L; i++) if (nncov[i] < m) m = nncov[i];
+
+    // candidate buffers
+    std::vector<uint8_t> best_primer;
+    std::vector<int64_t> best_nn, best_nncov;
+    int64_t best_cov = INT64_MIN;
+
+    std::vector<uint8_t> lst(plen);
+    std::vector<int64_t> nn_tmp((size_t)L * 16), nncov_tmp((size_t)L);
+
+    for (int64_t i = 0; i < L; i++) {
+        if (nncov[i] != m) continue;
+        lst.assign(primer.begin(), primer.end());
+        nn_tmp.assign(nn.begin(), nn.end());
+        nncov_tmp.assign(nncov.begin(), nncov.end());
+        int64_t cov_renew = coverage;
+        const int row = nn_index[i * 2];
+        const int column = nn_index[i * 2 + 1];
+        int64_t* li = nn_tmp.data() + (size_t)i * 16;
+
+        if (i == 0) {
+            int pos_rows = 0;
+            for (int r = 0; r < 4; r++) pos_rows += (li[r * 4 + column] > 0);
+            if (pos_rows > 1) {
+                int64_t colv[4];
+                for (int j = 0; j < 4; j++) colv[j] = li[j * 4 + column];
+                const uint8_t* order = argsort4_desc(colv);
+                for (int oi = 0; oi < 4; oi++) {
+                    const int idx = order[oi];
+                    if (idx == row) continue;
+                    const uint8_t merged = RF_MASK2CHAR[
+                        RF_CHAR2MASK[lst[i]] | RF_CHAR2MASK[(uint8_t)RF_BASES[idx]]];
+                    lst[i] = (uint8_t)RF_BASES[idx];
+                    const int64_t add = coverage_of(lst.data(), plen, cover);
+                    if (add < 0) { *fallback = 1; return; }
+                    cov_renew += add;
+                    lst[i] = merged;
+                    int64_t* rr = li + row * 4;
+                    int64_t* ri = li + idx * 4;
+                    for (int j = 0; j < 4; j++) { rr[j] += ri[j]; ri[j] = 0; }
+                    nncov_tmp[i] = rr[column];
+                    break;
+                }
+            } else {
+                int pos_row = 0;
+                for (int j = 0; j < 4; j++) pos_row += (li[row * 4 + j] > 0);
+                if (pos_row > 1) {
+                    const int nrow = nn_index[(i + 1) * 2];
+                    const int ncol = nn_index[(i + 1) * 2 + 1];
+                    int64_t* lnext = nn_tmp.data() + (size_t)(i + 1) * 16;
+                    int64_t rmin[4];
+                    for (int j = 0; j < 4; j++) {
+                        const int64_t a = li[row * 4 + j];
+                        const int64_t b = lnext[j * 4 + ncol];
+                        rmin[j] = a < b ? a : b;
+                    }
+                    const uint8_t* order = argsort4_desc(rmin);
+                    int pos_min = 0;
+                    for (int j = 0; j < 4; j++) pos_min += (rmin[j] > 0);
+                    if (pos_min > 1) {
+                        for (int oi = 0; oi < 4; oi++) {
+                            const int idx = order[oi];
+                            if (idx == column) continue;
+                            const uint8_t merged = RF_MASK2CHAR[
+                                RF_CHAR2MASK[lst[i + 1]] |
+                                RF_CHAR2MASK[(uint8_t)RF_BASES[idx]]];
+                            lst[i + 1] = (uint8_t)RF_BASES[idx];
+                            const int64_t add =
+                                coverage_of(lst.data(), plen, cover);
+                            if (add < 0) { *fallback = 1; return; }
+                            cov_renew += add;
+                            lst[i + 1] = merged;
+                            for (int r = 0; r < 4; r++) {
+                                li[r * 4 + column] += li[r * 4 + idx];
+                                li[r * 4 + idx] = 0;
+                            }
+                            int64_t* rn = lnext + nrow * 4;
+                            int64_t* rx = lnext + idx * 4;
+                            for (int j = 0; j < 4; j++) {
+                                rn[j] += rx[j];
+                                rx[j] = 0;
+                            }
+                            nncov_tmp[i] = li[row * 4 + column];
+                            nncov_tmp[i + 1] = rn[ncol];
+                            break;
+                        }
+                    }
+                }
+            }
+        } else if (i == L - 1) {
+            int64_t rrow[4];
+            for (int j = 0; j < 4; j++) rrow[j] = li[row * 4 + j];
+            const uint8_t* order = argsort4_desc(rrow);
+            int pos = 0;
+            for (int j = 0; j < 4; j++) pos += (rrow[j] > 0);
+            if (pos > 1) {
+                for (int oi = 0; oi < 4; oi++) {
+                    const int idx = order[oi];
+                    if (idx == column) continue;
+                    const uint8_t merged = RF_MASK2CHAR[
+                        RF_CHAR2MASK[lst[i + 1]] |
+                        RF_CHAR2MASK[(uint8_t)RF_BASES[idx]]];
+                    lst[i + 1] = (uint8_t)RF_BASES[idx];
+                    const int64_t add = coverage_of(lst.data(), plen, cover);
+                    if (add < 0) { *fallback = 1; return; }
+                    cov_renew += add;
+                    lst[i + 1] = merged;
+                    for (int r = 0; r < 4; r++) {
+                        li[r * 4 + column] += li[r * 4 + idx];
+                        li[r * 4 + idx] = 0;
+                    }
+                    nncov_tmp[i] = li[row * 4 + column];
+                    break;
+                }
+            }
+        } else {
+            const int nrow = nn_index[(i + 1) * 2];
+            const int ncol = nn_index[(i + 1) * 2 + 1];
+            int64_t* lnext = nn_tmp.data() + (size_t)(i + 1) * 16;
+            int64_t rmin[4];
+            for (int j = 0; j < 4; j++) {
+                const int64_t a = li[row * 4 + j];
+                const int64_t b = lnext[j * 4 + ncol];
+                rmin[j] = a < b ? a : b;
+            }
+            const uint8_t* order = argsort4_desc(rmin);
+            int pos_min = 0;
+            for (int j = 0; j < 4; j++) pos_min += (rmin[j] > 0);
+            if (pos_min > 1) {
+                for (int oi = 0; oi < 4; oi++) {
+                    const int idx = order[oi];
+                    if (idx == column) continue;
+                    const uint8_t merged = RF_MASK2CHAR[
+                        RF_CHAR2MASK[lst[i + 1]] |
+                        RF_CHAR2MASK[(uint8_t)RF_BASES[idx]]];
+                    lst[i + 1] = (uint8_t)RF_BASES[idx];
+                    const int64_t add = coverage_of(lst.data(), plen, cover);
+                    if (add < 0) { *fallback = 1; return; }
+                    cov_renew += add;
+                    lst[i + 1] = merged;
+                    for (int r = 0; r < 4; r++) {
+                        li[r * 4 + column] += li[r * 4 + idx];
+                        li[r * 4 + idx] = 0;
+                    }
+                    int64_t* rn = lnext + nrow * 4;
+                    int64_t* rx = lnext + idx * 4;
+                    for (int j = 0; j < 4; j++) { rn[j] += rx[j]; rx[j] = 0; }
+                    nncov_tmp[i] = li[row * 4 + column];
+                    nncov_tmp[i + 1] = rn[ncol];
+                    break;
+                }
+            }
+        }
+
+        // candidates keep Python's first-max-wins selection
+        if (cov_renew > best_cov) {
+            best_cov = cov_renew;
+            best_primer = lst;
+            best_nn = nn_tmp;
+            best_nncov = nncov_tmp;
+        }
+    }
+
+    primer.swap(best_primer);
+    coverage = best_cov;
+    nn.swap(best_nn);
+    nncov.swap(best_nncov);
+    int64_t dege = 1, n_dege = 0;
+    for (int64_t i = 0; i < plen; i++) {
+        int mc = 0;
+        const uint8_t msk = RF_CHAR2MASK[primer[i]];
+        for (int b = 0; b < 4; b++) mc += ((msk >> b) & 1);
+        if (mc == 0) mc = 1;                 // gap char: member count 1
+        dege *= mc;
+        if (mc > 1) n_dege += 1;
+    }
+    *out_dege = dege;
+    *out_ndege = n_dege;
+}
+
+// The v15/v16 perfect-coverage-driven loop (core_V15.py:964-986).
+// primer: in = consensus chars, out = refined chars.  nn is caller-copied
+// (mutated).  Returns 0 on success, -1 when the caller must fall back to
+// the Python loop (expansion blowup guard).
+int64_t refine_v16_loop(uint8_t* primer, int64_t plen,
+                        int64_t* nn_in,                // (plen-1)*16
+                        const uint8_t* keys, const int64_t* counts,
+                        int64_t K,
+                        int64_t coverage_init, int64_t cover_number,
+                        int64_t degeneracy_limit, int64_t dege_limit,
+                        const uint8_t* nn_index,       // (plen-1)*2
+                        int64_t* out_cov) {
+    if (plen < 3 || plen > 40) return -1;
+    refine_detail::KeyMap cover;
+    cover.build(keys, counts, K, plen);
+
+    std::vector<uint8_t> prm(primer, primer + plen);
+    std::vector<int64_t> nn(nn_in, nn_in + (size_t)(plen - 1) * 16);
+    std::vector<int64_t> nncov((size_t)(plen - 1));
+    for (int64_t i = 0; i < plen - 1; i++)
+        nncov[i] = nn[(size_t)i * 16 + nn_index[i * 2] * 4 + nn_index[i * 2 + 1]];
+
+    int64_t cov = coverage_init;
+    std::vector<int64_t> nncov_prev;
+    while (cov < cover_number) {
+        nncov_prev = nncov;
+        int fallback = 0;
+        int64_t dege = 0, n_dege = 0;
+        refine_step(prm, cov, nn, nncov, nn_index, cover, plen, &fallback,
+                    &dege, &n_dege);
+        if (fallback) return -1;
+        if (nncov == nncov_prev) break;
+        if (dege >= degeneracy_limit || n_dege >= dege_limit) break;
+    }
+    memcpy(primer, prm.data(), (size_t)plen);
+    *out_cov = cov;
+    return 0;
 }
 
 }  // extern "C"

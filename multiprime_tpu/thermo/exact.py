@@ -107,7 +107,13 @@ def tm(seq: str) -> float:
 def tm_degenerate_mean(primer: str) -> float:
     """Mean Tm over all expansions, rounded like the reference
     (multiPrime-core.py:848-852 uses statistics.mean + round)."""
-    values = [tm(s) for s in iupac.expand(primer)]
+    expansions = iupac.expand(primer)
+    values = None
+    if "#" not in primer:
+        from .. import native
+        values = native.tm_batch(expansions)   # exact port incl. round(x,2)
+    if values is None:
+        values = [tm(s) for s in expansions]
     return round(_stat_mean(values), 2)
 
 

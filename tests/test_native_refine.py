@@ -1,0 +1,71 @@
+"""Native-vs-Python parity for the v15/v16 refine loop and the Calc_Tm_v2
+kernel (seqlib.cpp refine_v16_loop / tm_batch vs models/mcdpd.py
+_coverage_stats / thermo/exact.tm)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from multiprime_tpu import native
+from multiprime_tpu.models import mcdpd
+from multiprime_tpu.thermo import exact
+from multiprime_tpu.utils import iupac
+
+from .test_shadow_fuzz import _fuzz_msa
+
+needs_native = pytest.mark.skipif(native.load() is None,
+                                  reason="native library unavailable")
+
+
+@needs_native
+def test_native_tm_matches_python_fuzz():
+    rng = random.Random(7)
+    codes = "ACGT" * 6 + "RYMKSWHBVDN"
+    checked = 0
+    for t in range(2000):
+        L = rng.randrange(14, 26, 2) + (t % 2)
+        s = "".join(rng.choice(codes) for _ in range(L))
+        expansions = iupac.expand(s)
+        if len(expansions) > 256:
+            continue
+        nat = native.tm_batch(expansions)
+        assert nat == [exact.tm(e) for e in expansions], s
+        checked += 1
+    assert checked > 1000
+
+
+@needs_native
+def test_native_tm_symmetric_branch():
+    # elementwise-complement halves take the reference's "symmetric" branch
+    # (1x concentration denominator + DS_SYMMETRY)
+    for first in ("ATGCAGCT", "GGGGCCAA", "ACGTACGT"):
+        comp = first.translate(str.maketrans("ACGT", "TGCA"))
+        seq = first + comp
+        assert exact.is_symmetric(seq)
+        assert native.tm_batch((seq,)) == [exact.tm(seq)]
+
+
+@needs_native
+@pytest.mark.parametrize("algo,seed", [("v16", 0), ("v16", 3), ("v16", 7),
+                                       ("v15", 1), ("v15", 5)])
+def test_native_refine_matches_python_loop(algo, seed, monkeypatch):
+    """Full design run with the native refine vs the same run with the
+    native path disabled: identical rows on fuzz MSAs."""
+    recs = _fuzz_msa(seed + 500)
+    ids = [h.lstrip(">") for h, _ in recs]
+    chars = np.frombuffer("".join(s for _, s in recs).encode(),
+                          np.uint8).reshape(len(recs), -1).copy()
+    params = mcdpd.DesignParams(
+        primer_length=18, coverage=0.6, dege_number=4, degeneracy=10,
+        variation=1, entropy_threshold=3.6, gc=(0.2, 0.7), min_product=100,
+        coordinate="2,3,-1", hairpin_distance=4, algo=algo)
+
+    eng = mcdpd.DesignEngine(params)
+    rows_native = [r.row() for r in eng.design(ids, chars)]
+
+    monkeypatch.setattr(native, "refine_v16", lambda *a, **k: None)
+    eng2 = mcdpd.DesignEngine(params)
+    rows_python = [r.row() for r in eng2.design(ids, chars)]
+    assert rows_native == rows_python
+    assert len(rows_native) > 5
