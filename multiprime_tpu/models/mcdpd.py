@@ -699,18 +699,29 @@ class DesignEngine:
         # Distinct raw windows with first-occurrence order and per-row member
         # lists: expansion/dict building then runs over the distinct rows
         # only, preserving the reference's file-order insertion semantics.
-        # A bytes-keyed dict in row order gives first-occurrence iteration
-        # and ascending member indices directly (dict preserves insertion
-        # order), with none of np.unique's per-window sort cost.
-        flat = np.ascontiguousarray(win_chars).tobytes()
-        groups = {}
-        for si in range(total):
-            key = flat[si * plen:(si + 1) * plen]
-            g = groups.get(key)
-            if g is None:
-                groups[key] = [si]
-            else:
-                g.append(si)
+        # The native FNV grouping replaces the N-iteration bytes-keyed dict
+        # loop (same first-occurrence order, ascending member indices —
+        # parity test in tests/test_native_refine.py); the dict loop remains
+        # as the fallback.
+        win = np.ascontiguousarray(win_chars)
+        flat = win.tobytes()
+        grp = native.group_rows(win)
+        if grp is not None:
+            n_groups, g_order, g_members, g_offsets = grp
+            groups = {}
+            for gi in range(n_groups):
+                si0 = int(g_order[gi]) * plen
+                groups[flat[si0:si0 + plen]] = \
+                    g_members[g_offsets[gi]:g_offsets[gi + 1]].tolist()
+        else:
+            groups = {}
+            for si in range(total):
+                key = flat[si * plen:(si + 1) * plen]
+                g = groups.get(key)
+                if g is None:
+                    groups[key] = [si]
+                else:
+                    g.append(si)
 
         cover = {}
         cover_for_mm = {}

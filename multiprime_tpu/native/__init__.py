@@ -154,6 +154,10 @@ def _bind(lib):
     lib.refine_init.restype = None
     lib.refine_init.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                 ctypes.c_void_p]
+    lib.group_rows.restype = ctypes.c_int64
+    lib.group_rows.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     lib.refine_v16_loop.restype = ctypes.c_int64
     lib.refine_v16_loop.argtypes = [
         ctypes.c_void_p, ctypes.c_int64,                        # primer
@@ -527,3 +531,20 @@ def refine_v16(consensus: str, nn, keys, counts, coverage_init, cover_number,
     if r < 0:
         return None
     return prm.raw[:plen].decode("ascii"), int(out_cov[0])
+
+
+def group_rows(win: np.ndarray):
+    """Group identical rows of a contiguous uint8 [N, plen] window block,
+    first-occurrence order, ascending member indices — the insertion
+    semantics of the Python dict loop in mcdpd._design_window.  Returns
+    (R, order[R], members[N], offsets[R+1]) or None (fallback)."""
+    lib = load()
+    if lib is None:
+        return None
+    n, plen = win.shape
+    order = np.empty(n, np.int32)
+    members = np.empty(n, np.int32)
+    offsets = np.empty(n + 1, np.int32)
+    r = lib.group_rows(win.ctypes.data, n, plen, order.ctypes.data,
+                       members.ctypes.data, offsets.ctypes.data)
+    return int(r), order, members, offsets

@@ -1327,3 +1327,67 @@ int64_t refine_v16_loop(uint8_t* primer, int64_t plen,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Distinct-row grouping for the design engine's per-window cover build
+// (models/mcdpd.py::_design_window): group identical [N, plen] window rows,
+// preserving first-occurrence order and ascending member indices — exactly
+// the insertion semantics of the Python bytes-keyed dict loop it replaces.
+
+extern "C" {
+
+// rows: uint8 [n, plen] contiguous.  Outputs: order_out[R] = first row index
+// of each distinct group (first-occurrence order), members_out[n] = row
+// indices grouped (ascending inside each group), offsets_out[R+1].
+// Returns R.
+int64_t group_rows(const uint8_t* rows, int64_t n, int64_t plen,
+                   int32_t* order_out, int32_t* members_out,
+                   int32_t* offsets_out) {
+    uint32_t cap = 8;
+    while (cap < (uint32_t)(n * 2 + 2)) cap <<= 1;
+    const uint32_t mask = cap - 1;
+    static thread_local std::vector<uint32_t> slot;     // group index + 1
+    slot.assign(cap, 0);
+    static thread_local std::vector<int32_t> head, next_, tail, first;
+    head.clear(); tail.clear(); first.clear();
+    next_.assign((size_t)n, -1);
+
+    for (int64_t si = 0; si < n; si++) {
+        const uint8_t* key = rows + si * plen;
+        uint64_t h = 1469598103934665603ull;
+        for (int64_t i = 0; i < plen; i++) {
+            h ^= key[i];
+            h *= 1099511628211ull;
+        }
+        uint32_t j = (uint32_t)h & mask;
+        int32_t gi = -1;
+        while (slot[j]) {
+            const int32_t cand = (int32_t)slot[j] - 1;
+            if (memcmp(rows + (size_t)first[cand] * plen, key,
+                       (size_t)plen) == 0) { gi = cand; break; }
+            j = (j + 1) & mask;
+        }
+        if (gi < 0) {
+            gi = (int32_t)first.size();
+            slot[j] = (uint32_t)gi + 1;
+            first.push_back((int32_t)si);
+            head.push_back((int32_t)si);
+            tail.push_back((int32_t)si);
+        } else {
+            next_[tail[gi]] = (int32_t)si;
+            tail[gi] = (int32_t)si;
+        }
+    }
+    const int64_t R = (int64_t)first.size();
+    int32_t pos = 0;
+    for (int64_t g = 0; g < R; g++) {
+        order_out[g] = first[g];
+        offsets_out[g] = pos;
+        for (int32_t s = head[g]; s >= 0; s = next_[s])
+            members_out[pos++] = s;
+    }
+    offsets_out[R] = pos;
+    return R;
+}
+
+}  // extern "C"
