@@ -166,6 +166,13 @@ def _bind(lib):
         ctypes.c_int64, ctypes.c_int64,                         # cov, total
         ctypes.c_int64, ctypes.c_int64,                         # limits
         ctypes.c_void_p, ctypes.c_void_p]                       # idx, out
+    lib.mask_scan.restype = ctypes.c_int64
+    lib.mask_scan.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,        # targets
+        ctypes.c_void_p,                                        # lens
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,        # masks
+        ctypes.c_int64, ctypes.c_int64,                         # mm, term
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]        # out/cap/nt
 
 
 def available():
@@ -548,3 +555,33 @@ def group_rows(win: np.ndarray):
     r = lib.group_rows(win.ctypes.data, n, plen, order.ctypes.data,
                        members.ctypes.data, offsets.ctypes.data)
     return int(r), order, members, offsets
+
+
+def mask_scan(target_codes: np.ndarray, lens: np.ndarray,
+              masks: np.ndarray, mm: int, term: int, nthreads=0):
+    """Native early-exit mismatch scan over 4-bit base codes.
+
+    target_codes: uint8 [N, L] strict codes (A=1, C=2, G=4, T=8, else 0);
+    masks: uint8 [P, plen] per-position IUPAC member masks.  Returns hits
+    int32 [K, 4] of (row, pos, primer, mismatches) in ascending
+    (row, pos, primer) order — find_hits_numpy's np.nonzero contract — or
+    None when the library is missing."""
+    lib = load()
+    if lib is None:
+        return None
+    t = np.ascontiguousarray(target_codes, np.uint8)
+    m = np.ascontiguousarray(masks, np.uint8)
+    ln = np.ascontiguousarray(lens, np.int64)
+    n, stride = t.shape
+    p, plen = m.shape
+    if nthreads <= 0:
+        nthreads = default_threads()
+    cap = max(1 << 16, 4 * n)
+    while True:
+        out = np.empty((cap, 4), np.int32)
+        total = lib.mask_scan(t.ctypes.data, n, stride, ln.ctypes.data,
+                              m.ctypes.data, p, plen, mm, term,
+                              out.ctypes.data, cap, nthreads)
+        if total <= cap:
+            return out[:total]
+        cap = int(total)

@@ -1391,3 +1391,104 @@ int64_t group_rows(const uint8_t* rows, int64_t n, int64_t plen,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Mask-based mismatch-tolerant scan — host fast path of the bowtie2
+// replacement (primer_coverage_validation_by_BWT.py:264-301 semantics via
+// validate/scan.py).  Targets are strict 4-bit base codes (A=1, C=2, G=4,
+// T=8; everything else 0 = never matches, like encode_targets' purity
+// zeroing); primers are per-position IUPAC member masks, so one degenerate
+// primer covers its whole expansion set: a position matches iff the target
+// base's bit is inside the mask, hence the window's mismatch set equals the
+// best expansion's mismatch set and the reference's "exists an expansion
+// with <= mm mismatches and a clean 3'-terminal run" is exactly
+//   popcount{j : (t[o+j] & m[j]) == 0} <= mm  AND  no such j in the last
+//   `term` positions.
+// Early exit makes the expected per-window cost a handful of byte ops, far
+// under the im2col+sgemm formulation for the small-N workloads the host
+// path serves.
+
+extern "C" {
+
+// Hits are written as (row, pos, primer, mismatches) int32 quadruples in
+// ascending (row, pos, primer) order — the exact np.nonzero contract of
+// find_hits_numpy.  Returns the TOTAL hit count even when it exceeds
+// max_hits (caller retries with a bigger buffer); rows are chunked across
+// threads with per-thread buffers merged in row order.
+static void mask_scan_rows(const uint8_t* targets, int64_t stride,
+                           const int64_t* lens, int64_t row0, int64_t row1,
+                           const uint8_t* masks, int64_t p, int64_t plen,
+                           int64_t mm, int64_t term,
+                           std::vector<int32_t>* out) {
+    const int64_t suffix0 = term > 0 ? (plen - term) : plen;
+    for (int64_t n = row0; n < row1; n++) {
+        const uint8_t* t = targets + n * stride;
+        const int64_t n_out = lens[n] - plen + 1;
+        for (int64_t o = 0; o < n_out; o++) {
+            const uint8_t* w = t + o;
+            for (int64_t pi = 0; pi < p; pi++) {
+                const uint8_t* m = masks + pi * plen;
+                int64_t mis = 0;
+                // suffix first: a single clean-run test rejects most
+                // windows in <= term byte ops
+                int64_t j = suffix0;
+                for (; j < plen; j++)
+                    if ((w[j] & m[j]) == 0) goto next_primer;
+                for (j = 0; j < suffix0; j++) {
+                    if ((w[j] & m[j]) == 0 && ++mis > mm) goto next_primer;
+                }
+                out->push_back((int32_t)n);
+                out->push_back((int32_t)o);
+                out->push_back((int32_t)pi);
+                out->push_back((int32_t)mis);
+            next_primer:;
+            }
+        }
+    }
+}
+
+int64_t mask_scan(const uint8_t* targets, int64_t n, int64_t stride,
+                  const int64_t* lens, const uint8_t* masks, int64_t p,
+                  int64_t plen, int64_t mm, int64_t term,
+                  int32_t* out, int64_t max_hits, int64_t nthreads) {
+    if (plen <= 0 || p <= 0 || n <= 0) return 0;
+    // find_hits_numpy semantics: term > plen can never reach `suffix >=
+    // term` matches, so no window hits at all
+    if (term > plen) return 0;
+    int64_t nt = nthreads;
+    if (nt <= 0) nt = 1;
+    if (nt > n) nt = n;
+    std::vector<std::vector<int32_t>> bufs((size_t)nt);
+    if (nt == 1) {
+        mask_scan_rows(targets, stride, lens, 0, n, masks, p, plen, mm,
+                       term, &bufs[0]);
+    } else {
+        std::vector<std::thread> pool;
+        const int64_t chunk = (n + nt - 1) / nt;
+        for (int64_t t = 0; t < nt; t++) {
+            const int64_t r0 = t * chunk;
+            const int64_t r1 = (t + 1) * chunk < n ? (t + 1) * chunk : n;
+            pool.emplace_back([=, &bufs]() {
+                if (r0 < r1)
+                    mask_scan_rows(targets, stride, lens, r0, r1, masks, p,
+                                   plen, mm, term, &bufs[(size_t)t]);
+            });
+        }
+        for (auto& th : pool) th.join();
+    }
+    int64_t total = 0;
+    for (auto& b : bufs) total += (int64_t)(b.size() / 4);
+    int64_t written = 0;
+    for (auto& b : bufs) {
+        const int64_t k = (int64_t)(b.size() / 4);
+        const int64_t take = (written + k <= max_hits) ? k
+                             : (max_hits > written ? max_hits - written : 0);
+        if (take > 0)
+            memcpy(out + written * 4, b.data(), (size_t)take * 4 * 4);
+        written += take;
+        if (written >= max_hits && total > max_hits) continue;
+    }
+    return total;
+}
+
+}  // extern "C"

@@ -87,6 +87,24 @@ def encode_target_masks(seqs, length=None):
     return iupac.bytes_to_masks(chars), lengths
 
 
+def encode_target_codes(seqs, length=None):
+    """List of strings -> (STRICT 4-bit codes uint8 [N, L], lengths [N]):
+    pure bases keep their bit, ambiguity codes/gaps/padding become 0 (match
+    nothing) — the mask-scan form of encode_targets' purity zeroing."""
+    masks, lengths = encode_target_masks(seqs, length)
+    pure = np.isin(masks, [1, 2, 4, 8])
+    return np.where(pure, masks, 0).astype(np.uint8), lengths
+
+
+def encode_pattern_masks(patterns):
+    """List of (possibly degenerate) equal-length patterns -> uint8
+    [P, plen] IUPAC member masks; unknown characters map to 0 = always a
+    mismatch, like encode_primers' zero one-hot rows."""
+    arr = np.stack([
+        np.frombuffer(p.encode("ascii"), np.uint8) for p in patterns])
+    return iupac.bytes_to_masks(arr)
+
+
 def expand_masks(masks):
     """Device-side: uint8 [N, L] IUPAC masks -> one-hot uint8 [N, L, 4];
     ambiguity codes in targets match nothing (bowtie-like), same semantics

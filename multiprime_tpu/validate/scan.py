@@ -52,9 +52,21 @@ class ScanParams:
                                 # warns at >100 kb, README.md:35)
 
 
-def expand_primer_fasta(primer_fa, term_len=0, term_fa_out=None):
+def expand_primer_fasta(primer_fa, term_len=0, term_fa_out=None,
+                        with_keys=False):
     """Primer fasta -> (expanded seqs, labels) with the reference's merged-ID
-    naming (get_term, primer_coverage_validation_by_BWT.py:205-240)."""
+    naming (get_term, primer_coverage_validation_by_BWT.py:205-240).
+
+    with_keys=True additionally returns (keys, key_labels): the DEGENERATE
+    patterns themselves with their merged labels, or (None, None) when any
+    expansion is shared between two keys.  When no expansion is shared, a
+    mask scan of the keys yields the same per-(gene, pos, label) hit
+    existence as scanning every expansion — a window matches some expansion
+    of key k with <= mm mismatches and a clean 3' run iff it matches k's
+    position masks that way (the optimal expansion picks the matching member
+    wherever the target base is inside the mask; any other expansion only
+    adds mismatches) — and in the same key order, so pcr_join's
+    last-hit-wins dict produces identical rows."""
     term_list = {}
     with open(primer_fa) as f:
         name = None
@@ -83,7 +95,17 @@ def expand_primer_fasta(primer_fa, term_len=0, term_fa_out=None):
         header = "_".join(ids)
         labels.append(re.split(r"_\d+$", header)[0])
         seqs.append(seq)
-    return seqs, labels
+    if not with_keys:
+        return seqs, labels
+    if any(len(ids) > 1 for ids in seq_id.values()):
+        return seqs, labels, None, None     # shared expansion: exact labels
+                                            # need the expansion scan
+    keys, key_labels = [], []
+    for key, names in term_list.items():
+        merged = "_".join(dict.fromkeys(names))
+        keys.append(key)
+        key_labels.append(re.split(r"_\d+$", merged + "_0")[0])
+    return seqs, labels, keys, key_labels
 
 
 def parse_fasta(path):
@@ -141,8 +163,12 @@ def scan_hits(target_seqs, patterns, params: ScanParams):
     global_max = max((len(s) for s in target_seqs), default=0)
     pad_len = max(-global_max % 512 + global_max, 512)
     backend = params.backend
-    from ..parallel import mesh as pmesh
-    mesh = pmesh.active_mesh()
+    # a mesh can only be active if parallel.mesh was imported and entered;
+    # checking sys.modules first keeps the NumPy path free of the multi-
+    # second JAX import (parallel.mesh imports jax at module load)
+    import sys as _sys
+    pmesh = _sys.modules.get("multiprime_tpu.parallel.mesh")
+    mesh = pmesh.active_mesh() if pmesh is not None else None
     if mesh is not None:
         return _scan_hits_sharded(mesh, target_seqs, p1h, s1h, n_real,
                                   pad_len, plen, params)
@@ -150,6 +176,23 @@ def scan_hits(target_seqs, patterns, params: ScanParams):
         macs = (len(target_seqs) * pad_len * len(patterns) * plen * 4)
         backend = "numpy" if macs < 2e10 else "conv"
     if backend == "numpy":
+        # native early-exit mask scan: identical hits (tests/test_scan.py
+        # fuzzes it against find_hits_numpy), ~2 orders of magnitude less
+        # work than the im2col+sgemm formulation at host-path sizes
+        from .. import native
+        if native.available():
+            hits = []
+            for lo in range(0, len(target_seqs), bs):
+                chunk = target_seqs[lo:lo + bs]
+                codes, lens = ms.encode_target_codes(chunk)
+                if codes.shape[1] < plen:
+                    continue
+                out = native.mask_scan(
+                    codes, lens, ms.encode_pattern_masks(patterns),
+                    params.mm, max(params.term, 0))
+                for s, o, pi, m in out.tolist():
+                    hits.append((lo + s, o, pi, m))
+            return hits
         for lo in range(0, len(target_seqs), bs):
             chunk = target_seqs[lo:lo + bs]
             t1h, lens = ms.encode_targets(chunk)
@@ -368,7 +411,12 @@ def write_outputs(rows, outfile, targets_dict=None):
 def run(primer_fa, ref_fa, outfile, params: ScanParams, targets_dict=None):
     """Full coverage-validation flow."""
     term_fa = os.path.splitext(primer_fa)[0] + ".term.fa"
-    patterns, labels = expand_primer_fasta(primer_fa, params.term_len, term_fa)
+    patterns, labels, keys, key_labels = expand_primer_fasta(
+        primer_fa, params.term_len, term_fa, with_keys=True)
+    if keys is not None:
+        # degenerate mask scan: one pattern per key instead of per expansion
+        # (identical rows — see expand_primer_fasta; fuzzed in test_scan.py)
+        patterns, labels = keys, key_labels
     gene_ids, target_seqs = parse_fasta(ref_fa)
     rc_patterns = [iupac.rc(p) for p in patterns]
     f_hits = scan_hits_long(target_seqs, patterns, params)

@@ -61,8 +61,10 @@ def run(primer_fa, background_fa, outfile, *, term_len=18, term=4, mm=1,
                               product_size=tuple(product_size),
                               batch_seqs=batch_seqs, backend=backend)
     term_fa = os.path.splitext(primer_fa)[0] + ".term.fa"
-    patterns, labels = vscan.expand_primer_fasta(primer_fa, params.term_len,
-                                                 term_fa)
+    patterns, labels, keys, key_labels = vscan.expand_primer_fasta(
+        primer_fa, params.term_len, term_fa, with_keys=True)
+    if keys is not None:
+        patterns, labels = keys, key_labels
     gene_ids, target_seqs = vscan.parse_fasta(background_fa)
     rc_patterns = [iupac.rc(p) for p in patterns]
     f_hits = vscan.scan_hits_long(target_seqs, patterns, params)

@@ -158,8 +158,10 @@ def predict_merged_set(new_fa, core_fa, ref_fa, outfile,
     labels = {}
     for tag, path in (("core", core_fa), ("new", new_fa)):
         term_fa = os.path.splitext(path)[0] + ".term.fa"
-        pats, labels[tag] = vscan.expand_primer_fasta(
-            path, params.term_len, term_fa)
+        pats, labels[tag], keys, key_labels = vscan.expand_primer_fasta(
+            path, params.term_len, term_fa, with_keys=True)
+        if keys is not None:
+            pats, labels[tag] = keys, key_labels
         hits[tag, "F"] = vscan.scan_hits_long(targets, pats, params)
         hits[tag, "R"] = vscan.scan_hits_long(
             targets, [iupac.rc(p) for p in pats], params)

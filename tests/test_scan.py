@@ -187,3 +187,127 @@ def test_find_hits_numpy_empty_targets():
     out = ms.find_hits_numpy(t1h, np.zeros(0, np.int64), p1h, s1h,
                              mm=1, term=4)
     assert out.shape == (0, 4)
+
+
+# ---------------------------------------------------------------------------
+# native mask scan + degenerate-key fast path
+# ---------------------------------------------------------------------------
+
+def _random_degenerate(rng, n, plen, letters="ACGTRYMKSWHBVDN"):
+    lut = np.array(list(letters))
+    weights = np.array([10.0] * 4 + [1.0] * (len(letters) - 4))
+    weights /= weights.sum()
+    return ["".join(rng.choice(lut, size=plen, p=weights))
+            for _ in range(n)]
+
+
+def test_native_mask_scan_matches_numpy_fuzz():
+    """Native early-exit mask scan == find_hits_numpy on degenerate
+    patterns, random targets (incl. Ns), every (mm, term) corner."""
+    from multiprime_tpu import native
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    lut = np.array(list("ACGTN"))
+    for trial in range(6):
+        plen = int(rng.integers(6, 20))
+        seqs = ["".join(rng.choice(lut, size=rng.integers(plen, 120),
+                                   p=[.24, .24, .24, .24, .04]))
+                for _ in range(12)]
+        pats = _random_degenerate(rng, 6, plen)
+        # plant one pattern expansion for guaranteed hits
+        exp = iupac.expand(pats[0])[0]
+        seqs[0] = seqs[0][:3] + exp + seqs[0][3 + plen:]
+        for mm in (0, 1, 2):
+            for term in (0, 2, plen, plen + 1):
+                t1h, lens = ms.encode_targets(seqs)
+                p1h = ms.encode_primers(pats)
+                s1h = p1h.copy()
+                if term > 0:
+                    s1h[:, :-term, :] = 0
+                else:
+                    s1h[:] = 0
+                ref = [tuple(r) for r in ms.find_hits_numpy(
+                    t1h, lens, p1h, s1h, mm=mm, term=term)]
+                codes, lens2 = ms.encode_target_codes(seqs)
+                got = [tuple(r) for r in native.mask_scan(
+                    codes, lens2, ms.encode_pattern_masks(pats), mm, term)]
+                assert got == ref, (trial, mm, term)
+
+
+def test_native_mask_scan_buffer_retry():
+    """Hit counts beyond the initial buffer cap are returned in full."""
+    from multiprime_tpu import native
+    if not native.available():
+        pytest.skip("native library unavailable")
+    codes = np.full((40, 3000), 1, np.uint8)          # all 'A'
+    lens = np.full(40, 3000, np.int64)
+    masks = np.full((3, 8), 1, np.uint8)              # 'AAAAAAAA' x3
+    hits = native.mask_scan(codes, lens, masks, 0, 4)
+    assert len(hits) == 40 * (3000 - 8 + 1) * 3
+    assert hits[0].tolist() == [0, 0, 0, 0]
+    # ascending (row, pos, primer) contract
+    flat = hits[:, 0] * (3000 * 3) + hits[:, 1] * 3 + hits[:, 2]
+    assert bool(np.all(np.diff(flat.astype(np.int64)) > 0))
+
+
+def test_run_degenerate_keys_match_expansion_path(tmp_path):
+    """run()'s degenerate-key mask scan produces byte-identical outputs to
+    the per-expansion scan (the round-1 production path)."""
+    rng = np.random.default_rng(5)
+    lut = np.array(list("ACGT"))
+    pats = _random_degenerate(rng, 4, 18, letters="ACGTRYMKSW")
+    genomes = []
+    for g in range(8):
+        genome = list("".join(rng.choice(lut, size=900)))
+        f = iupac.expand(pats[2 * (g % 2)])[0]
+        r = iupac.expand(pats[2 * (g % 2) + 1])[0]
+        genome[100:118] = f
+        genome[500:518] = iupac.rc(r)
+        # near-miss copies for mismatch hits
+        f2 = list(f); f2[4] = "A" if f2[4] != "A" else "C"
+        genome[300:318] = f2
+        genomes.append("".join(genome))
+    prim = tmp_path / "p.fa"
+    prim.write_text("".join(">P%d\n%s\n" % (i, p)
+                            for i, p in enumerate(pats)))
+    ref = tmp_path / "g.fa"
+    ref.write_text("".join(">g%d\n%s\n" % (i, s)
+                           for i, s in enumerate(genomes)))
+    params = vscan.ScanParams(term_len=0, term=4, mm=1, backend="numpy",
+                              product_size=(100, 1500))
+    out_deg = tmp_path / "deg.out"
+    vscan.run(str(prim), str(ref), str(out_deg), params)
+    # force the expansion path by stubbing the keys away
+    orig = vscan.expand_primer_fasta
+    def no_keys(*a, **kw):
+        if kw.pop("with_keys", False):
+            seqs, labels = orig(*a, **kw)
+            return seqs, labels, None, None
+        return orig(*a, **kw)
+    out_exp = tmp_path / "exp.out"
+    vscan.expand_primer_fasta = no_keys
+    try:
+        vscan.run(str(prim), str(ref), str(out_exp), params)
+    finally:
+        vscan.expand_primer_fasta = orig
+    for suffix in ("", ".pair.num", ".total.acc.num"):
+        a = (str(out_deg) + suffix)
+        b = (str(out_exp) + suffix)
+        assert open(a).read() == open(b).read(), suffix
+
+
+def test_expand_primer_fasta_shared_expansion_falls_back(tmp_path):
+    """A degenerate primer sharing an expansion with another key must
+    disable the key fast path (merged labels need the expansion scan)."""
+    fa = tmp_path / "p.fa"
+    fa.write_text(">P1\nACGR\n>P2\nACGA\n")
+    seqs, labels, keys, key_labels = vscan.expand_primer_fasta(
+        str(fa), 0, None, with_keys=True)
+    assert keys is None and key_labels is None
+    fa2 = tmp_path / "q.fa"
+    fa2.write_text(">P1\nACGR\n>P2\nTTGA\n")
+    seqs, labels, keys, key_labels = vscan.expand_primer_fasta(
+        str(fa2), 0, None, with_keys=True)
+    assert keys == ["ACGR", "TTGA"]
+    assert key_labels == ["P1", "P2"]
