@@ -478,11 +478,13 @@ def _merge_rows_vec(seqs, center, member_idx, fmat):
     non_i = is_real & (fmat != 2)
     consume = (fmat == 0) | (fmat == 2)        # M and I eat a member residue
     n_real = is_real.sum(axis=1)
-    kmat = np.cumsum(non_i, axis=1, dtype=np.int64) - 1
+    # int32 throughout: op/column counts are far below 2**31 and the int32
+    # boolean cumsum is ~5x the int64 one
+    kmat = np.cumsum(non_i, axis=1, dtype=np.int32) - 1
     rows_, cols_ = np.nonzero(non_i)
-    pmat = np.full((m, la), -1, np.int64)
+    pmat = np.full((m, la), -1, np.int32)
     pmat[rows_, kmat[rows_, cols_]] = cols_
-    pfull = np.concatenate([np.full((m, 1), -1, np.int64), pmat], axis=1)
+    pfull = np.concatenate([np.full((m, 1), -1, np.int32), pmat], axis=1)
     runs = pmat - pfull[:, :-1] - 1            # I-run before each center pos
     trail = n_real - 1 - pmat[:, la - 1]
     slot = np.zeros(la + 1, np.int64)
@@ -498,7 +500,7 @@ def _merge_rows_vec(seqs, center, member_idx, fmat):
     for i, mm in enumerate(member_idx):
         seq_mat[i, :lbs[i]] = np.frombuffer(
             seqs[mm].encode("ascii"), np.uint8)
-    mi = np.cumsum(consume, axis=1, dtype=np.int64) - 1
+    mi = np.cumsum(consume, axis=1, dtype=np.int32) - 1
     mr, mc = np.nonzero(fmat == 0)             # M ops -> center column
     k_m = kmat[mr, mc]
     out[mr, off[k_m] + slot[k_m]] = seq_mat[mr, mi[mr, mc]]

@@ -27,18 +27,23 @@ def _build():
     # reload after replacing a stale .so must see a NEW inode or it gets
     # the old (symbol-missing) handle back
     tmp = _SO + ".build.%d" % os.getpid()
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-           _SRC, "-o", tmp]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(tmp, _SO)
-        return True
-    except Exception:
+    # -march=native unlocks the AVX2 paths (the .so is always compiled on
+    # the machine that runs it); retry portable if the flag is unsupported.
+    # -std=c++17 (strict ISO) keeps -ffp-contract=off: no scalar FMA
+    # contraction, so float op-order parity with the NumPy paths holds.
+    base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+            "-ffp-contract=off", _SRC, "-o", tmp]
+    for cmd in (base[:1] + ["-march=native"] + base[1:], base):
         try:
-            os.unlink(tmp)
-        except OSError:
-            pass
-        return False
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(tmp, _SO)
+            return True
+        except Exception:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+    return False
 
 
 def load():
@@ -271,7 +276,9 @@ def gotoh_ops_batch(c_codes, member_codes, nthreads=0):
     offs = np.zeros(m + 1, np.int64)
     for i, b in enumerate(member_codes):
         offs[i + 1] = offs[i] + len(b)
-    buf = np.empty(max(int(offs[-1]), 1), np.int8)
+    # +8 slack: the AVX2 row pass reads whole 8-byte groups past the last
+    # member's end (garbage lanes, never used)
+    buf = np.empty(max(int(offs[-1]), 1) + 8, np.int8)
     for i, b in enumerate(member_codes):
         buf[offs[i]:offs[i + 1]] = b
     lb_max = int((offs[1:] - offs[:-1]).max())

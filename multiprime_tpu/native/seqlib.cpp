@@ -26,6 +26,10 @@
 #include <vector>
 #include <algorithm>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 // Inverted k-mer -> cluster-id index for the greedy clusterer's word filter
 // (cd-hit's short-word screen).  The per-query shared-count accumulation is
 // epoch-stamped so no per-query clearing is needed.
@@ -257,9 +261,15 @@ static void refine_one(const char* rows, const int8_t* codes,
     memset(orow, '-', c);
     if (L == 0) return;
     const float denom = (float)(m > 1 ? m - 1 : 1);
-    std::vector<float> v_prev(L + 1, NEGF), g_prev(L + 1, NEGF);
-    std::vector<float> v_cur(L + 1), g_cur(L + 1);
-    std::vector<uint8_t> ptr((size_t)(c + 1) * (L + 1), 0);
+    // +8 slack: the AVX2 path computes full 8-lane chunks past L (results
+    // beyond L are garbage but never read — v_cur[L]/backtrace stay exact)
+    std::vector<float> v_prev(L + 9, NEGF), g_prev(L + 9, NEGF);
+    std::vector<float> v_cur(L + 9, NEGF), g_cur(L + 9, NEGF);
+    std::vector<uint8_t> ptr((size_t)(c + 1) * (L + 1) + 8, 0);
+#if defined(__AVX2__)
+    std::vector<int32_t> rc32(L > 0 ? (size_t)(L + 7) : 8, 0);
+    for (int64_t i = 0; i < L; i++) rc32[i] = (int32_t)res_codes[i];
+#endif
     float best_v = NEGF;
     int64_t best_j = 0;
     v_prev[0] = 0.0f;
@@ -275,16 +285,69 @@ static void refine_one(const char* rows, const int8_t* codes,
         const float occ =
             1.0f - (float)(cnt[4] - (self == 4)) / denom;
         uint8_t* pj = ptr.data() + (size_t)j * (L + 1);
-        for (int64_t i = 0; i <= L; i++) {
+        int64_t i = 0;
+        {   // i = 0: no diagonal predecessor
+            const float open_cand = v_prev[0] + gap_open * occ;
+            const bool gcont = g_prev[0] >= open_cand;
+            g_cur[0] = (gcont ? g_prev[0] : open_cand) + gap_ext * occ;
+            const bool take = g_cur[0] > NEGF;
+            v_cur[0] = take ? g_cur[0] : NEGF;
+            pj[0] = (uint8_t)take | ((uint8_t)gcont << 1);
+            i = 1;
+        }
+#if defined(__AVX2__)
+        {
+            // lanes i..i+7 have no cross-lane dependency: g from the
+            // previous column's g/v, diag from v_prev[i-1] — identical
+            // float ops in identical per-element order to the scalar loop
+            const __m256 vgo = _mm256_set1_ps(gap_open * occ);
+            const __m256 vge = _mm256_set1_ps(gap_ext * occ);
+            const __m256 vocc = _mm256_set1_ps(occ);
+            const __m256 vtwo = _mm256_set1_ps(2.0f);
+            const __m256 ftab = _mm256_setr_ps(f[0], f[1], f[2], f[3],
+                                               0.0f, 0.0f, 0.0f, 0.0f);
+            for (; i <= L; i += 8) {
+                const __m256 vp = _mm256_loadu_ps(&v_prev[i]);
+                const __m256 gp = _mm256_loadu_ps(&g_prev[i]);
+                const __m256 open_cand = _mm256_add_ps(vp, vgo);
+                const __m256 gcont = _mm256_cmp_ps(gp, open_cand,
+                                                   _CMP_GE_OQ);
+                const __m256 g = _mm256_add_ps(
+                    _mm256_blendv_ps(open_cand, gp, gcont), vge);
+                _mm256_storeu_ps(&g_cur[i], g);
+                const __m256i cv = _mm256_loadu_si256(
+                    (const __m256i*)&rc32[i - 1]);
+                const __m256 fv = _mm256_permutevar8x32_ps(ftab, cv);
+                const __m256 s = _mm256_mul_ps(
+                    vtwo, _mm256_sub_ps(_mm256_mul_ps(vtwo, fv), vocc));
+                const __m256 diag = _mm256_add_ps(
+                    _mm256_loadu_ps(&v_prev[i - 1]), s);
+                const __m256 take = _mm256_cmp_ps(g, diag, _CMP_GT_OQ);
+                _mm256_storeu_ps(&v_cur[i],
+                                 _mm256_blendv_ps(diag, g, take));
+                // two mask bits -> one byte per lane
+                const __m256i tb = _mm256_and_si256(
+                    _mm256_castps_si256(take), _mm256_set1_epi32(1));
+                const __m256i gb = _mm256_and_si256(
+                    _mm256_castps_si256(gcont), _mm256_set1_epi32(2));
+                const __m256i v32 = _mm256_or_si256(tb, gb);
+                const __m256i v16 = _mm256_packs_epi32(v32, v32);
+                const __m256i v8 = _mm256_packs_epi16(v16, v16);
+                const uint32_t lo = (uint32_t)_mm256_extract_epi32(v8, 0);
+                const uint32_t hi = (uint32_t)_mm256_extract_epi32(v8, 4);
+                memcpy(pj + i, &lo, 4);
+                memcpy(pj + i + 4, &hi, 4);
+            }
+            i = L + 1;          // chunks cover 1..L fully (slack-padded)
+        }
+#endif
+        for (; i <= L; i++) {
             const float open_cand = v_prev[i] + gap_open * occ;
             const bool gcont = g_prev[i] >= open_cand;
             g_cur[i] = (gcont ? g_prev[i] : open_cand) + gap_ext * occ;
-            float diag = NEGF;
-            if (i > 0) {
-                const float s =
-                    2.0f * (2.0f * f[(int)res_codes[i - 1]] - occ);
-                diag = v_prev[i - 1] + s;
-            }
+            const float s =
+                2.0f * (2.0f * f[(int)res_codes[i - 1]] - occ);
+            const float diag = v_prev[i - 1] + s;
             const bool take = g_cur[i] > diag;
             v_cur[i] = take ? g_cur[i] : diag;
             pj[i] = (uint8_t)take | ((uint8_t)gcont << 1);
@@ -443,8 +506,9 @@ int64_t profile_align_ops(const float* score, int64_t la, int64_t lb,
 // op codes (0=M, 1=D, 2=I, 3=pad at the end) into out[mi*out_stride..].
 static void gotoh_seq_one(const int8_t* a, int64_t la, const int8_t* b,
                           int64_t lb, uint8_t* cell, int32_t* v_prev,
-                          int32_t* f_prev, uint8_t* out,
-                          int64_t out_stride) {
+                          int32_t* f_prev, int32_t* t_arr, int32_t* pre_e,
+                          int32_t* p01a, int32_t* fca, int32_t* ipm,
+                          uint8_t* out, int64_t out_stride) {
     const int32_t MATCH = 2, MISMATCH = -1, GO = -4, GE = -1;
     const int32_t NEG = -(1 << 28);
     if (la == 0) {
@@ -470,41 +534,137 @@ static void gotoh_seq_one(const int8_t* a, int64_t la, const int8_t* b,
         const bool acgt = ai >= 0 && ai < 4;
         uint8_t* ci = cell + (size_t)i * (lb + 1);
         // j = 0
-        int32_t vp_diag = v_prev[0];          // old v[i-1][j-1] for diag
+        const int32_t v0_old = v_prev[0];      // old v[i-1][0] for j=1's diag
         {
             const int32_t ext = f_prev[0] + GE;
-            const int32_t opn = v_prev[0] + GO + GE;
+            const int32_t opn = v0_old + GO + GE;
             const bool fc = ext >= opn;
             const int32_t f0 = fc ? ext : opn;
             f_prev[0] = f0;
-            v_prev[0] = f0;                    // vert[0] = f_cur[0]; E = NEG
+            // v_prev[0] = f0 is deferred until after pass A (the j=1 lane's
+            // diagonal still reads the OLD v_prev[0])
             ci[0] = (uint8_t)(1 | (fc ? 4 : 0));
+            t_arr[0] = f0 + GO;                // run init (vert[0] = f0)
         }
-        int32_t run = v_prev[0] + GO;          // t[0] = vert[0] + GO - GE*0
-        int32_t t_prev = run;
-        for (int64_t j = 1; j <= lb; j++) {
-            const int32_t old_vj = v_prev[j];
-            const int32_t ext = f_prev[j] + GE;
-            const int32_t opn = old_vj + GO + GE;
-            const bool fc = ext >= opn;
-            const int32_t f_cur = fc ? ext : opn;
-            const int32_t sub = (b[j - 1] == ai && acgt) ? MATCH : MISMATCH;
-            const int32_t diag = vp_diag + sub;
-            int32_t vert;
-            uint8_t p;
-            if (diag >= f_cur) { vert = diag; p = 0; }
-            else { vert = f_cur; p = 1; }
-            const int32_t t_j = vert + GO - GE * (int32_t)j;  // pre-E vert
-            const int32_t e = run + GE * (int32_t)j;
-            uint8_t flags = (uint8_t)((fc ? 4 : 0) | (t_prev < run ? 8 : 0));
-            if (e > vert) { vert = e; p = 2; }
-            ci[j] = (uint8_t)(p | flags);
-            v_prev[j] = vert;
-            f_prev[j] = f_cur;
-            vp_diag = old_vj;
-            if (t_j > run) run = t_j;
-            t_prev = t_j;
+#if defined(__AVX2__)
+        // The row splits into three passes so the only loop-carried
+        // dependency (E's running max over t) is isolated into a cheap
+        // scalar scan; passes A and B are 8-lane int32 vectors with the
+        // scalar code's exact compare/tie semantics.
+        {
+            const __m256i vge = _mm256_set1_epi32(GE);
+            const __m256i vgoge = _mm256_set1_epi32(GO + GE);
+            const __m256i vgo = _mm256_set1_epi32(GO);
+            const __m256i vmatch = _mm256_set1_epi32(MATCH);
+            const __m256i vmis = _mm256_set1_epi32(MISMATCH);
+            // a non-ACGT row code never matches (codes are >= 0)
+            const __m256i vai = _mm256_set1_epi32(acgt ? (int32_t)ai : -1);
+            const __m256i v8i = _mm256_set1_epi32(8);
+            __m256i vj = _mm256_setr_epi32(1, 2, 3, 4, 5, 6, 7, 8);
+            for (int64_t j = 1; j <= lb; j += 8) {   // pass A
+                const __m256i old_v =
+                    _mm256_loadu_si256((const __m256i*)&v_prev[j]);
+                const __m256i fp =
+                    _mm256_loadu_si256((const __m256i*)&f_prev[j]);
+                const __m256i ext = _mm256_add_epi32(fp, vge);
+                const __m256i opn = _mm256_add_epi32(old_v, vgoge);
+                const __m256i opn_gt = _mm256_cmpgt_epi32(opn, ext);
+                const __m256i f_cur = _mm256_max_epi32(ext, opn);
+                _mm256_storeu_si256((__m256i*)&f_prev[j], f_cur);
+                // fc = ext >= opn = !(opn > ext); stored as the bit-2 value
+                _mm256_storeu_si256(
+                    (__m256i*)&fca[j],
+                    _mm256_andnot_si256(opn_gt, _mm256_set1_epi32(4)));
+                const __m256i bj = _mm256_cvtepi8_epi32(
+                    _mm_loadl_epi64((const __m128i*)&b[j - 1]));
+                const __m256i eq = _mm256_cmpeq_epi32(bj, vai);
+                const __m256i sub = _mm256_blendv_epi8(vmis, vmatch, eq);
+                const __m256i diag = _mm256_add_epi32(
+                    _mm256_loadu_si256((const __m256i*)&v_prev[j - 1]), sub);
+                // p01 = diag >= f_cur ? 0 : 1
+                const __m256i p01 = _mm256_and_si256(
+                    _mm256_cmpgt_epi32(f_cur, diag), _mm256_set1_epi32(1));
+                _mm256_storeu_si256((__m256i*)&p01a[j], p01);
+                const __m256i pe = _mm256_max_epi32(diag, f_cur);
+                _mm256_storeu_si256((__m256i*)&pre_e[j], pe);
+                const __m256i t = _mm256_sub_epi32(
+                    _mm256_add_epi32(pe, vgo), _mm256_mullo_epi32(vge, vj));
+                _mm256_storeu_si256((__m256i*)&t_arr[j], t);
+                vj = _mm256_add_epi32(vj, v8i);
+            }
+            int32_t rmax = t_arr[0];            // inclusive prefix max of t
+            ipm[0] = rmax;
+            for (int64_t k = 1; k <= lb; k++) {
+                if (t_arr[k] > rmax) rmax = t_arr[k];
+                ipm[k] = rmax;
+            }
+            vj = _mm256_setr_epi32(1, 2, 3, 4, 5, 6, 7, 8);
+            for (int64_t j = 1; j <= lb; j += 8) {   // pass B
+                const __m256i run =
+                    _mm256_loadu_si256((const __m256i*)&ipm[j - 1]);
+                const __m256i tp =
+                    _mm256_loadu_si256((const __m256i*)&t_arr[j - 1]);
+                const __m256i e = _mm256_add_epi32(
+                    run, _mm256_mullo_epi32(vge, vj));
+                const __m256i pe =
+                    _mm256_loadu_si256((const __m256i*)&pre_e[j]);
+                const __m256i sel2 = _mm256_cmpgt_epi32(e, pe);
+                _mm256_storeu_si256((__m256i*)&v_prev[j],
+                                    _mm256_max_epi32(pe, e));
+                const __m256i p = _mm256_blendv_epi8(
+                    _mm256_loadu_si256((const __m256i*)&p01a[j]),
+                    _mm256_set1_epi32(2), sel2);
+                // bit8 = t_prev < run
+                const __m256i bit8 = _mm256_and_si256(
+                    _mm256_cmpgt_epi32(run, tp), _mm256_set1_epi32(8));
+                const __m256i byte32 = _mm256_or_si256(
+                    p, _mm256_or_si256(
+                        _mm256_loadu_si256((const __m256i*)&fca[j]), bit8));
+                const __m256i v16 = _mm256_packs_epi32(byte32, byte32);
+                const __m256i v8 = _mm256_packs_epi16(v16, v16);
+                const uint32_t lo = (uint32_t)_mm256_extract_epi32(v8, 0);
+                const uint32_t hi = (uint32_t)_mm256_extract_epi32(v8, 4);
+                memcpy(ci + j, &lo, 4);
+                memcpy(ci + j + 4, &hi, 4);
+                vj = _mm256_add_epi32(vj, v8i);
+            }
+            v_prev[0] = f_prev[0];             // vert[0] = f_cur[0]; E = NEG
         }
+#else
+        {
+            // original single-pass scalar row (scratch arrays unused)
+            (void)t_arr; (void)pre_e; (void)p01a; (void)fca; (void)ipm;
+            v_prev[0] = f_prev[0];             // vert[0] = f_cur[0]; E = NEG
+            int32_t vp_diag = v0_old;
+            int32_t run = v_prev[0] + GO;      // t[0]
+            int32_t t_prev = run;
+            for (int64_t j = 1; j <= lb; j++) {
+                const int32_t old_vj = v_prev[j];
+                const int32_t ext = f_prev[j] + GE;
+                const int32_t opn = old_vj + GO + GE;
+                const bool fc = ext >= opn;
+                const int32_t f_cur = fc ? ext : opn;
+                const int32_t sub =
+                    (b[j - 1] == ai && acgt) ? MATCH : MISMATCH;
+                const int32_t diag = vp_diag + sub;
+                int32_t vert;
+                uint8_t p;
+                if (diag >= f_cur) { vert = diag; p = 0; }
+                else { vert = f_cur; p = 1; }
+                const int32_t t_j = vert + GO - GE * (int32_t)j;
+                const int32_t e = run + GE * (int32_t)j;
+                uint8_t flags =
+                    (uint8_t)((fc ? 4 : 0) | (t_prev < run ? 8 : 0));
+                if (e > vert) { vert = e; p = 2; }
+                ci[j] = (uint8_t)(p | flags);
+                v_prev[j] = vert;
+                f_prev[j] = f_cur;
+                vp_diag = old_vj;
+                if (t_j > run) run = t_j;
+                t_prev = t_j;
+            }
+        }
+#endif
     }
     // traceback — the exact NumPy state machine
     int64_t i = la, j = lb, state = 0, n = 0;
@@ -544,15 +704,21 @@ void gotoh_ops_batch(const int8_t* c, int64_t la, const int8_t* members,
         1, std::min(nthreads, m));
     std::atomic<int64_t> next(0);
     auto work = [&]() {
-        std::vector<uint8_t> cell((size_t)(la + 1) * (lb_max + 1));
-        std::vector<int32_t> v(lb_max + 1), f(lb_max + 1);
+        // +8 slack everywhere: the AVX2 row passes run full 8-lane chunks
+        // past lb (the overrun lands in slack or is overwritten by the
+        // next row before any read)
+        std::vector<uint8_t> cell((size_t)(la + 1) * (lb_max + 1) + 8);
+        std::vector<int32_t> v(lb_max + 9), f(lb_max + 9);
+        std::vector<int32_t> t(lb_max + 9), pe(lb_max + 9), p01(lb_max + 9),
+            fc(lb_max + 9), ipm(lb_max + 9);
         for (;;) {
             const int64_t mi = next.fetch_add(1);
             if (mi >= m) return;
             gotoh_seq_one(c, la, members + offs[mi],
                           offs[mi + 1] - offs[mi], cell.data(), v.data(),
-                          f.data(), out + (size_t)mi * out_stride,
-                          out_stride);
+                          f.data(), t.data(), pe.data(), p01.data(),
+                          fc.data(), ipm.data(),
+                          out + (size_t)mi * out_stride, out_stride);
         }
     };
     if (nt <= 1) { work(); return; }
