@@ -27,6 +27,7 @@ import numpy as np
 
 from ..thermo import exact as thermo
 from ..utils import iupac
+from .. import native
 from . import mcdpd
 
 
@@ -92,6 +93,19 @@ def _loss_triggers(length, gc, d2):
     return thermo.penalty_points(length, gc, 0, d2) > 3.6
 
 
+@lru_cache(maxsize=None)
+def _trig_table(l1):
+    """uint8 [l1, l1, l1] of the (len, gc, d2) loss-gate verdicts for the
+    native hit-end enumeration (built once per primer length)."""
+    t = np.zeros((l1, l1, l1), np.uint8)
+    for ln in range(5, min(19, l1)):
+        for gc in range(ln + 1):
+            for d2 in range(l1):
+                if _loss_triggers(ln, gc, d2):
+                    t[ln, gc, d2] = 1
+    return t
+
+
 @lru_cache(maxsize=50000)
 def _dimer_hit_ends(primer):
     """All 3'-ends that trigger the cross-dimer verdict when searched in
@@ -105,7 +119,27 @@ def _dimer_hit_ends(primer):
     every expansion at its first index (lengths 5..18, the 3'-end length
     range of current_end) yields the complete hit set once per primer;
     GC(e) == GC(rc(e)) so the penalty arguments come straight from the
-    substring."""
+    substring.
+
+    The substring walk runs natively when available (the result is a SET,
+    so only membership matters); the dG verdicts for the d2==0 candidates
+    stay in memoised Python.  Fuzz-checked against the pure-Python walk
+    below (tests/test_pairing_golden.py)."""
+    if len(primer) <= 63:
+        res = native.dimer_hit_ends(primer, _trig_table(len(primer) + 1))
+        if res is not None:
+            trig, dg_cands = res
+            out = set(trig)
+            for s in dg_cands:
+                e = iupac.rc(s)
+                if thermo.delta_g(e, both_ends=False) < -5:
+                    out.add(e)
+            return frozenset(out)
+    return _dimer_hit_ends_py(primer)
+
+
+def _dimer_hit_ends_py(primer):
+    """Pure-Python hit-end walk — the native path's parity oracle."""
     out = set()
     done = set()        # substrings already known to trigger (any expansion)
     for p in iupac.expand(primer):

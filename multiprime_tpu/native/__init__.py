@@ -178,6 +178,12 @@ def _bind(lib):
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,        # masks
         ctypes.c_int64, ctypes.c_int64,                         # mm, term
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]        # out/cap/nt
+    lib.dimer_hit_ends.restype = ctypes.c_int64
+    lib.dimer_hit_ends.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,                        # primer
+        ctypes.c_void_p, ctypes.c_int64,                        # trig, l1
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,       # trig buf
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]       # dg buf
 
 
 def available():
@@ -592,3 +598,37 @@ def mask_scan(target_codes: np.ndarray, lens: np.ndarray,
         if total <= cap:
             return out[:total]
         cap = int(total)
+
+
+_DIMER_BUFS = threading.local()
+
+
+def dimer_hit_ends(primer: str, trig_table: np.ndarray):
+    """Native enumeration for pairing's factored cross-dimer hit sets.
+
+    trig_table: uint8 [l1, l1, l1] of the (len, gc, d2) loss-gate verdicts.
+    Returns (loss_triggered_rc_ends, d2zero_candidates) as lists of strings,
+    or None (fallback) on unknown codes / expansion blowup / overflow.  The
+    caller unions the triggered set with the dG-passing candidates."""
+    lib = load()
+    if lib is None:
+        return None
+    l1 = trig_table.shape[0]
+    t = np.ascontiguousarray(trig_table, np.uint8)
+    cap = 1 << 16
+    bufs = _DIMER_BUFS.__dict__
+    if "t" not in bufs:
+        bufs["t"] = ctypes.create_string_buffer(cap)
+        bufs["d"] = ctypes.create_string_buffer(cap)
+    tbuf, dbuf = bufs["t"], bufs["d"]
+    tlen = ctypes.c_int64(0)
+    dlen = ctypes.c_int64(0)
+    r = lib.dimer_hit_ends(primer.encode("ascii"), len(primer),
+                           t.ctypes.data, l1, tbuf, cap,
+                           ctypes.byref(tlen), dbuf, cap,
+                           ctypes.byref(dlen))
+    if r < 0:
+        return None
+    trig = tbuf.raw[:tlen.value].decode("ascii").split()
+    dg = dbuf.raw[:dlen.value].decode("ascii").split()
+    return trig, dg

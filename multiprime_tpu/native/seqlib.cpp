@@ -23,6 +23,7 @@
 #include <cmath>
 #include <thread>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
 #include <algorithm>
 
@@ -1655,6 +1656,78 @@ int64_t mask_scan(const uint8_t* targets, int64_t n, int64_t stride,
         if (written >= max_hits && total > max_hits) continue;
     }
     return total;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Pairing cross-dimer hit-end enumeration (models/pairing._dimer_hit_ends).
+//
+// For every expansion of a degenerate primer, every distinct substring s
+// (len 5..18) at its first occurrence idx triggers when
+// loss(len, GC, d2=n-len-idx) > 3.6 — a pure (len, gc, d2) predicate the
+// caller passes as a precomputed table — or, failing that, when d2 == 0
+// and dG(rc(s)) < -5.  dG evaluation stays in (memoised) Python: this
+// routine returns the loss-triggered rc(s) strings plus the distinct
+// d2==0 candidates.  The result is consumed as a SET, so only membership
+// matters — no iteration-order contract to preserve.
+
+extern "C" {
+
+// trig: uint8 [l1][l1][l1] flattened (len, gc, d2).  Both output buffers
+// receive '\n'-joined strings; returns total byte length written into
+// trig_buf via *trig_len and dg_buf via *dg_len, or -1 on fallback
+// (unknown code, expansion blowup, buffer overflow).
+int64_t dimer_hit_ends(const char* primer, int64_t plen,
+                       const uint8_t* trig, int64_t l1,
+                       char* trig_buf, int64_t trig_cap, int64_t* trig_len,
+                       char* dg_buf, int64_t dg_cap, int64_t* dg_len) {
+    if (plen <= 0 || plen >= l1 || plen > 63) return -1;
+    std::vector<std::string> expansions;
+    if (!expandAll(primer, plen, &expansions, 4096)) return -1;
+    std::unordered_set<std::string> done;      // loss-triggered substrings
+    std::unordered_set<std::string> dg_seen;   // emitted d2==0 candidates
+    std::unordered_set<std::string> first;     // per-expansion first-occ set
+    int64_t tpos = 0, dpos = 0;
+    char rcbuf[64];
+    for (const auto& p : expansions) {
+        const int64_t n = (int64_t)p.size();
+        first.clear();
+        int gcpre[64];
+        gcpre[0] = 0;
+        for (int64_t i = 0; i < n; i++)
+            gcpre[i + 1] = gcpre[i] + (p[i] == 'G' || p[i] == 'C');
+        for (int64_t start = 0; start < n; start++) {
+            const int64_t top = std::min<int64_t>(18, n - start);
+            for (int64_t ln = 5; ln <= top; ln++) {
+                std::string s = p.substr((size_t)start, (size_t)ln);
+                if (!first.insert(s).second) continue;   // not first occ
+                if (done.count(s)) continue;
+                const int64_t d2 = n - ln - start;
+                const int gc = gcpre[start + ln] - gcpre[start];
+                if (trig[(ln * l1 + gc) * l1 + d2]) {
+                    done.insert(s);
+                    for (int64_t k = 0; k < ln; k++) {
+                        const char ch = s[(size_t)(ln - 1 - k)];
+                        rcbuf[k] = ch == 'A' ? 'T' : ch == 'T' ? 'A'
+                                 : ch == 'G' ? 'C' : 'G';
+                    }
+                    if (tpos + ln + 1 > trig_cap) return -1;
+                    memcpy(trig_buf + tpos, rcbuf, (size_t)ln);
+                    trig_buf[tpos + ln] = '\n';
+                    tpos += ln + 1;
+                } else if (d2 == 0 && dg_seen.insert(s).second) {
+                    if (dpos + ln + 1 > dg_cap) return -1;
+                    memcpy(dg_buf + dpos, s.data(), (size_t)ln);
+                    dg_buf[dpos + ln] = '\n';
+                    dpos += ln + 1;
+                }
+            }
+        }
+    }
+    *trig_len = tpos;
+    *dg_len = dpos;
+    return 0;
 }
 
 }  // extern "C"

@@ -127,6 +127,13 @@ def _stat_mean(values) -> float:
         # mean of [x] is exactly x (the rational reduces to x itself);
         # most windows expand to a single sequence, so this is the hot case
         return float(values[0])
+    if len(values) == 2:
+        # a+b rounds once and halving is an exact scaling that commutes
+        # with round-to-nearest, so (a+b)/2 == float(Fraction(a+b, 2)) for
+        # finite sums — the per-emitted-pair avg-Tm hot case
+        s = float(values[0]) + float(values[1])
+        if math.isfinite(s):
+            return s / 2.0
     nums = []
     dens = []
     max_d = 1

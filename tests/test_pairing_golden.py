@@ -134,3 +134,24 @@ def test_forked_pair_pass_identical_to_serial():
     assert cand_s == cand_f
     assert serial == forked
     assert len(serial) > 1000
+
+
+def test_native_dimer_hit_ends_matches_python_fuzz():
+    """Native substring walk == the pure-Python oracle on random degenerate
+    primers (the result is consumed as a set: membership equality)."""
+    import numpy as np
+    from multiprime_tpu.models import pairing
+    from multiprime_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(3)
+    letters = np.array(list("ACGTRYMKSWHBVDN"))
+    w = np.array([12.0] * 4 + [1.0] * 11)
+    w /= w.sum()
+    for _ in range(120):
+        plen = int(rng.integers(5, 26))
+        p = "".join(rng.choice(letters, size=plen, p=w))
+        a = pairing._dimer_hit_ends.__wrapped__(p)
+        b = frozenset(pairing._dimer_hit_ends_py(p))
+        assert a == b, p
