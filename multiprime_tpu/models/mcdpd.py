@@ -942,11 +942,29 @@ class DesignEngine:
             # Native transliteration of the perfect-coverage loop (its
             # candidate order / integer bookkeeping is identical; parity
             # pinned by tests/test_native_refine.py + the fuzz shadows).
-            # v20 can't go native: its loop interleaves _mis_primer_check,
-            # whose dict order depends on live CPython set layout.
             res = native.refine_v16(
                 consensus, nn, keys, counts_list, coverage_init,
                 cover_number, p.degeneracy, p.dege_number)
+            if res is not None:
+                primer, coverage_init = res
+                f_mis, f_non, r_mis, r_non = self._mis_primer_check(
+                    keys, key_chars, counts_list, primer, non_gap_seq_id)
+                info = self.pre_filter_info(primer)
+                return (primer, coverage_init + f_mis,
+                        coverage_init + r_mis, info, dict(f_non),
+                        dict(r_non))
+        elif p.algo == "v20":
+            # Native mis-coverage-driven loop: the interleaved
+            # _mis_primer_check calls feed only order-independent count
+            # sums, so they run in C; the final F/R non-cover dicts (whose
+            # key order follows CPython set layout) come from ONE Python
+            # _mis_primer_check on the returned primer — identical to the
+            # last in-loop call because counts and dicts are deterministic
+            # functions of the primer (tests/test_native_refine.py fuzz).
+            res = native.refine_v20(
+                consensus, nn, keys, counts_list, coverage_init,
+                cover_number, p.degeneracy, p.dege_number, self._covered,
+                self._y_strict_arr, self._y_strict_r_arr, p.variation)
             if res is not None:
                 primer, coverage_init = res
                 f_mis, f_non, r_mis, r_non = self._mis_primer_check(

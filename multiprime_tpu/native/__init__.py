@@ -178,6 +178,17 @@ def _bind(lib):
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,        # masks
         ctypes.c_int64, ctypes.c_int64,                         # mm, term
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]        # out/cap/nt
+    lib.refine_v20_loop.restype = ctypes.c_int64
+    lib.refine_v20_loop.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,                        # primer
+        ctypes.c_void_p,                                        # nn
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,       # keys/counts
+        ctypes.c_int64, ctypes.c_int64,                         # cov, total
+        ctypes.c_int64, ctypes.c_int64,                         # limits
+        ctypes.c_void_p,                                        # nn_index
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,      # covered/strict
+        ctypes.c_int64,                                         # variation
+        ctypes.c_void_p]                                        # out_cov
     lib.dimer_hit_ends.restype = ctypes.c_int64
     lib.dimer_hit_ends.argtypes = [
         ctypes.c_char_p, ctypes.c_int64,                        # primer
@@ -632,3 +643,46 @@ def dimer_hit_ends(primer: str, trig_table: np.ndarray):
     trig = tbuf.raw[:tlen.value].decode("ascii").split()
     dg = dbuf.raw[:dlen.value].decode("ascii").split()
     return trig, dg
+
+
+def refine_v20(consensus: str, nn, keys, counts, coverage_init, cover_number,
+               degeneracy_limit, dege_limit, covered, f_strict, r_strict,
+               variation):
+    """Native v20 mis-coverage-driven refinement loop (multiPrime-core.py:
+    881-906).  The in-loop mismatch checks feed only order-independent
+    count sums; the caller recomputes the final F/R non-cover dicts in
+    Python on the returned primer (deterministic, so byte-identical to the
+    last in-loop call).  Returns (refined_primer, coverage) or None."""
+    lib = load()
+    if lib is None:
+        return None
+    plen = len(consensus)
+    _refine_ready(lib)
+    prm = ctypes.create_string_buffer(consensus.encode("ascii"), plen)
+    nn_arr = np.ascontiguousarray(nn, np.int64).copy()
+    blob = "".join(keys).encode("ascii")
+    if len(blob) != plen * len(keys):
+        return None
+    cnt = np.ascontiguousarray(counts, np.int64)
+    base_idx = {"A": 0, "C": 1, "G": 2, "T": 3}
+    try:
+        path = [base_idx[c] for c in consensus]
+    except KeyError:              # pragma: no cover - consensus is pure
+        return None
+    idx = np.empty((plen - 1, 2), np.uint8)
+    for i in range(plen - 1):
+        idx[i, 0] = path[i]
+        idx[i, 1] = path[i + 1]
+    cov_tab = np.ascontiguousarray(covered, np.uint8)
+    fs = np.ascontiguousarray(f_strict, np.uint8)
+    rs = np.ascontiguousarray(r_strict, np.uint8)
+    out_cov = np.empty(1, np.int64)
+    r = lib.refine_v20_loop(
+        ctypes.addressof(prm), plen, nn_arr.ctypes.data, blob,
+        cnt.ctypes.data, len(keys), int(coverage_init), int(cover_number),
+        int(degeneracy_limit), int(dege_limit), idx.ctypes.data,
+        cov_tab.ctypes.data, fs.ctypes.data, rs.ctypes.data,
+        int(variation), out_cov.ctypes.data)
+    if r < 0:
+        return None
+    return prm.raw[:plen].decode("ascii"), int(out_cov[0])

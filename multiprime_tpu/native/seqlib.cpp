@@ -1493,6 +1493,102 @@ int64_t refine_v16_loop(uint8_t* primer, int64_t plen,
     return 0;
 }
 
+// The v20 mis-coverage-driven loop (multiPrime-core.py:881-906).  The
+// loop's intermediate _mis_primer_check calls feed only the f/r mis COUNT
+// sums — pure order-independent integer reductions over the distinct
+// window keys — so they run here; the final F/R non-cover dicts (whose
+// key order follows CPython set layout) are recomputed once in Python on
+// the returned primer, which is byte-identical to the last in-loop call
+// because the counts and dicts are deterministic functions of the primer.
+// covered: uint8 [128][128] truth table (the reference's Y_distance float
+// arithmetic evaluated once per char pair); f/r_strict: per-position
+// forbidden flags.  Returns 0, or -1 to fall back to the Python loop.
+
+static void mis_counts_v20(const uint8_t* prm, int64_t plen,
+                           const uint8_t* keys, const int64_t* counts,
+                           int64_t K, const uint8_t* covered,
+                           const uint8_t* f_strict, const uint8_t* r_strict,
+                           int64_t variation,
+                           int64_t* f_mis, int64_t* r_mis) {
+    int64_t f = 0, r = 0;
+    for (int64_t k = 0; k < K; k++) {
+        const uint8_t* key = keys + k * plen;
+        bool member = true;       // key in expansions(primer)?
+        int64_t nmis = 0;
+        bool fbad = false, rbad = false;
+        for (int64_t i = 0; i < plen; i++) {
+            const uint8_t pc = prm[i];
+            const uint8_t kc = key[i];
+            if (member) {
+                const uint8_t pm = RF_CHAR2MASK[pc];
+                if (pm == 0) {
+                    member = (kc == pc);
+                } else {
+                    const uint8_t km = RF_CHAR2MASK[kc];
+                    member = km && !(km & (km - 1)) && (km & pm);
+                }
+            }
+            if (!covered[(size_t)pc * 128 + kc]) {
+                nmis++;
+                fbad |= (f_strict[i] != 0);
+                rbad |= (r_strict[i] != 0);
+            }
+        }
+        if (member || nmis > variation) continue;
+        if (!fbad) f += counts[k];
+        if (!rbad) r += counts[k];
+    }
+    *f_mis = f;
+    *r_mis = r;
+}
+
+int64_t refine_v20_loop(uint8_t* primer, int64_t plen,
+                        int64_t* nn_in,                // (plen-1)*16
+                        const uint8_t* keys, const int64_t* counts,
+                        int64_t K,
+                        int64_t coverage_init, int64_t cover_number,
+                        int64_t degeneracy_limit, int64_t dege_limit,
+                        const uint8_t* nn_index,       // (plen-1)*2
+                        const uint8_t* covered,        // [128*128]
+                        const uint8_t* f_strict, const uint8_t* r_strict,
+                        int64_t variation,
+                        int64_t* out_cov) {
+    if (plen < 3 || plen > 40) return -1;
+    refine_detail::KeyMap cover;
+    cover.build(keys, counts, K, plen);
+
+    std::vector<uint8_t> prm(primer, primer + plen);
+    std::vector<int64_t> nn(nn_in, nn_in + (size_t)(plen - 1) * 16);
+    std::vector<int64_t> nncov((size_t)(plen - 1));
+    for (int64_t i = 0; i < plen - 1; i++)
+        nncov[i] = nn[(size_t)i * 16 + nn_index[i * 2] * 4 + nn_index[i * 2 + 1]];
+
+    int64_t cov = coverage_init;
+    int64_t f_mis, r_mis;
+    mis_counts_v20(prm.data(), plen, keys, counts, K, covered, f_strict,
+                   r_strict, variation, &f_mis, &r_mis);
+    std::vector<int64_t> nncov_prev;
+    while (cov + f_mis < cover_number || cov + r_mis < cover_number) {
+        nncov_prev = nncov;
+        int fallback = 0;
+        int64_t dege = 0, n_dege = 0;
+        refine_step(prm, cov, nn, nncov, nn_index, cover, plen, &fallback,
+                    &dege, &n_dege);
+        if (fallback) return -1;
+        mis_counts_v20(prm.data(), plen, keys, counts, K, covered, f_strict,
+                       r_strict, variation, &f_mis, &r_mis);
+        const int64_t mx = f_mis > r_mis ? f_mis : r_mis;
+        if (mx == cover_number) break;
+        if (nncov == nncov_prev) break;
+        // 2*dege > D or 3*dege/2 > D (exact: 3*dege > 2*D) or n_dege == lim
+        if (2 * dege > degeneracy_limit || 3 * dege > 2 * degeneracy_limit
+                || n_dege == dege_limit) break;
+    }
+    memcpy(primer, prm.data(), (size_t)plen);
+    *out_cov = cov;
+    return 0;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

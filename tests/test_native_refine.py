@@ -69,3 +69,39 @@ def test_native_refine_matches_python_loop(algo, seed, monkeypatch):
     rows_python = [r.row() for r in eng2.design(ids, chars)]
     assert rows_native == rows_python
     assert len(rows_native) > 5
+
+
+@needs_native
+@pytest.mark.parametrize("seed,variation", [(0, 1), (3, 1), (7, 2),
+                                            (11, 0), (5, 1)])
+def test_native_v20_loop_matches_python(seed, variation, monkeypatch):
+    """Full v20 design run with the native mis-coverage-driven loop vs the
+    pure-Python loop: identical rows AND identical F/R non-cover dicts
+    (their CPython-set-layout key order included) on fuzz MSAs."""
+    recs = _fuzz_msa(seed + 900)
+    ids = [h.lstrip(">") for h, _ in recs]
+    chars = np.frombuffer("".join(s for _, s in recs).encode(),
+                          np.uint8).reshape(len(recs), -1).copy()
+    params = mcdpd.DesignParams(
+        primer_length=18, coverage=0.6, dege_number=4, degeneracy=10,
+        variation=variation, entropy_threshold=3.6, gc=(0.2, 0.7),
+        min_product=100, coordinate="2,3,-1", hairpin_distance=4,
+        algo="v20")
+
+    eng = mcdpd.DesignEngine(params)
+    res_native = eng.design(ids, chars)
+    rows_native = [r.row() for r in res_native]
+
+    monkeypatch.setattr(native, "refine_v20", lambda *a, **k: None)
+    eng2 = mcdpd.DesignEngine(params)
+    res_python = eng2.design(ids, chars)
+    rows_python = [r.row() for r in res_python]
+    assert rows_native == rows_python
+    assert len(rows_native) > 5
+    # the JSON sidecar inputs (set-layout-ordered dicts) must match too —
+    # serialized, so nested key ORDER is part of the comparison
+    import json
+    gn, nn = mcdpd.pairing_inputs(res_native)
+    gp, np_ = mcdpd.pairing_inputs(res_python)
+    assert json.dumps(gn) == json.dumps(gp)
+    assert json.dumps(nn) == json.dumps(np_)
