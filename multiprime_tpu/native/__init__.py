@@ -189,6 +189,14 @@ def _bind(lib):
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,      # covered/strict
         ctypes.c_int64,                                         # variation
         ctypes.c_void_p]                                        # out_cov
+    lib.seed_scan.restype = ctypes.c_int64
+    lib.seed_scan.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,        # targets
+        ctypes.c_void_p,                                        # lens
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,        # masks
+        ctypes.c_int64, ctypes.c_int64,                         # mm, term
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,        # out/cap/nt
+        ctypes.c_int64]                                         # exp_cap
     lib.dimer_hit_ends.restype = ctypes.c_int64
     lib.dimer_hit_ends.argtypes = [
         ctypes.c_char_p, ctypes.c_int64,                        # primer
@@ -686,3 +694,31 @@ def refine_v20(consensus: str, nn, keys, counts, coverage_init, cover_number,
     if r < 0:
         return None
     return prm.raw[:plen].decode("ascii"), int(out_cov[0])
+
+
+def seed_scan(target_codes: np.ndarray, lens: np.ndarray,
+              masks: np.ndarray, mm: int, term: int, nthreads=0,
+              exp_cap=256):
+    """Seed-indexed mismatch scan: pigeonhole over mm+1 pattern chunks,
+    exact-chunk hash probes over a rolling 2-bit target code, mask-test
+    verification.  Same inputs/outputs/order as mask_scan; wins when the
+    pattern count is large (index probes replace the per-pattern walk)."""
+    lib = load()
+    if lib is None:
+        return None
+    t = np.ascontiguousarray(target_codes, np.uint8)
+    m = np.ascontiguousarray(masks, np.uint8)
+    ln = np.ascontiguousarray(lens, np.int64)
+    n, stride = t.shape
+    p, plen = m.shape
+    if nthreads <= 0:
+        nthreads = default_threads()
+    cap = max(1 << 16, 4 * n)
+    while True:
+        out = np.empty((cap, 4), np.int32)
+        total = lib.seed_scan(t.ctypes.data, n, stride, ln.ctypes.data,
+                              m.ctypes.data, p, plen, mm, term,
+                              out.ctypes.data, cap, nthreads, exp_cap)
+        if total <= cap:
+            return out[:total]
+        cap = int(total)

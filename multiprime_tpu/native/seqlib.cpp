@@ -1827,3 +1827,290 @@ int64_t dimer_hit_ends(const char* primer, int64_t plen,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Seed-indexed mismatch scan — the large-P path of the bowtie2 replacement.
+//
+// Pigeonhole: a window with <= mm mismatches against a pattern must match
+// at least one of mm+1 disjoint chunks exactly.  Chunk expansions (pure
+// 2-bit codes) go into a hash index; the target is scanned once per
+// distinct chunk length with a rolling packed code, and each index hit
+// proposes a candidate alignment that is verified with the same mask test
+// as mask_scan.  A candidate is accepted from chunk c only if every
+// earlier chunk of the same pattern is NOT exact there, so each
+// (row, pos, pattern) is generated exactly once.  Hit set and order are
+// identical to mask_scan (ascending (row, pos, pattern); per-row sort).
+// Patterns whose chunks exceed the expansion cap fall back to the
+// early-exit brute walk within the same call.
+
+namespace seed_detail {
+
+struct Index {
+    // open-addressing map: key -> chain head into entries
+    std::vector<uint64_t> keys;
+    std::vector<int32_t> head;
+    std::vector<int32_t> nxt;          // entry chain
+    std::vector<int32_t> e_pat;        // pattern id
+    std::vector<int32_t> e_off;        // chunk offset in pattern
+    uint64_t mask = 0;
+
+    void init(size_t expected) {
+        size_t cap = 64;
+        while (cap < expected * 2) cap <<= 1;
+        keys.assign(cap, ~0ull);
+        head.assign(cap, -1);
+        mask = cap - 1;
+    }
+    static uint64_t mix(uint64_t k) {
+        k *= 0x9E3779B97F4A7C15ull;
+        k ^= k >> 29;
+        k *= 0xBF58476D1CE4E5B9ull;
+        k ^= k >> 32;
+        return k;
+    }
+    void add(uint64_t key, int32_t pat, int32_t off) {
+        uint64_t j = mix(key) & mask;
+        while (keys[j] != ~0ull && keys[j] != key) j = (j + 1) & mask;
+        keys[j] = key;
+        e_pat.push_back(pat);
+        e_off.push_back(off);
+        nxt.push_back(head[j]);
+        head[j] = (int32_t)(e_pat.size() - 1);
+    }
+    int32_t find(uint64_t key) const {
+        uint64_t j = mix(key) & mask;
+        while (keys[j] != ~0ull) {
+            if (keys[j] == key) return head[j];
+            j = (j + 1) & mask;
+        }
+        return -1;
+    }
+};
+
+// enumerate 2-bit packed expansions of masks[off..off+len); false on blowup
+static bool chunk_codes(const uint8_t* masks, int64_t off, int64_t len,
+                        int64_t cap, std::vector<uint64_t>* out) {
+    out->clear();
+    out->push_back(0);
+    for (int64_t j = 0; j < len; j++) {
+        const uint8_t m = masks[off + j];
+        if (m == 0) return false;
+        const size_t n = out->size();
+        size_t first_done = 0;
+        uint64_t firstb = 99;
+        for (int b = 0; b < 4; b++) {
+            if (!(m & (1 << b))) continue;
+            if (firstb == 99) { firstb = (uint64_t)b; continue; }
+            for (size_t e = 0; e < n; e++) {
+                out->push_back(((*out)[e] << 2) | (uint64_t)b);
+                if ((int64_t)out->size() > cap) return false;
+            }
+            (void)first_done;
+        }
+        if (firstb == 99) return false;
+        for (size_t e = 0; e < n; e++)
+            (*out)[e] = ((*out)[e] << 2) | firstb;
+    }
+    return true;
+}
+
+struct Plan {
+    Index index;
+    std::vector<int32_t> brute;            // pattern ids on the brute path
+    std::vector<int64_t> chunk_lo;         // [n_chunks+1] bounds
+    std::vector<int64_t> lens;             // distinct chunk lengths
+    int64_t n_chunks = 0;
+};
+
+}  // namespace seed_detail
+
+extern "C" {
+
+// Same contract as mask_scan.  exp_cap bounds per-chunk expansions before a
+// pattern falls back to the brute walk.
+int64_t seed_scan(const uint8_t* targets, int64_t n, int64_t stride,
+                  const int64_t* lens, const uint8_t* masks, int64_t p,
+                  int64_t plen, int64_t mm, int64_t term,
+                  int32_t* out, int64_t max_hits, int64_t nthreads,
+                  int64_t exp_cap) {
+    if (plen <= 0 || p <= 0 || n <= 0) return 0;
+    if (term > plen) return 0;
+    const int64_t n_chunks = mm + 1;
+    // guard: 2*Lmax+6 key bits must fit in 64 so (code, L) keys are exact
+    // (no truncation => two expansions of one chunk can never share a
+    // chain => no duplicate proposals)
+    const int64_t lmax = n_chunks > 0 ? (plen + n_chunks - 1) / n_chunks : 64;
+    if (mm < 0 || n_chunks > plen || plen > 31 || 2 * lmax + 6 > 64)
+        return mask_scan(targets, n, stride, lens, masks, p, plen, mm, term,
+                         out, max_hits, nthreads);
+    seed_detail::Plan plan;
+    plan.n_chunks = n_chunks;
+    plan.chunk_lo.resize(n_chunks + 1);
+    for (int64_t c = 0; c <= n_chunks; c++)
+        plan.chunk_lo[c] = c * plen / n_chunks;
+    for (int64_t c = 0; c < n_chunks; c++) {
+        const int64_t L = plan.chunk_lo[c + 1] - plan.chunk_lo[c];
+        bool seen = false;
+        for (int64_t x : plan.lens) seen |= (x == L);
+        if (!seen && L > 0) plan.lens.push_back(L);
+    }
+    // build
+    std::vector<uint64_t> codes;
+    std::vector<std::pair<uint64_t, std::pair<int32_t, int32_t>>> staged;
+    for (int64_t pi = 0; pi < p; pi++) {
+        bool ok = true;
+        size_t mark = staged.size();
+        for (int64_t c = 0; c < n_chunks && ok; c++) {
+            const int64_t off = plan.chunk_lo[c];
+            const int64_t L = plan.chunk_lo[c + 1] - off;
+            if (!seed_detail::chunk_codes(masks + pi * plen, off, L,
+                                          exp_cap, &codes)) {
+                ok = false;
+                break;
+            }
+            for (uint64_t code : codes)
+                staged.push_back({(code << 6) | (uint64_t)L,
+                                  {(int32_t)pi, (int32_t)off}});
+        }
+        if (!ok) {
+            staged.resize(mark);
+            plan.brute.push_back((int32_t)pi);
+        }
+    }
+    plan.index.init(staged.size() + 1);
+    for (auto& s : staged)
+        plan.index.add(s.first, s.second.first, s.second.second);
+
+    int64_t nt = nthreads <= 0 ? 1 : nthreads;
+    if (nt > n) nt = n;
+    std::vector<std::vector<int32_t>> bufs((size_t)nt);
+    const int64_t suffix0 = term > 0 ? (plen - term) : plen;
+    auto scan_rows = [&](int64_t r0, int64_t r1, std::vector<int32_t>* ob) {
+        std::vector<std::pair<uint64_t, int32_t>> row_hits;   // key, mis
+        for (int64_t row = r0; row < r1; row++) {
+            const uint8_t* t = targets + row * stride;
+            const int64_t tl = lens[row];
+            const int64_t n_out = tl - plen + 1;
+            if (n_out <= 0) continue;
+            row_hits.clear();
+            // brute subset first? order fixed by final per-row sort.
+            for (int32_t pi : plan.brute) {
+                const uint8_t* m = masks + (int64_t)pi * plen;
+                for (int64_t o = 0; o < n_out; o++) {
+                    const uint8_t* w = t + o;
+                    int64_t mis = 0, j = suffix0;
+                    for (; j < plen; j++)
+                        if ((w[j] & m[j]) == 0) goto next_o;
+                    for (j = 0; j < suffix0; j++)
+                        if ((w[j] & m[j]) == 0 && ++mis > mm) goto next_o;
+                    row_hits.push_back({((uint64_t)o * (uint64_t)p)
+                                        + (uint64_t)pi, (int32_t)mis});
+                next_o:;
+                }
+            }
+            for (int64_t L : plan.lens) {
+                const uint64_t cmask =
+                    L >= 32 ? ~0ull : ((1ull << (2 * L)) - 1);
+                uint64_t code = 0;
+                int64_t invalid_until = -1;    // last pos with non-pure base
+                for (int64_t pos = 0; pos + 1 <= tl; pos++) {
+                    const uint8_t b = t[pos];
+                    int64_t v;
+                    switch (b) {
+                        case 1: v = 0; break;
+                        case 2: v = 1; break;
+                        case 4: v = 2; break;
+                        case 8: v = 3; break;
+                        default: v = 0; invalid_until = pos; break;
+                    }
+                    code = ((code << 2) | (uint64_t)v) & cmask;
+                    const int64_t start = pos - L + 1;
+                    if (start < 0 || invalid_until >= start) continue;
+                    const int32_t h = plan.index.find((code << 6)
+                                                      | (uint64_t)L);
+                    for (int32_t e = h; e >= 0; e = plan.index.nxt[e]) {
+                        const int32_t pi = plan.index.e_pat[e];
+                        const int32_t off = plan.index.e_off[e];
+                        const int64_t cand = start - off;
+                        if (cand < 0 || cand >= n_out) continue;
+                        const uint8_t* m = masks + (int64_t)pi * plen;
+                        const uint8_t* w = t + cand;
+                        // the proposing chunk must itself be exact here
+                        // (hash-key truncation/collisions only cost false
+                        // proposals, never wrong hits or duplicates)
+                        {
+                            bool self_exact = true;
+                            for (int64_t j = off; j < off + L; j++)
+                                if ((w[j] & m[j]) == 0) {
+                                    self_exact = false;
+                                    break;
+                                }
+                            if (!self_exact) continue;
+                        }
+                        // exactly-once: an earlier chunk must not be exact
+                        {
+                            bool dup = false;
+                            for (int64_t c = 0;
+                                 plan.chunk_lo[c] < off && c < n_chunks;
+                                 c++) {
+                                bool exact = true;
+                                for (int64_t j = plan.chunk_lo[c];
+                                     j < plan.chunk_lo[c + 1]; j++)
+                                    if ((w[j] & m[j]) == 0) {
+                                        exact = false;
+                                        break;
+                                    }
+                                if (exact) { dup = true; break; }
+                            }
+                            if (dup) continue;
+                        }
+                        int64_t mis = 0, j = suffix0;
+                        for (; j < plen; j++)
+                            if ((w[j] & m[j]) == 0) goto next_e;
+                        for (j = 0; j < suffix0; j++)
+                            if ((w[j] & m[j]) == 0 && ++mis > mm)
+                                goto next_e;
+                        row_hits.push_back({((uint64_t)cand * (uint64_t)p)
+                                            + (uint64_t)pi, (int32_t)mis});
+                    next_e:;
+                    }
+                }
+            }
+            std::sort(row_hits.begin(), row_hits.end());
+            for (auto& h : row_hits) {
+                ob->push_back((int32_t)row);
+                ob->push_back((int32_t)(h.first / (uint64_t)p));
+                ob->push_back((int32_t)(h.first % (uint64_t)p));
+                ob->push_back(h.second);
+            }
+        }
+    };
+    if (nt == 1) {
+        scan_rows(0, n, &bufs[0]);
+    } else {
+        std::vector<std::thread> pool;
+        const int64_t chunk = (n + nt - 1) / nt;
+        for (int64_t th = 0; th < nt; th++) {
+            const int64_t r0 = th * chunk;
+            const int64_t r1 = (th + 1) * chunk < n ? (th + 1) * chunk : n;
+            pool.emplace_back([=, &bufs, &scan_rows]() {
+                if (r0 < r1) scan_rows(r0, r1, &bufs[(size_t)th]);
+            });
+        }
+        for (auto& th : pool) th.join();
+    }
+    int64_t total = 0;
+    for (auto& b : bufs) total += (int64_t)(b.size() / 4);
+    int64_t written = 0;
+    for (auto& b : bufs) {
+        const int64_t k = (int64_t)(b.size() / 4);
+        const int64_t take = (written + k <= max_hits) ? k
+                             : (max_hits > written ? max_hits - written : 0);
+        if (take > 0)
+            memcpy(out + written * 4, b.data(), (size_t)take * 4 * 4);
+        written += take;
+    }
+    return total;
+}
+
+}  // extern "C"

@@ -186,14 +186,17 @@ def run(pairs, ref_file, out_dir, coverage_file):
             # Path.with_suffix like the reference (extract_PCR_product.py:
             # 232-234): a dotted key has its final ".suffix" REPLACED.
             base = str(Path(out_dir).joinpath(key).with_suffix(""))
+            # one join + one write per file: the per-pair product FASTAs
+            # dominate the large-scale tail (GBs across a 1000-pair set)
+            covered.update(products)
+            uncovered.update(non_products)
             with open(base + ".PCR.product.fa", "w") as p:
-                for rid, seq in products.items():
-                    covered.add(rid)
-                    p.write(rid + "\n" + seq + "\n")
+                p.write("".join(
+                    rid + "\n" + seq + "\n" for rid, seq in products.items()))
             with open(base + ".non_PCR.product.fa", "w") as np_:
-                for rid, seq in non_products.items():
-                    uncovered.add(rid)
-                    np_.write(rid + "\n" + seq + "\n")
+                np_.write("".join(
+                    rid + "\n" + seq + "\n"
+                    for rid, seq in non_products.items()))
     n_seqs = 0
     with open(ref_file, encoding="utf-8") as f:
         for chunk in iter(lambda: f.read(1 << 20), ""):

@@ -172,24 +172,35 @@ def scan_hits(target_seqs, patterns, params: ScanParams):
     if mesh is not None:
         return _scan_hits_sharded(mesh, target_seqs, p1h, s1h, n_real,
                                   pad_len, plen, params)
+    from .. import native
     if backend == "auto":
         macs = (len(target_seqs) * pad_len * len(patterns) * plen * 4)
-        backend = "numpy" if macs < 2e10 else "conv"
+        # the native seed-indexed scan (pigeonhole chunks + exact-match
+        # probes) is O(target bases) in the pattern count: measured 0.2 s
+        # where the tunneled conv path took 426 s (21k x 890nt x 2000
+        # patterns), so the host owns every mm<=3 workload when available
+        if native.available() and 0 <= params.mm <= 3:
+            backend = "numpy"
+        else:
+            backend = "numpy" if macs < 2e10 else "conv"
     if backend == "numpy":
-        # native early-exit mask scan: identical hits (tests/test_scan.py
-        # fuzzes it against find_hits_numpy), ~2 orders of magnitude less
-        # work than the im2col+sgemm formulation at host-path sizes
-        from .. import native
+        # native scans: identical hits (fuzzed against find_hits_numpy and
+        # each other in tests/test_scan.py).  seed_scan amortises its index
+        # over large row batches; the early-exit mask walk serves small
+        # pattern sets and mm>3.
         if native.available():
+            masks = ms.encode_pattern_masks(patterns)
+            use_seed = len(patterns) >= 32 and 0 <= params.mm <= 3
+            nbs = 65536 if use_seed else bs
             hits = []
-            for lo in range(0, len(target_seqs), bs):
-                chunk = target_seqs[lo:lo + bs]
+            for lo in range(0, len(target_seqs), nbs):
+                chunk = target_seqs[lo:lo + nbs]
                 codes, lens = ms.encode_target_codes(chunk)
                 if codes.shape[1] < plen:
                     continue
-                out = native.mask_scan(
-                    codes, lens, ms.encode_pattern_masks(patterns),
-                    params.mm, max(params.term, 0))
+                fn = native.seed_scan if use_seed else native.mask_scan
+                out = fn(codes, lens, masks, params.mm,
+                         max(params.term, 0))
                 for s, o, pi, m in out.tolist():
                     hits.append((lo + s, o, pi, m))
             return hits

@@ -311,3 +311,30 @@ def test_expand_primer_fasta_shared_expansion_falls_back(tmp_path):
         str(fa2), 0, None, with_keys=True)
     assert keys == ["ACGR", "TTGA"]
     assert key_labels == ["P1", "P2"]
+
+
+def test_native_seed_scan_matches_mask_scan_fuzz():
+    """Seed-indexed scan == early-exit mask walk (itself fuzzed against
+    find_hits_numpy) across degenerate patterns and every (mm, term)
+    corner, including patterns that overflow the chunk-expansion cap."""
+    from multiprime_tpu import native
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(21)
+    lut = np.array(list("ACGTN"))
+    for trial in range(8):
+        plen = int(rng.integers(5, 31))
+        seqs = ["".join(rng.choice(lut, size=rng.integers(plen, 300),
+                                   p=[.24, .24, .24, .24, .04]))
+                for _ in range(15)]
+        pats = _random_degenerate(rng, 40, plen)
+        pats[3] = "N" * plen                      # blows the chunk cap
+        exp = iupac.expand(pats[0])[0]
+        seqs[0] = seqs[0][:3] + exp + seqs[0][3 + plen:]
+        for mm in (0, 1, 2, 3):
+            for term in (0, 2, min(4, plen)):
+                codes, lens = ms.encode_target_codes(seqs)
+                masks = ms.encode_pattern_masks(pats)
+                a = native.mask_scan(codes, lens, masks, mm, term).tolist()
+                b = native.seed_scan(codes, lens, masks, mm, term).tolist()
+                assert a == b, (trial, mm, term)
