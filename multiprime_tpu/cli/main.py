@@ -104,6 +104,13 @@ def _run(argv):
                         "original (multiPrime-original.py: no dict/ANI/"
                         "targets, core_V15 engine)")
     p.add_argument("--coverage", type=float)
+    p.add_argument("--devices", type=int, metavar="N",
+                   help="shard the device design Stage A and the coverage "
+                        "scan over an N-device mesh (default 1; the "
+                        "reference's --cores analogue for chips)")
+    p.add_argument("--stage-a", choices=["host", "device", "auto"],
+                   dest="stage_a",
+                   help="design Stage-A backend (default: auto/config)")
     p.add_argument("--profile", metavar="DIR",
                    help="capture a JAX profiler trace of the whole run "
                         "(TensorBoard/XProf format) alongside the per-stage "
@@ -125,6 +132,10 @@ def _run(argv):
         overrides["pipeline_variant"] = args.variant
     if args.coverage is not None:
         overrides["coverage"] = args.coverage
+    if args.devices is not None:
+        overrides["devices"] = args.devices
+    if args.stage_a is not None:
+        overrides["stage_a"] = args.stage_a
     if args.profile:
         import jax
         # profiler threads do not survive the design stage's fork pool —

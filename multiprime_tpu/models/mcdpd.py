@@ -639,13 +639,24 @@ class DesignEngine:
         consumes them window by window.  Bit-identical to the host path
         (the device integers are exact; parity in tests/test_design_device.py).
         """
+        import sys as _sys
         from ..ops import design_scan
         masks = iupac.bytes_to_masks(chars)
         done = 0
         results = []
-        for pos_block, stats in design_scan.design_stats_blocks(
+        # an entered parallel.mesh context (mptpu run --devices N) shards
+        # Stage A over the (seq, win) mesh; the block stream is bit-identical
+        pmesh = _sys.modules.get("multiprime_tpu.parallel.mesh")
+        mesh = pmesh.active_mesh() if pmesh is not None else None
+        if mesh is not None:
+            blocks = pmesh.design_stats_blocks_sharded(
+                mesh, masks, positions, plen=self.p.primer_length,
+                variation=self.p.variation)
+        else:
+            blocks = design_scan.design_stats_blocks(
                 masks, positions, plen=self.p.primer_length,
-                variation=self.p.variation):
+                variation=self.p.variation)
+        for pos_block, stats in blocks:
             win_chars = iupac._MASK_TO_ASCII[stats["win"] & 15]  # [N, W, plen]
             for wi, position in enumerate(pos_block):
                 pre = (stats["freq"][wi].T.astype(np.int64),

@@ -68,6 +68,80 @@ def design_stats_sharded(mesh, masks, positions, *, plen=18, variation=1):
     return jax.jit(fn)(masks, positions)
 
 
+_STAGE_A_CACHE = {}
+
+
+def _stage_a_full_fn(mesh, plen, variation):
+    """Compiled shard-mapped design_stats_full: masks over 'seq', windows
+    over 'win'; freq/NN/count tensors psum over 'seq'; the patched windows
+    themselves stay sharded over both axes and gather only on fetch."""
+    key = (id(mesh), plen, variation)
+    fn = _STAGE_A_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    def step(masks_shard, pos_shard):
+        win = design_scan.patch_windows(masks_shard, pos_shard, plen)
+        stats = design_scan.window_stats(win, variation)
+        stats = {k: jax.lax.psum(v, "seq") for k, v in stats.items()}
+        stats["viterbi"] = design_scan.viterbi_batch(stats["freq"],
+                                                     stats["nn"])
+        stats["win"] = win.astype(jnp.int8)
+        return stats
+
+    fn = jax.jit(shard_map(
+        step, mesh=mesh,
+        in_specs=(P("seq", None), P("win")),
+        out_specs={"freq": P("win"), "nn": P("win"),
+                   "cover_number": P("win"), "gap_number": P("win"),
+                   "viterbi": P("win"), "win": P("seq", "win")}))
+    if len(_STAGE_A_CACHE) >= 16:
+        _STAGE_A_CACHE.pop(next(iter(_STAGE_A_CACHE)))
+    _STAGE_A_CACHE[key] = fn
+    return fn
+
+
+def design_stats_blocks_sharded(mesh, masks, positions, *, plen=18,
+                                variation=1, block=512):
+    """Multi-chip drop-in for ops.design_scan.design_stats_blocks: same
+    (pos_block, stats_numpy) stream, windows sharded over 'win' and MSA rows
+    over 'seq'.
+
+    Sequence rows are padded to a multiple of the 'seq' axis with all-gap
+    rows.  An all-gap row contributes exactly +1 to every window's
+    gap_number and nothing to freq/nn/cover_number (window_stats: a 0-mask
+    window has plen gaps > variation), so the host subtracts the pad count
+    from gap_number and drops the pad rows of the patched-window tensor —
+    making the stream bit-identical to the single-device one
+    (tests/test_parallel.py)."""
+    masks = np.ascontiguousarray(masks, dtype=np.int32)
+    positions = np.asarray(positions, dtype=np.int32)
+    n_real = masks.shape[0]
+    seq_shards = mesh.shape["seq"]
+    win_shards = mesh.shape["win"]
+    if block % win_shards:
+        block += win_shards - block % win_shards
+    n_pad = -n_real % seq_shards
+    if n_pad:
+        masks = np.concatenate(
+            [masks, np.zeros((n_pad, masks.shape[1]), np.int32)])
+    fn = _stage_a_full_fn(mesh, plen, variation)
+    for b0 in range(0, len(positions), block):
+        pos = positions[b0:b0 + block]
+        w_real = len(pos)
+        if w_real < block:
+            pos = np.concatenate(
+                [pos, np.full(block - w_real, pos[-1], np.int32)])
+        out = {k: np.asarray(v) for k, v in fn(masks, pos).items()}
+        if n_pad:
+            out["gap_number"] = out["gap_number"] - n_pad
+            out["win"] = out["win"][:n_real]
+        if w_real < block:
+            out = {k: (v[:, :w_real] if k == "win" else v[:w_real])
+                   for k, v in out.items()}
+        yield positions[b0:b0 + block], out
+
+
 def coverage_counts_sharded(mesh, targets_1h, lengths, primers_1h, suffix_1h,
                             *, mm=1, term=4):
     """Multi-chip coverage scan: targets sharded over ('seq','win') flattened

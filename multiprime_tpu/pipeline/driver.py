@@ -87,6 +87,12 @@ class PipelineConfig:
     scan_term: int = 4
     scan_mm: int = 1
     nproc: int = 1
+    # number of accelerator devices: >1 builds a parallel.mesh Mesh over the
+    # host's chips and routes the device design Stage A and the coverage
+    # scan through the shard_map'd kernels (the TPU-era analogue of the
+    # reference's one resource knob, run.sh:6 `--cores 10`).  Outputs are
+    # byte-identical to devices=1 (tests/test_parallel.py).
+    devices: int = 1
     # "centerstar" (auto host/device), "centerstar-device", "centerstar-numpy",
     # "progressive" (UPGMA guide tree + profile-profile merges; with the
     # refine polish it reproduces MAFFT-level column quality — slower than
@@ -121,6 +127,7 @@ class PipelineConfig:
             "entropy": "entropy", "coordinate": "coordinate",
             "coverage": "coverage", "distance": "distance", "end": "end",
             "step": "step", "method": "method", "nproc": "nproc",
+            "devices": "devices",
             "seq_number_ATGC": "seq_number_ATGC",
             "seq_number": "min_seq_length",
         }
@@ -228,6 +235,14 @@ class Pipeline:
 
     # -- stages ----------------------------------------------------------------
     def run(self):
+        if int(self.cfg.devices or 1) > 1:
+            from ..parallel import mesh as pmesh
+            mesh = pmesh.make_mesh(int(self.cfg.devices))
+            with pmesh.use_mesh(mesh):
+                return self._run_body()
+        return self._run_body()
+
+    def _run_body(self):
         cfg = self.cfg
         if cfg.pipeline_variant == "original" and cfg.algo == "v20":
             cfg.algo = "v15"             # multiPrime-original.py:210
