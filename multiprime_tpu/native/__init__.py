@@ -54,6 +54,19 @@ def load():
         return _load_locked()
 
 
+def _warn_unavailable(reason):
+    """The NumPy fallbacks are correct but ~10-70x slower on the hot paths
+    (design refinement, coverage scan, alignment DP).  Losing the native
+    runtime silently would look like a perf regression with no cause, so
+    say it once; runs also record it in pipeline_metrics.json backends."""
+    import warnings
+    warnings.warn(
+        "multiprime_tpu native runtime (seqlib) unavailable: %s — "
+        "falling back to NumPy/Python paths (roughly 10-70x slower on hot "
+        "stages).  A working g++ toolchain fixes this (the library builds "
+        "lazily on first use)." % reason, RuntimeWarning, stacklevel=3)
+
+
 def _load_locked():
     global _lib, _tried
     # re-check under the lock: concurrent first calls (e.g. the progressive
@@ -64,6 +77,7 @@ def _load_locked():
     if not os.path.exists(_SO) or \
             os.path.getmtime(_SO) < os.path.getmtime(_SRC):
         if not _build():
+            _warn_unavailable("g++ build of seqlib.cpp failed")
             return None
     try:
         lib = ctypes.CDLL(_SO)
@@ -75,6 +89,7 @@ def _load_locked():
         # dlopen by path *string*, so re-opening _SO would hand back the
         # stale handle.  Give up (Python fallbacks) if that still fails.
         if not _build():
+            _warn_unavailable("rebuild after stale-.so load failure failed")
             return None
         try:
             import shutil
@@ -86,6 +101,7 @@ def _load_locked():
             _bind(lib)
             os.unlink(alt)     # mapping survives the unlink
         except (OSError, AttributeError):
+            _warn_unavailable("rebuilt library failed to load/bind")
             return None
     _lib = lib
     return lib

