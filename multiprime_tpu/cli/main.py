@@ -111,6 +111,10 @@ def _run(argv):
     p.add_argument("--stage-a", choices=["host", "device", "auto"],
                    dest="stage_a",
                    help="design Stage-A backend (default: auto/config)")
+    p.add_argument("--pcr-products", dest="pcr_products",
+                   choices=["full", "gzip", "summary"],
+                   help="per-pair PCR-product FASTA bodies (default full; "
+                        "summary/gzip cut the large-scale IO tail)")
     p.add_argument("--profile", metavar="DIR",
                    help="capture a JAX profiler trace of the whole run "
                         "(TensorBoard/XProf format) alongside the per-stage "
@@ -136,6 +140,8 @@ def _run(argv):
         overrides["devices"] = args.devices
     if args.stage_a is not None:
         overrides["stage_a"] = args.stage_a
+    if args.pcr_products is not None:
+        overrides["pcr_products"] = args.pcr_products
     if args.profile:
         import jax
         # profiler threads do not survive the design stage's fork pool —
@@ -224,6 +230,10 @@ def _pcr(argv):
     p.add_argument("-f", "--format", default="fa", choices=["fa", "xls", "seq"])
     p.add_argument("-o", "--out", required=True, help="products directory")
     p.add_argument("-s", "--stast", required=True, help="coverage summary")
+    p.add_argument("--products", default="full",
+                   choices=["full", "gzip", "summary"],
+                   help="per-pair FASTA bodies: full (reference contract), "
+                        "gzip (.fa.gz), summary (counts only)")
     args = p.parse_args(argv)
     if args.format == "seq":
         f, r = args.input.split(",")
@@ -232,7 +242,7 @@ def _pcr(argv):
         pairs = pcr.parse_pairs_xls(args.input)
     else:
         pairs = pcr.parse_pairs_fa(args.input)
-    pcr.run(pairs, args.ref, args.out, args.stast)
+    pcr.run(pairs, args.ref, args.out, args.stast, products=args.products)
     return 0
 
 

@@ -83,6 +83,11 @@ class PipelineConfig:
     step: int = 5
     method: str = "T"
     core_number: int = 10
+    # per-pair PCR-product FASTA bodies: "full" (reference contract),
+    # "gzip" (.fa.gz streams), "summary" (counts only — Coverage_stast.xls
+    # is identical in every mode).  At 21k-seq scale the full bodies are
+    # 12.5 GB and dominate the pipeline tail.
+    pcr_products: str = "full"
     # validation scan
     scan_term: int = 4
     scan_mm: int = 1
@@ -150,7 +155,7 @@ class PipelineConfig:
         if "msa_refine" in raw:
             cfg.msa_refine = int(raw["msa_refine"])
         for key in ("design_backend", "align_backend", "algo",
-                    "pipeline_variant", "stage_a"):
+                    "pipeline_variant", "stage_a", "pcr_products"):
             if key in raw:
                 setattr(cfg, key, str(raw[key]))
         return cfg
@@ -632,7 +637,8 @@ class Pipeline:
         if not os.path.exists(cov):
             t0 = time.time()
             pairs = pcr.parse_pairs_xls(final)
-            pcr.run(pairs, fmt_fa, self._p("Primers_set", "PCR_product"), cov)
+            pcr.run(pairs, fmt_fa, self._p("Primers_set", "PCR_product"), cov,
+                    products=cfg.pcr_products)
             self.cfg.timings["pcr"] = round(time.time() - t0, 3)
         # mismatch-tolerant coverage validation (BWT replacement)
         bwt_out = self._p("Core_primers_set", "BWT_coverage",

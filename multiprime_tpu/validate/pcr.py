@@ -169,31 +169,47 @@ def _pcr_products_corpus(primer_f, primer_r, corpus):
     return products, non_products
 
 
-def run(pairs, ref_file, out_dir, coverage_file):
+def run(pairs, ref_file, out_dir, coverage_file, products="full"):
     """Drive all pairs; write per-pair FASTAs + the coverage summary
-    (extract_PCR_product.py:218-263)."""
+    (extract_PCR_product.py:218-263).
+
+    ``products`` controls the per-pair FASTA bodies — the piece that
+    dominates the large-scale tail (12.5 GB across a 1000-pair 21k-seq
+    run while the counts take seconds):
+
+    * ``"full"``  — reference-contract plain FASTAs (default);
+    * ``"gzip"``  — same bodies, gzip-streamed to ``.fa.gz``;
+    * ``"summary"`` — skip the bodies entirely; Coverage_stast.xls (and the
+      return value) are identical in every mode.
+    """
+    import gzip
     os.makedirs(out_dir, exist_ok=True)
     covered, uncovered = set(), set()
     corpus = _Corpus(ref_file)
     with open(coverage_file, "a+") as cov:
         for key, (primer_f, primer_r) in pairs.items():
-            products, non_products = _pcr_products_corpus(
+            products_d, non_products = _pcr_products_corpus(
                 primer_f, primer_r, corpus)
             cov.write("Number of Product/non_Product, primer-F and primer-R: "
                       "{}\t{}\t{}\t{}\t{}\n".format(
-                          key, len(products), len(non_products),
+                          key, len(products_d), len(non_products),
                           primer_f, primer_r))
             # Path.with_suffix like the reference (extract_PCR_product.py:
             # 232-234): a dotted key has its final ".suffix" REPLACED.
             base = str(Path(out_dir).joinpath(key).with_suffix(""))
             # one join + one write per file: the per-pair product FASTAs
             # dominate the large-scale tail (GBs across a 1000-pair set)
-            covered.update(products)
+            covered.update(products_d)
             uncovered.update(non_products)
-            with open(base + ".PCR.product.fa", "w") as p:
+            if products == "summary":
+                continue
+            opener, ext = ((gzip.open, ".gz") if products == "gzip"
+                           else (open, ""))
+            with opener(base + ".PCR.product.fa" + ext, "wt") as p:
                 p.write("".join(
-                    rid + "\n" + seq + "\n" for rid, seq in products.items()))
-            with open(base + ".non_PCR.product.fa", "w") as np_:
+                    rid + "\n" + seq + "\n"
+                    for rid, seq in products_d.items()))
+            with opener(base + ".non_PCR.product.fa" + ext, "wt") as np_:
                 np_.write("".join(
                     rid + "\n" + seq + "\n"
                     for rid, seq in non_products.items()))

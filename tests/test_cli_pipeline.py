@@ -272,3 +272,43 @@ def test_pipeline_resume_regenerates_torn_sidecars(tmp_path):
     run_pipeline(None, **kwargs)
     assert open(gap, "rb").read() == want
     assert open(non, "rb").read().rstrip().endswith(b"}")
+
+
+def test_pcr_products_modes(tmp_path):
+    """pcr_products full/gzip/summary: identical Coverage_stast.xls and
+    coverage sets; gzip bodies decompress to the full bodies; summary
+    writes no per-pair FASTAs (the 21k-scale 12.5 GB tail opt-out)."""
+    import gzip
+
+    from multiprime_tpu.validate import pcr
+
+    rng = np.random.default_rng(21)
+    lut = np.array(list("ACGT"))
+    f_p = "".join(rng.choice(lut, size=18))
+    r_p = "".join(rng.choice(lut, size=18))
+    rc = r_p.translate(str.maketrans("ATGC", "TACG"))[::-1]
+    ref = tmp_path / "ref.fa"
+    with open(ref, "w") as fh:
+        for i in range(9):
+            body = "".join(rng.choice(lut, size=300))
+            if i % 2 == 0:
+                body = body[:40] + f_p + body[58:220] + rc + body[238:]
+            fh.write(">t%d\n%s\n" % (i, body))
+    pairs = {"C0_1_F_C0_200": (f_p, r_p)}
+    outs = {}
+    for mode in ("full", "gzip", "summary"):
+        od = tmp_path / mode
+        stast = tmp_path / (mode + ".xls")
+        cov, uncov = pcr.run(pairs, str(ref), str(od), str(stast),
+                             products=mode)
+        outs[mode] = (stast.read_text(), cov, uncov,
+                      sorted(p.name for p in od.iterdir()))
+    assert outs["full"][0] == outs["gzip"][0] == outs["summary"][0]
+    assert outs["full"][1] == outs["gzip"][1] == outs["summary"][1]
+    assert len(outs["full"][1]) == 5          # planted products found
+    assert outs["summary"][3] == []
+    for name in outs["full"][3]:
+        full_body = (tmp_path / "full" / name).read_bytes()
+        gz_body = gzip.decompress(
+            (tmp_path / "gzip" / (name + ".gz")).read_bytes())
+        assert gz_body == full_body
