@@ -189,11 +189,32 @@ class DesignParams:
     # Stage-A backend: "host" (bit-exact NumPy), "device" (the batched
     # JAX/TPU kernel ops/design_scan.design_stats_full; freq/NN/Viterbi for
     # all windows in one fused call, host Stage B consumes them), or "auto"
-    # — which currently resolves to host: measured on the golden workload
-    # the device path loses to the vectorised host Stage A because the
-    # order-dependent host Stage B dominates (see design()).  Outputs are
+    # — a measured crossover: host Stage-A rate vs probed-link transfer of
+    # the patched-window tensor (utils/link.py, DESIGN.md "Backend
+    # crossover model"; MPTPU_FORCE_BACKEND overrides).  Outputs are
     # identical either way (tests/test_design_device.py).
     stage_a: str = "host"
+
+
+def resolve_stage_a(n_seqs, n_windows, plen):
+    """Environment-aware Stage-A crossover (utils/link.py; DESIGN.md
+    "Backend crossover model"): host Stage A runs at ~4e7 window-cells/s;
+    the device path's real cost is shipping the patched-window tensor back
+    (N*W*plen int8) plus one round trip per block.  On the round-2 tunnel
+    (15 MB/s down, 23 ms RTT) host always wins — the verdict that used to
+    be hard-coded here; on a direct-attached chip the transfer term
+    collapses and large N x W clusters flip to the device.
+    MPTPU_FORCE_BACKEND overrides; outputs identical either way
+    (tests/test_design_device.py)."""
+    from ..utils import link as linkmod
+    forced = linkmod.forced_backend()
+    if forced is not None:
+        return forced
+    t_host = linkmod.est_host_stagea_s(n_seqs, n_windows, plen)
+    if t_host < 0.15:          # too small to be worth a device dispatch
+        return "host"          # (or a first-use link probe)
+    t_dev = linkmod.est_device_stagea_s(n_seqs, n_windows, plen)
+    return "device" if t_dev < t_host else "host"
 
 
 def _build_covered_table(rounded):
@@ -601,16 +622,7 @@ class DesignEngine:
         positions = np.arange(start, stop - plen)
         stage_a = self.p.stage_a
         if stage_a == "auto":
-            # Measured on the golden 500x1951 MSA (v5e behind a tunnel,
-            # 2026-08): full design host 2.66 s vs device 4.10 s warm — the
-            # hot cost is the order-dependent host Stage B, and shipping the
-            # patched-window tensor back outweighs the einsum savings.  The
-            # round-2 host Stage B rewrites (~1.5 s full design) widen that
-            # gap further.  auto therefore picks host; "device" stays as the
-            # explicit opt-in (outputs identical, tests/test_design_device
-            # .py) and pays off only when Stage A dominates (very large
-            # N x W per window).
-            stage_a = "host"
+            stage_a = resolve_stage_a(n, len(positions), plen)
         if stage_a == "device":
             return self._design_device(chars, positions, seq_ids, n,
                                        threshold, progress)

@@ -170,12 +170,13 @@ def _scan_kernel(x_ref, w_ref, o_ref, acc_ref, *, tile_o, plen):
     o_ref[:] = counts
 
 
-def _hit_code_kernel(x_ref, w_ref, o_ref, acc_ref, *, tile_o, plen, p,
+def _hit_code_kernel(x_ref, w_ref, o_ref, acc_ref, *, tile_o, plen,
                      mm, term):
-    """Fused scan: im2col + one [.., 4*plen] x [4*plen, 2P] MXU matmul
-    (total-match and 3'-suffix counts side by side) + threshold, emitting
-    int8 codes (0 = no hit, mismatches+1 = hit).  The f32 count tensors
-    never leave VMEM."""
+    """Fused scan: im2col + two [.., 4*plen] x [4*plen, TP] MXU matmuls
+    (total-match and 3'-suffix counts) + threshold, emitting int8 codes
+    (0 = no hit, mismatches+1 = hit).  The f32 count tensors never leave
+    VMEM.  The primer axis is grid-tiled (w_ref holds one TP-column slab of
+    both weight sets) so large pattern sets stay inside the VMEM budget."""
     j = pl.program_id(1)
     base = pl.multiple_of(j * tile_o, 256)
     pad = 128  # aligned over-read that covers the plen-1 window overlap
@@ -184,11 +185,12 @@ def _hit_code_kernel(x_ref, w_ref, o_ref, acc_ref, *, tile_o, plen, p,
     # contraction axis is (position-major, base-minor), matching w.
     for k in range(plen):
         acc_ref[:, pl.ds(4 * k, 4), :] = block[:, :, k:k + tile_o]
-    both = jax.lax.dot_general(
-        acc_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)          # [TN, TO, 2P], int8 MXU
-    counts = both[:, :, :p]
-    suffix = both[:, :, p:]
+    counts = jax.lax.dot_general(
+        acc_ref[:], w_ref[:, 0, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)          # [TN, TO, TP], int8 MXU
+    suffix = jax.lax.dot_general(
+        acc_ref[:], w_ref[:, 1, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
     mism = plen - counts
     ok = (mism <= mm) & (suffix >= term)
     o_ref[:] = jnp.where(ok, mism + 1, 0).astype(jnp.int8)
@@ -236,42 +238,58 @@ def match_counts_pallas(targets_1h, primers_1h, tile_n=8, tile_o=512,
 # ---------------------------------------------------------------------------
 
 def hit_codes_pallas(targets_1h, primers_1h, suffix_1h, *, mm, term,
-                     tile_n=8, tile_o=512, interpret=False):
+                     tile_n=8, tile_o=512, tile_p=512, interpret=False):
     """One fused Pallas pass -> int8 hit codes [N, O, P]
-    (0 = no hit, mismatches+1 = hit under the mm/term rule)."""
+    (0 = no hit, mismatches+1 = hit under the mm/term rule).
+
+    Grid (seq-tiles, window-tiles, primer-tiles): the primer axis is tiled
+    so thousand-pattern panels fit the VMEM budget (out block TN*TO*TP int8
+    + one TP weight slab, ~2.2 MB at defaults)."""
     n, length, _ = targets_1h.shape
     p, plen, _ = primers_1h.shape
     n_out = length - plen + 1
     n_pad = -n % tile_n
     o_pad = -n_out % tile_o
+    tile_p = min(tile_p, max(128, 1 << (p - 1).bit_length()))
+    if p > tile_p:
+        # two int32 count intermediates live per grid cell
+        # (tile_n*tile_o*tile_p*4 bytes each) — halve the window tile to
+        # stay inside the 16 MB scoped-VMEM budget at full primer tiles
+        tile_o = min(tile_o, 256)
+    p_pad = -p % tile_p
     x = jnp.transpose(jnp.asarray(targets_1h, jnp.int8), (0, 2, 1))
     x = jnp.pad(x, ((0, n_pad), (0, 0), (0, o_pad + 128 + plen)))
-    # [4*plen, 2P], position-major / base-minor rows (matching the kernel's
-    # im2col fill order): total-match columns then 3'-suffix columns.
-    w = jnp.concatenate([
+    # [4*plen, 2, P]: position-major / base-minor rows (matching the
+    # kernel's im2col fill order); plane 0 = total-match weights, plane 1 =
+    # 3'-suffix weights, so a primer-tile block slices both coherently.
+    w = jnp.stack([
         jnp.transpose(jnp.asarray(primers_1h, jnp.int8), (1, 2, 0))
            .reshape(4 * plen, p),
         jnp.transpose(jnp.asarray(suffix_1h, jnp.int8), (1, 2, 0))
            .reshape(4 * plen, p)], axis=1)
-    grid = ((n + n_pad) // tile_n, (n_out + o_pad) // tile_o)
+    if p_pad:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, p_pad)))
+    grid = ((n + n_pad) // tile_n, (n_out + o_pad) // tile_o,
+            (p + p_pad) // tile_p)
     out = pl.pallas_call(
-        functools.partial(_hit_code_kernel, tile_o=tile_o, plen=plen, p=p,
+        functools.partial(_hit_code_kernel, tile_o=tile_o, plen=plen,
                           mm=mm, term=term),
         out_shape=jax.ShapeDtypeStruct(
-            (n + n_pad, n_out + o_pad, p), jnp.int8),
+            (n + n_pad, n_out + o_pad, p + p_pad), jnp.int8),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile_n, 4, x.shape[2]), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((tile_n, 4, x.shape[2]), lambda i, j, k: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * plen, 2 * p), lambda i, j: (0, 0),
+            pl.BlockSpec((4 * plen, 2, tile_p), lambda i, j, k: (0, 0, k),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile_n, tile_o, p), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((tile_n, tile_o, tile_p),
+                               lambda i, j, k: (i, j, k),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((tile_n, 4 * plen, tile_o), jnp.int8)],
         interpret=interpret,
     )(x, w)
-    return out[:n, :n_out, :]
+    return out[:n, :n_out, :p]
 
 
 def hit_codes_conv(targets_1h, primers_1h, suffix_1h, *, mm, term):
@@ -380,6 +398,34 @@ def find_hits_packed(targets_1h, lengths, primers_1h, suffix_1h, *, mm=1,
     if want_mism:
         parts.append(mism_flat.astype(jnp.int32))
     return jnp.concatenate(parts)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mm", "term", "max_hits", "backend",
+                                    "want_mism"))
+def find_hits_batched(targets_masks, lengths, primers_1h, suffix_1h, *,
+                      mm=1, term=4, max_hits=1 << 17, backend="conv",
+                      want_mism=False):
+    """The whole corpus in ONE dispatch: lax.scan over pre-batched 4-bit
+    mask rows [B, bs, L] -> packed hit blocks [B, 1 + max_hits (+max_hits)].
+
+    Rationale: on high-latency device links every dispatch->fetch round
+    trip costs ~1-2 s regardless of compute (measured; and
+    block_until_ready through the tunnel returns early, so the cost shows
+    up at the fetch).  A 21k-seq corpus at the memory-safe batch size is
+    ~53 batches = ~90 s of round trips.  Scanning the batches INSIDE one
+    executable and fetching one [B, max_hits] block pays the round trip
+    once; the per-batch codes tensor stays transient in HBM.
+    """
+    def body(_, xs):
+        t, l = xs
+        packed = find_hits_packed.__wrapped__(
+            t, l, primers_1h, suffix_1h, mm=mm, term=term,
+            max_hits=max_hits, backend=backend, want_mism=want_mism)
+        return 0, packed
+
+    _, packs = jax.lax.scan(body, 0, (targets_masks, lengths))
+    return packs
 
 
 def safe_batch_size(requested, n_out, p, mem_bytes=3 << 30):

