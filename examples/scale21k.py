@@ -1,0 +1,71 @@
+"""21k-seq flagship scale run (seeded synthetic; DESIGN.md perf table).
+
+Generates the round-2/3 scale workload — 20 families x 1000 members
+(900 bp, 5% per-member divergence, 10% exact duplicates) + 1000 random
+singletons -> ~1020-cluster fan-out — and drives the FULL pipeline
+(format -> dedup -> cluster -> ANI -> MSA -> design -> pair -> solve ->
+PCR -> scan), printing per-stage timings and peak RSS.
+
+Usage:  python examples/scale21k.py [results_dir] [pcr_products]
+        pcr_products in {full, gzip, summary} (default summary — the
+        reference-contract `full` writes ~12.5 GB of per-pair FASTAs)
+"""
+
+import os
+import resource
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def generate(fa_path, seed=0):
+    rng = np.random.default_rng(seed)
+    lut = np.array(list("ACGT"))
+    with open(fa_path, "w") as f:
+        for fam in range(20):
+            base = np.frombuffer(
+                "".join(rng.choice(lut, size=900)).encode(), np.uint8).copy()
+            for m in range(1000):
+                if m % 10 == 0:
+                    arr = base
+                else:
+                    arr = base.copy()
+                    mut = rng.random(len(arr)) < 0.05
+                    arr[mut] = np.frombuffer("".join(
+                        rng.choice(lut, size=int(mut.sum()))).encode(),
+                        np.uint8)
+                f.write(">F%d_%d\n%s\n" % (fam, m, arr.tobytes().decode()))
+        for s in range(1000):
+            f.write(">S%d\n%s\n"
+                    % (s, "".join(rng.choice(lut, size=900))))
+
+
+def main():
+    res_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale21k_res"
+    products = sys.argv[2] if len(sys.argv) > 2 else "summary"
+    fa = os.path.join(os.path.dirname(res_dir) or ".", "scale21k.fa")
+    if not os.path.exists(fa):
+        t0 = time.time()
+        generate(fa)
+        print("generated %s in %.1f s" % (fa, time.time() - t0), flush=True)
+    from multiprime_tpu.pipeline.driver import run_pipeline
+    t0 = time.time()
+    pipe, log = run_pipeline(
+        None, input_fa=fa, results_dir=res_dir, virus_name="scale21k",
+        nproc=os.cpu_count() or 2, pcr_products=products)
+    total = time.time() - t0
+    for name, status, dt in log:
+        if status == "ran" and dt:
+            print("%-20s %ss" % (name, dt))
+    print("TOTAL %.1f s (%.1f min), pcr_products=%s, peak RSS %d MB"
+          % (total, total / 60, products,
+             resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+             + sum(resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
+                   for _ in [0]) // 1024), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -631,30 +631,63 @@ class Pipeline:
                               "core_final_maxprimers_set.fa")
             stages.primerset_format(core_final, core_fa)
         self.cfg.timings["solve"] = round(time.time() - t_solve, 3)
-        # perfect-match PCR products + coverage summary
+        # perfect-match PCR products + coverage summary.  The product
+        # writing is IO-bound (GBs of per-pair FASTAs at scale) while the
+        # validation scan below is compute-bound — when fork is safe the
+        # PCR stage runs in a child genuinely overlapped with the scan
+        # (VERDICT r2 next-round #4), same pattern as the design sidecars.
+        from ..models import mcdpd
         fmt_fa = self._p("Total_fa", self.v + ".format.fa")
         cov = self._p("Primers_set", "Coverage_stast.xls")
+        pcr_wait = None
         if not os.path.exists(cov):
             t0 = time.time()
             pairs = pcr.parse_pairs_xls(final)
-            pcr.run(pairs, fmt_fa, self._p("Primers_set", "PCR_product"), cov,
-                    products=cfg.pcr_products)
-            self.cfg.timings["pcr"] = round(time.time() - t0, 3)
+            out_dir = self._p("Primers_set", "PCR_product")
+
+            def _run_pcr():
+                pcr.run(pairs, fmt_fa, out_dir, cov,
+                        products=cfg.pcr_products)
+
+            if mcdpd.fork_safe():
+                pid = os.fork()
+                if pid == 0:
+                    code = 1
+                    try:
+                        _run_pcr()
+                        code = 0
+                    finally:
+                        os._exit(code)
+
+                def pcr_wait():
+                    _, status = os.waitpid(pid, 0)
+                    if status != 0:
+                        if os.path.exists(cov):
+                            os.remove(cov)      # torn append-mode summary
+                        _run_pcr()
+                    self.cfg.timings["pcr"] = round(time.time() - t0, 3)
+            else:
+                _run_pcr()
+                self.cfg.timings["pcr"] = round(time.time() - t0, 3)
         # mismatch-tolerant coverage validation (BWT replacement)
         bwt_out = self._p("Core_primers_set", "BWT_coverage",
                           "final_maxprimers_set.out")
-        if not os.path.exists(bwt_out):
-            t0 = time.time()
-            dict_pkl = self._p("Total_fa", self.v + ".format.dict")
-            targets_dict = None          # -original has no dict: like the
-            if os.path.exists(dict_pkl):  # reference's -d None, no unmatched.fa
-                with open(dict_pkl, "rb") as f:
-                    targets_dict = pickle.load(f)
-            params = vscan.ScanParams(
-                term=cfg.scan_term, mm=cfg.scan_mm,
-                product_size=cfg.product_size)
-            vscan.run(final_fa, fmt_fa, bwt_out, params, targets_dict)
-            self.cfg.timings["scan"] = round(time.time() - t0, 3)
+        try:
+            if not os.path.exists(bwt_out):
+                t0 = time.time()
+                dict_pkl = self._p("Total_fa", self.v + ".format.dict")
+                targets_dict = None      # -original has no dict: like the
+                if os.path.exists(dict_pkl):   # reference's -d None,
+                    with open(dict_pkl, "rb") as f:    # no unmatched.fa
+                        targets_dict = pickle.load(f)
+                params = vscan.ScanParams(
+                    term=cfg.scan_term, mm=cfg.scan_mm,
+                    product_size=cfg.product_size)
+                vscan.run(final_fa, fmt_fa, bwt_out, params, targets_dict)
+                self.cfg.timings["scan"] = round(time.time() - t0, 3)
+        finally:
+            if pcr_wait is not None:
+                pcr_wait()
 
 
 def run_pipeline(config_path=None, **overrides):
