@@ -312,3 +312,57 @@ def test_pcr_products_modes(tmp_path):
         gz_body = gzip.decompress(
             (tmp_path / "gzip" / (name + ".gz")).read_bytes())
         assert gz_body == full_body
+
+
+def test_pcr_scan_overlap_forked_subprocess(tmp_path):
+    """The forked PCR/scan overlap only engages when no jax backend is
+    live (fork_safe) — which never happens inside this pytest process, so
+    drive a jax-free subprocess and compare its results tree against the
+    in-process (sequential) run."""
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(31)
+    lut = np.array(list("ACGT"))
+    base = "".join(rng.choice(lut, size=500))
+    fa = tmp_path / "one.fa"
+    with open(fa, "w") as f:
+        for i in range(10):
+            s = list(base)
+            for _ in range(6):
+                s[rng.integers(0, len(s))] = str(rng.choice(lut))
+            f.write(">s%d\n%s\n" % (i, "".join(s)))
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from multiprime_tpu.models import mcdpd\n"
+        "assert mcdpd.fork_safe(), 'subprocess must start jax-free'\n"
+        "from multiprime_tpu.pipeline.driver import run_pipeline\n"
+        "run_pipeline(None, input_fa=%r, results_dir=%r,\n"
+        "             virus_name='one', coverage=0.5, min_seq_length=100,\n"
+        "             product_size=(100, 400))\n"
+        % (str(pathlib_repo_root()), str(fa), str(tmp_path / "res"))
+    )
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = tmp_path / "res"
+    run_pipeline_mod = __import__("multiprime_tpu.pipeline.driver",
+                                  fromlist=["run_pipeline"])
+    seq = tmp_path / "res_seq"
+    run_pipeline_mod.run_pipeline(
+        None, input_fa=str(fa), results_dir=str(seq), virus_name="one",
+        coverage=0.5, min_seq_length=100, product_size=(100, 400))
+    # the append-mode Coverage_stast.xls and the scan outputs must agree
+    cov_a = (res / "Primers_set" / "Coverage_stast.xls").read_text()
+    cov_b = (seq / "Primers_set" / "Coverage_stast.xls").read_text()
+    assert cov_a == cov_b and cov_a.strip()
+    bwt = ("Core_primers_set", "BWT_coverage", "final_maxprimers_set.out")
+    assert (res.joinpath(*bwt)).read_bytes() == \
+        (seq.joinpath(*bwt)).read_bytes()
+
+
+def pathlib_repo_root():
+    import pathlib
+    return pathlib.Path(__file__).resolve().parent.parent
