@@ -1,8 +1,10 @@
 """21k-seq flagship scale run (seeded synthetic; DESIGN.md perf table).
 
 Generates the round-2/3 scale workload — 20 families x 1000 members
-(900 bp, 5% per-member divergence, 10% exact duplicates) + 1000 random
-singletons -> ~1020-cluster fan-out — and drives the FULL pipeline
+(900 bp, per-family member divergence cycling 1%/2%/5%/8% so some
+families design cleanly at coverage 0.7 and others stress the gates,
+10% exact duplicates) + 1000 random singletons -> ~1020-cluster
+fan-out — and drives the FULL pipeline
 (format -> dedup -> cluster -> ANI -> MSA -> design -> pair -> solve ->
 PCR -> scan), printing per-stage timings and peak RSS.
 
@@ -25,7 +27,9 @@ def generate(fa_path, seed=0):
     rng = np.random.default_rng(seed)
     lut = np.array(list("ACGT"))
     with open(fa_path, "w") as f:
+        divergences = (0.01, 0.02, 0.05, 0.08)
         for fam in range(20):
+            div = divergences[fam % len(divergences)]
             base = np.frombuffer(
                 "".join(rng.choice(lut, size=900)).encode(), np.uint8).copy()
             for m in range(1000):
@@ -33,7 +37,7 @@ def generate(fa_path, seed=0):
                     arr = base
                 else:
                     arr = base.copy()
-                    mut = rng.random(len(arr)) < 0.05
+                    mut = rng.random(len(arr)) < div
                     arr[mut] = np.frombuffer("".join(
                         rng.choice(lut, size=int(mut.sum()))).encode(),
                         np.uint8)

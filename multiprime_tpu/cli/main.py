@@ -458,9 +458,28 @@ def _onestep(argv):
     p.add_argument("-p", "--proc", type=int, default=1)
     p.add_argument("-a", "--away", type=int, default=4)
     p.add_argument("--algo", default="v20", choices=["v20", "v16", "v15", "v2"])
+    p.add_argument("--devices", type=int, default=1,
+                   help="shard the coverage scan (and device Stage A) over "
+                        "an N-device mesh, like mptpu run --devices")
     p.add_argument("--out1", required=True, help="design table")
     p.add_argument("-o", "--out2", required=True, help="candidate pairs .txt")
     a = p.parse_args(argv)
+
+    if a.devices and a.devices > 1:
+        import contextlib
+        from ..parallel import mesh as pmesh
+        mesh_ctx = pmesh.use_mesh(pmesh.make_mesh(a.devices))
+    else:
+        import contextlib
+        mesh_ctx = contextlib.nullcontext()
+    with mesh_ctx:
+        return _onestep_body(a)
+
+
+def _onestep_body(a):
+    import json
+    from ..models import mcdpd, pairing
+    from ..validate import scan as vscan
 
     size = tuple(int(x) for x in a.size.split(","))
     ids, chars = mcdpd.parse_msa(a.input)

@@ -69,3 +69,31 @@ def test_run_config_not_clobbered_by_flag_defaults(tmp_path):
     rc = cli.main(["run", "-c", str(cfg), "-r", str(flag_dir)])
     assert rc == 0
     assert flag_dir.is_dir()         # explicit flag still wins
+
+
+def test_onestep_devices_byte_identical(tmp_path, small_cluster):
+    """onestep --devices 8 routes the scan through the virtual mesh with
+    byte-identical outputs vs --devices 1.  Same output path both runs:
+    the candidate txt embeds the path in column 1 (reference format)."""
+    import shutil
+    msa, ref = small_cluster
+    d = tmp_path / "work"
+    outs = {}
+    for dev in (1, 8):
+        if d.exists():
+            shutil.rmtree(d)
+        d.mkdir()
+        out1 = str(d / "d.top.primer.out")
+        out2 = str(d / "d.candidate.txt")
+        rc = cli.main(["onestep", "-i", msa, "-r", ref, "-s", "100,300",
+                       "-f", "0.6", "--devices", str(dev),
+                       "--out1", out1, "-o", out2])
+        assert rc == 0
+        outs[dev] = {}
+        for root, _, files in os.walk(d):
+            for name in files:
+                p = os.path.join(root, name)
+                outs[dev][os.path.relpath(p, d)] = open(p, "rb").read()
+    assert outs[1].keys() == outs[8].keys()
+    for rel in outs[1]:
+        assert outs[1][rel] == outs[8][rel], rel
