@@ -207,13 +207,20 @@ def scan_hits(target_seqs, patterns, params: ScanParams):
     import sys as _sys
     pmesh = _sys.modules.get("multiprime_tpu.parallel.mesh")
     mesh = pmesh.active_mesh() if pmesh is not None else None
-    if mesh is not None:
-        return _scan_hits_sharded(mesh, target_seqs, p1h, s1h, n_real,
-                                  pad_len, plen, params)
     from .. import native
     if backend == "auto":
         backend = _auto_backend(target_seqs, patterns, plen, pad_len,
                                 p1h.shape[0], params)
+        # auto resolving host under an active mesh: the mesh doesn't help
+        # a workload the host wins outright (mm<=3 seed index), so fall
+        # through to the host path.  Explicit backends keep the mesh
+        # override (the sharded-equivalence tests rely on it).
+        if mesh is not None and backend != "numpy":
+            return _scan_hits_sharded(mesh, target_seqs, p1h, s1h, n_real,
+                                      pad_len, plen, params)
+    elif mesh is not None:
+        return _scan_hits_sharded(mesh, target_seqs, p1h, s1h, n_real,
+                                  pad_len, plen, params)
     if backend == "numpy":
         # native scans: identical hits (fuzzed against find_hits_numpy and
         # each other in tests/test_scan.py).  seed_scan amortises its index
