@@ -380,6 +380,16 @@ class Pipeline:
                     f.write("\t".join(map(str, row)) + "\n")
         rng = random.Random(cfg.sample_seed)
         self.cluster_names = []
+        # full-header map for the Clusters_target reports, loaded ONCE —
+        # a per-cluster pickle load of the whole corpus dict cost ~35 s of
+        # the 21k run's 39 s extract stage
+        headers = {}
+        if cfg.pipeline_variant != "original":
+            dict_pkl = self._p("Total_fa", self.v + ".format.dict")
+            if os.path.exists(dict_pkl):
+                with open(dict_pkl, "rb") as df:
+                    rec = pickle.load(df)
+                headers = {k: v.splitlines()[0] for k, v in rec.items()}
         with open(cluster_txt, "w") as ct:
             ct.write("#Cluster_id\tNumber\n")
             for i, members in enumerate(merged):
@@ -402,13 +412,6 @@ class Pipeline:
                     continue             # no target reports in -original
                 # Clusters_target: full headers of members (the reference's
                 # extract_value_from_dict output consumed for reporting)
-                dict_pkl = self._p("Total_fa", self.v + ".format.dict")
-                headers = {}
-                if os.path.exists(dict_pkl):
-                    import pickle as _pickle
-                    with open(dict_pkl, "rb") as df:
-                        rec = _pickle.load(df)
-                    headers = {k: v.splitlines()[0] for k, v in rec.items()}
                 with open(self._p("Clusters_target", name + ".txt"),
                           "w") as f:
                     for m in sample:
