@@ -169,6 +169,94 @@ def _pcr_products_corpus(primer_f, primer_r, corpus):
     return products, non_products
 
 
+def _batch_occurrences(pairs, corpus):
+    """Occurrence lists for EVERY pair's expansions via one native exact
+    scan over the corpus — replaces len(pairs) * len(expansions) C-level
+    `str.find` sweeps (46 ms/pair at 21k scale -> one ~2 s scan).
+
+    -> {pattern: {target_index: sorted positions}} or None when the batch
+    path is ineligible (no native runtime, non-ACGT patterns, or patterns
+    too short for the seed index).  Eligibility is all-or-nothing so a
+    single code path serves every pair.
+    """
+    from .. import native
+    from ..ops import mismatch_scan as ms
+    if not native.available():
+        return None
+    patterns = []
+    seen = set()
+    for primer_f, primer_r in pairs.values():
+        for e in iupac.expand(primer_f):
+            if e not in seen:
+                seen.add(e)
+                patterns.append(e)
+        for e in iupac.expand(primer_r):
+            rc = _rc(e)
+            if rc not in seen:
+                seen.add(rc)
+                patterns.append(rc)
+    if not patterns:
+        return {}
+    for p in patterns:
+        if len(p) < 8 or any(c not in "ACGT" for c in p):
+            return None
+    occ = {p: {} for p in patterns}
+    lines = [corpus.line(t) for t in range(len(corpus.headers))]
+    codes, lens = ms.encode_target_codes(lines)
+    by_len = {}
+    for p in patterns:
+        by_len.setdefault(len(p), []).append(p)
+    for plen, group in sorted(by_len.items()):
+        if codes.shape[1] < plen:
+            continue
+        masks = ms.encode_pattern_masks(group)
+        hits = native.seed_scan(codes, lens, masks, 0, 0)
+        if hits is None:
+            return None
+        # nonzero contract: ascending (target, pos, pattern) -> per-
+        # (pattern, target) position lists arrive sorted
+        for t, pos, pi, _ in hits.tolist():
+            occ[group[pi]].setdefault(t, []).append(pos)
+    return occ
+
+
+def _pcr_products_occ(primer_f, primer_r, corpus, occ):
+    """_pcr_products_corpus driven by precomputed occurrence lists —
+    identical semantics: first F expansion (in expansion order) whose
+    first occurrence yields a downstream R match wins; `product.find(rc)`
+    becomes a bisect over rc's line-absolute positions >= the F start."""
+    from bisect import bisect_left
+    f_exp = iupac.expand(primer_f)
+    r_rcs = [_rc(rseq) for rseq in iupac.expand(primer_r)]
+    f_occ = [occ.get(fseq, {}) for fseq in f_exp]
+    r_occ = [occ.get(rc, {}) for rc in r_rcs]
+    products, non_products = {}, {}
+    for t, key in enumerate(corpus.headers):
+        line = corpus.line(t)
+        value = ""
+        for fseq, occd in zip(f_exp, f_occ):
+            positions = occd.get(t)
+            if not positions:
+                continue
+            idx = positions[0]
+            for rc, roccd in zip(r_rcs, r_occ):
+                rpos = roccd.get(t)
+                if not rpos:
+                    continue
+                j = bisect_left(rpos, idx)
+                if j < len(rpos):
+                    ridx = rpos[j] - idx
+                    value = line[idx:idx + ridx].strip() + rc
+                    break
+            if value:
+                break
+        if value:
+            products[key] = value
+        else:
+            non_products[key] = line.strip()
+    return products, non_products
+
+
 def run(pairs, ref_file, out_dir, coverage_file, products="full"):
     """Drive all pairs; write per-pair FASTAs + the coverage summary
     (extract_PCR_product.py:218-263).
@@ -186,10 +274,15 @@ def run(pairs, ref_file, out_dir, coverage_file, products="full"):
     os.makedirs(out_dir, exist_ok=True)
     covered, uncovered = set(), set()
     corpus = _Corpus(ref_file)
+    occ = _batch_occurrences(pairs, corpus) if len(pairs) > 4 else None
     with open(coverage_file, "a+") as cov:
         for key, (primer_f, primer_r) in pairs.items():
-            products_d, non_products = _pcr_products_corpus(
-                primer_f, primer_r, corpus)
+            if occ is not None:
+                products_d, non_products = _pcr_products_occ(
+                    primer_f, primer_r, corpus, occ)
+            else:
+                products_d, non_products = _pcr_products_corpus(
+                    primer_f, primer_r, corpus)
             cov.write("Number of Product/non_Product, primer-F and primer-R: "
                       "{}\t{}\t{}\t{}\t{}\n".format(
                           key, len(products_d), len(non_products),

@@ -138,3 +138,55 @@ def test_pcr_corpus_path_matches_per_pair_reader(tmp_path):
                 f.write(">t%d\n%s\n" % (i, seq2 if i == t else ln))
         assert pcr._pcr_products_corpus(F, R, pcr._Corpus(str(ref2))) == \
             pcr.pcr_products(F, R, str(ref2)), (F, R, t)
+
+
+def test_pcr_batch_occ_matches_corpus_path(tmp_path):
+    """The one-scan batched PCR path (_batch_occurrences +
+    _pcr_products_occ) is byte-identical to the per-pair corpus find
+    loops across degenerate primers, wrapped FASTA lines, N characters,
+    overlapping F/R sites and no-product targets."""
+    import numpy as np
+
+    from multiprime_tpu.utils import iupac
+    from multiprime_tpu.validate import pcr
+
+    rng = np.random.default_rng(7)
+    lut = np.array(list("ACGT"))
+    for trial in range(6):
+        pairs = {}
+        planted = []
+        for k in range(5):
+            f = "".join(rng.choice(lut, size=int(rng.integers(12, 20))))
+            r = "".join(rng.choice(lut, size=int(rng.integers(12, 20))))
+            if k == 1:                    # degenerate pair
+                f = f[:4] + "Y" + f[5:10] + "R" + f[11:]
+            pairs["C%d_1_F_C%d_99" % (k, k)] = (f, r)
+            planted.append((iupac.expand(f)[0],
+                            pcr._rc(iupac.expand(r)[0])))
+        ref = tmp_path / ("ref%d.fa" % trial)
+        with open(ref, "w") as fh:
+            for i in range(25):
+                body = "".join(rng.choice(lut, size=300))
+                if i % 3 == 0:
+                    fseq, rc = planted[int(rng.integers(len(planted)))]
+                    at = int(rng.integers(0, 80))
+                    stop = at + len(fseq) + 120
+                    body = (body[:at] + fseq + body[at + len(fseq):stop]
+                            + rc + body[stop + len(rc):])
+                if i % 7 == 0:
+                    body = body[:50] + "N" * 8 + body[58:]
+                if i % 5 == 0:            # wrapped fasta: two lines, one
+                    fh.write(">t%d\n%s\n%s\n"    # header (dict-overwrite
+                             % (i, body[:150], body[150:]))  # semantics)
+                else:
+                    fh.write(">t%d\n%s\n" % (i, body))
+        corpus = pcr._Corpus(str(ref))
+        occ = pcr._batch_occurrences(pairs, corpus)
+        assert occ is not None
+        n_products = 0
+        for key, (f, r) in pairs.items():
+            a = pcr._pcr_products_corpus(f, r, corpus)
+            b = pcr._pcr_products_occ(f, r, corpus, occ)
+            assert a == b, (trial, key)
+            n_products += len(a[0])
+        assert trial != 0 or n_products > 0
