@@ -106,3 +106,25 @@ def test_stagea_auto_small_cluster_stays_host(monkeypatch):
 def test_stagea_auto_forced(monkeypatch):
     monkeypatch.setenv("MPTPU_FORCE_BACKEND", "device")
     assert mcdpd.resolve_stage_a(20, 400, 18) == "device"
+
+
+def test_probe_disk_cache_roundtrip(tmp_path, monkeypatch):
+    """First probe() measures and writes the per-platform cache; a fresh
+    process (simulated by clearing the in-process cache) reads the disk
+    file instead of re-measuring."""
+    calls = []
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    for var in ("MPTPU_LINK_UP_MBPS", "MPTPU_LINK_DOWN_MBPS",
+                "MPTPU_LINK_RTT_MS", "MPTPU_LINK_DISPATCH_MS"):
+        monkeypatch.delenv(var, raising=False)
+    fake = {"up_mbps": 123.0, "down_mbps": 45.0, "rtt_ms": 1.5,
+            "dispatch_ms": 9.0, "platform": "cpu", "probed": True}
+    monkeypatch.setattr(linkmod, "_measure",
+                        lambda *a, **k: (calls.append(1), dict(fake))[1])
+    monkeypatch.setattr(linkmod, "_CACHE", None)
+    got = linkmod.probe()
+    assert got["up_mbps"] == 123.0 and calls == [1]
+    monkeypatch.setattr(linkmod, "_CACHE", None)   # "new process"
+    again = linkmod.probe()
+    assert again["up_mbps"] == 123.0
+    assert calls == [1], "second probe must come from the disk cache"
