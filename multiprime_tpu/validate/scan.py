@@ -267,8 +267,12 @@ def scan_hits(target_seqs, patterns, params: ScanParams):
     # device_put pins the stack in HBM so the R scan, retries and later
     # pattern sets reuse this one upload (run() holds the cache).
     stacked = None
+    # cache key carries a cheap corpus fingerprint so a params object
+    # reused across DIFFERENT target sets can never serve stale masks
+    cache_key = (pad_len, bs, len(target_seqs),
+                 len(target_seqs[0]), len(target_seqs[-1]))
     if params.corpus_cache is not None:
-        stacked = params.corpus_cache.get((pad_len, bs))
+        stacked = params.corpus_cache.get(cache_key)
     if stacked is None:
         import jax
         tm = np.zeros((n_batches, bs, pad_len), np.uint8)
@@ -280,7 +284,7 @@ def scan_hits(target_seqs, patterns, params: ScanParams):
             lm[bi, :len(chunk)] = lens
         stacked = (jax.device_put(tm), jax.device_put(lm))
         if params.corpus_cache is not None:
-            params.corpus_cache[(pad_len, bs)] = stacked
+            params.corpus_cache[cache_key] = stacked
     t_all, l_all = stacked
     # per-batch hit cap: retries recompile (minutes on remote-compile
     # links), so overshoot 4x; but every extra 2^17 int32 column costs
