@@ -220,20 +220,25 @@ def _batch_occurrences(pairs, corpus):
     return occ
 
 
-def _pcr_products_occ(primer_f, primer_r, corpus, occ):
+def _pcr_products_occ(primer_f, primer_r, corpus, occ, want_bodies=True):
     """_pcr_products_corpus driven by precomputed occurrence lists —
     identical semantics: first F expansion (in expansion order) whose
     first occurrence yields a downstream R match wins; `product.find(rc)`
-    becomes a bisect over rc's line-absolute positions >= the F start."""
+    becomes a bisect over rc's line-absolute positions >= the F start.
+
+    ``want_bodies=False`` (the summary mode) skips the sequence bodies:
+    products map to True, non-products to None — the same keys in the
+    same line order (covered/uncovered sets and all counts identical),
+    and only lines with an F occurrence are visited at all (a 1011-pair x
+    21k-target run spends ~30 s just walking every target per pair)."""
     from bisect import bisect_left
     f_exp = iupac.expand(primer_f)
     r_rcs = [_rc(rseq) for rseq in iupac.expand(primer_r)]
     f_occ = [occ.get(fseq, {}) for fseq in f_exp]
     r_occ = [occ.get(rc, {}) for rc in r_rcs]
-    products, non_products = {}, {}
-    for t, key in enumerate(corpus.headers):
+
+    def body(t):
         line = corpus.line(t)
-        value = ""
         for fseq, occd in zip(f_exp, f_occ):
             positions = occd.get(t)
             if not positions:
@@ -246,14 +251,29 @@ def _pcr_products_occ(primer_f, primer_r, corpus, occ):
                 j = bisect_left(rpos, idx)
                 if j < len(rpos):
                     ridx = rpos[j] - idx
-                    value = line[idx:idx + ridx].strip() + rc
-                    break
+                    return line[idx:idx + ridx].strip() + rc
+        return ""
+
+    products, non_products = {}, {}
+    if want_bodies:
+        for t, key in enumerate(corpus.headers):
+            value = body(t)
             if value:
-                break
-        if value:
-            products[key] = value
-        else:
-            non_products[key] = line.strip()
+                products[key] = value
+            else:
+                non_products[key] = corpus.line(t).strip()
+        return products, non_products
+    candidates = set()
+    for occd in f_occ:
+        candidates.update(occd)
+    produced = set()
+    for t in sorted(candidates):          # line order, like the full walk
+        if body(t):
+            produced.add(t)
+            products[corpus.headers[t]] = True
+    for t, key in enumerate(corpus.headers):
+        if t not in produced:
+            non_products[key] = None
     return products, non_products
 
 
@@ -279,7 +299,8 @@ def run(pairs, ref_file, out_dir, coverage_file, products="full"):
         for key, (primer_f, primer_r) in pairs.items():
             if occ is not None:
                 products_d, non_products = _pcr_products_occ(
-                    primer_f, primer_r, corpus, occ)
+                    primer_f, primer_r, corpus, occ,
+                    want_bodies=products != "summary")
             else:
                 products_d, non_products = _pcr_products_corpus(
                     primer_f, primer_r, corpus)

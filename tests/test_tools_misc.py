@@ -190,3 +190,35 @@ def test_pcr_batch_occ_matches_corpus_path(tmp_path):
             assert a == b, (trial, key)
             n_products += len(a[0])
         assert trial != 0 or n_products > 0
+
+
+def test_pcr_occ_summary_counts_match_bodies(tmp_path):
+    """want_bodies=False returns the same keys in the same order as the
+    body-building walk (counts, covered/uncovered sets identical)."""
+    import numpy as np
+
+    from multiprime_tpu.utils import iupac
+    from multiprime_tpu.validate import pcr
+
+    rng = np.random.default_rng(17)
+    lut = np.array(list("ACGT"))
+    f = "".join(rng.choice(lut, size=16))
+    r = "".join(rng.choice(lut, size=16))
+    rc = pcr._rc(r)
+    ref = tmp_path / "ref.fa"
+    with open(ref, "w") as fh:
+        for i in range(15):
+            body = "".join(rng.choice(lut, size=260))
+            if i % 2 == 0:
+                body = body[:20] + f + body[36:200] + rc + body[216:]
+            # duplicate header with one producing + one barren line
+            name = "t%d" % (i // 2) if i < 4 else "t%d" % i
+            fh.write(">%s\n%s\n" % (name, body))
+    corpus = pcr._Corpus(str(ref))
+    pairs = {"k": (f, r)}
+    occ = pcr._batch_occurrences(pairs, corpus)
+    with_bodies = pcr._pcr_products_occ(f, r, corpus, occ, want_bodies=True)
+    keys_only = pcr._pcr_products_occ(f, r, corpus, occ, want_bodies=False)
+    assert list(with_bodies[0]) == list(keys_only[0])
+    assert list(with_bodies[1]) == list(keys_only[1])
+    assert len(with_bodies[0]) > 0
