@@ -23,16 +23,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def generate(fa_path, seed=0):
+def generate(fa_path, seed=0,
+             n_fams=int(os.environ.get("MPTPU_SCALE_FAMS", "20")),
+             members=int(os.environ.get("MPTPU_SCALE_MEMBERS", "1000")),
+             singletons=int(os.environ.get("MPTPU_SCALE_SINGLETONS",
+                                           "1000"))):
     rng = np.random.default_rng(seed)
     lut = np.array(list("ACGT"))
     with open(fa_path, "w") as f:
         divergences = (0.01, 0.02, 0.05, 0.08)
-        for fam in range(20):
+        for fam in range(n_fams):
             div = divergences[fam % len(divergences)]
             base = np.frombuffer(
                 "".join(rng.choice(lut, size=900)).encode(), np.uint8).copy()
-            for m in range(1000):
+            for m in range(members):
                 if m % 10 == 0:
                     arr = base
                 else:
@@ -42,7 +46,7 @@ def generate(fa_path, seed=0):
                         rng.choice(lut, size=int(mut.sum()))).encode(),
                         np.uint8)
                 f.write(">F%d_%d\n%s\n" % (fam, m, arr.tobytes().decode()))
-        for s in range(1000):
+        for s in range(singletons):
             f.write(">S%d\n%s\n"
                     % (s, "".join(rng.choice(lut, size=900))))
 
