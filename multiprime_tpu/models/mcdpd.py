@@ -635,9 +635,13 @@ class DesignEngine:
         for b0 in range(0, len(positions), block):
             pos_block = positions[b0:b0 + block]
             wins = extractor.windows(pos_block)      # [N, W, plen]
+            gap_blk = (wins == ord("-")).sum(axis=2)
+            imp_blk = _IMPURE_TABLE[wins].any(axis=2)
             for wi, position in enumerate(pos_block):
                 res = self._design_window(int(position), wins[:, wi, :],
-                                          seq_ids, n, threshold)
+                                          seq_ids, n, threshold,
+                                          gates=(gap_blk[:, wi],
+                                                 imp_blk[:, wi]))
                 if res is not None:
                     results.append(res)
             if progress:
@@ -670,12 +674,16 @@ class DesignEngine:
                 variation=self.p.variation)
         for pos_block, stats in blocks:
             win_chars = iupac._MASK_TO_ASCII[stats["win"] & 15]  # [N, W, plen]
+            gap_blk = (win_chars == ord("-")).sum(axis=2)
+            imp_blk = _IMPURE_TABLE[win_chars].any(axis=2)
             for wi, position in enumerate(pos_block):
                 pre = (stats["freq"][wi].T.astype(np.int64),
                        stats["nn"][wi].astype(np.int64),
                        stats["viterbi"][wi].astype(np.int64))
                 res = self._design_window(int(position), win_chars[:, wi, :],
-                                          seq_ids, n, threshold, pre=pre)
+                                          seq_ids, n, threshold, pre=pre,
+                                          gates=(gap_blk[:, wi],
+                                                 imp_blk[:, wi]))
                 if res is not None:
                     results.append(res)
             done += len(pos_block)
@@ -705,12 +713,15 @@ class DesignEngine:
 
     # -- per-window Stage B ----------------------------------------------------
     def _design_window(self, position, win_chars, seq_ids, total, threshold,
-                       pre=None):
+                       pre=None, gates=None):
         p = self.p
         plen = p.primer_length
-        gapcnt = (win_chars == ord("-")).sum(axis=1)
+        if gates is None:
+            gapcnt = (win_chars == ord("-")).sum(axis=1)
+            needs_expand = _IMPURE_TABLE[win_chars].any(axis=1)
+        else:               # precomputed per block (same ops, batched)
+            gapcnt, needs_expand = gates
         is_gap = gapcnt > p.variation
-        needs_expand = _IMPURE_TABLE[win_chars].any(axis=1)
 
         # Gap gate: the reference checks the running rounded fraction after
         # each gappy sequence and at the end; the fraction is monotone, so it
@@ -731,11 +742,11 @@ class DesignEngine:
         grp = native.group_rows(win)
         if grp is not None:
             n_groups, g_order, g_members, g_offsets = grp
-            groups = {}
-            for gi in range(n_groups):
-                si0 = int(g_order[gi]) * plen
-                groups[flat[si0:si0 + plen]] = \
-                    g_members[g_offsets[gi]:g_offsets[gi + 1]].tolist()
+            bounds = g_offsets[:n_groups + 1].tolist()
+            starts = (g_order[:n_groups].astype(np.int64) * plen).tolist()
+            rows_iter = [(flat[s:s + plen],
+                          g_members[bounds[gi]:bounds[gi + 1]].tolist())
+                         for gi, s in enumerate(starts)]
         else:
             groups = {}
             for si in range(total):
@@ -745,6 +756,7 @@ class DesignEngine:
                     groups[key] = [si]
                 else:
                     g.append(si)
+            rows_iter = groups.items()
 
         cover = {}
         cover_for_mm = {}
@@ -752,7 +764,7 @@ class DesignEngine:
         gap_sequence = {}
         gap_seq_id = {}
         multi_exp = {}          # expansion -> [seq index lists] for merging
-        for rkey, members in groups.items():
+        for rkey, members in rows_iter:
             row = rkey.decode("ascii")
             count = len(members)
             expansions = iupac.expand(row) if needs_expand[members[0]] \
@@ -803,17 +815,22 @@ class DesignEngine:
         counts = np.fromiter(cover.values(), dtype=np.int64, count=len(keys))
         key_chars = np.frombuffer("".join(keys).encode("ascii"),
                                   np.uint8).reshape(len(keys), plen)
+        nn = None
         if pre is not None:
             freq, nn, viterbi_pre = pre
         else:
-            onehot = key_chars[:, :, None] == _ASCII_BASES[None, None, :]
-            freq = np.einsum("k,klb->bl", counts,
-                             onehot.astype(np.int64))       # [4, plen]
+            fn = native.freq_nn(key_chars, counts)
+            if fn is not None:
+                freq, nn = fn       # exact int64, same einsum semantics
+            else:
+                onehot = key_chars[:, :, None] == _ASCII_BASES[None, None, :]
+                freq = np.einsum("k,klb->bl", counts,
+                                 onehot.astype(np.int64))       # [4, plen]
         if (freq.sum(axis=0) == 0).any():
             return None
         if (freq.sum(axis=1) == 0).any():     # a < 4: some base never occurs
             return None
-        if pre is None:
+        if nn is None:
             left = onehot[:, :-1, :].astype(np.int64)
             right = onehot[:, 1:, :].astype(np.int64)
             nn = np.einsum("k,kli,klj->lij", counts, left, right)
@@ -1272,10 +1289,12 @@ class _DesignWorker:
     def __call__(self, chunk):
         out = []
         wins = self.extractor.windows(chunk)
+        gap_blk = (wins == ord("-")).sum(axis=2)
+        imp_blk = _IMPURE_TABLE[wins].any(axis=2)
         for wi, position in enumerate(chunk):
             res = self.engine._design_window(
                 int(position), wins[:, wi, :], self.seq_ids, self.n,
-                self.threshold)
+                self.threshold, gates=(gap_blk[:, wi], imp_blk[:, wi]))
             if res is not None:
                 out.append(res)
         return out

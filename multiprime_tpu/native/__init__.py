@@ -179,6 +179,10 @@ def _bind(lib):
     lib.group_rows.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.freq_nn.restype = None
+    lib.freq_nn.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     lib.refine_v16_loop.restype = ctypes.c_int64
     lib.refine_v16_loop.argtypes = [
         ctypes.c_void_p, ctypes.c_int64,                        # primer
@@ -603,6 +607,23 @@ def group_rows(win: np.ndarray):
     r = lib.group_rows(win.ctypes.data, n, plen, order.ctypes.data,
                        members.ctypes.data, offsets.ctypes.data)
     return int(r), order, members, offsets
+
+
+def freq_nn(key_chars: np.ndarray, counts: np.ndarray):
+    """Exact int64 frequency [4, plen] and NN [plen-1, 4, 4] tensors over
+    the distinct cover keys, identical to mcdpd._design_window's einsum
+    formulation (non-ACGT bytes contribute nothing).  None -> fallback."""
+    lib = load()
+    if lib is None:
+        return None
+    k, plen = key_chars.shape
+    kc = np.ascontiguousarray(key_chars, np.uint8)
+    cnt = np.ascontiguousarray(counts, np.int64)
+    freq = np.empty((4, plen), np.int64)
+    nn = np.empty((plen - 1, 4, 4), np.int64)
+    lib.freq_nn(kc.ctypes.data, k, plen, cnt.ctypes.data,
+                freq.ctypes.data, nn.ctypes.data)
+    return freq, nn
 
 
 def mask_scan(target_codes: np.ndarray, lens: np.ndarray,

@@ -1653,6 +1653,37 @@ int64_t group_rows(const uint8_t* rows, int64_t n, int64_t plen,
     return R;
 }
 
+// Exact integer frequency / nearest-neighbour tensors over the distinct
+// cover keys (models/mcdpd.py::_design_window): replaces the two einsum
+// calls freq[b][l] = sum_k c_k [key_kl == base_b] and
+// nn[l][i][j] = sum_k c_k [key_kl == base_i][key_k,l+1 == base_j].
+// keys: uint8 ASCII [K, plen]; non-ACGT bytes (gaps) contribute nothing,
+// matching the all-zero one-hot rows of the NumPy formulation.
+void freq_nn(const uint8_t* keys, int64_t K, int64_t plen,
+             const int64_t* counts,
+             int64_t* freq_out /* [4, plen] */,
+             int64_t* nn_out /* [plen-1, 4, 4] */) {
+    int8_t map[256];
+    memset(map, -1, sizeof(map));
+    map['A'] = 0; map['C'] = 1; map['G'] = 2; map['T'] = 3;
+    memset(freq_out, 0, sizeof(int64_t) * 4 * (size_t)plen);
+    memset(nn_out, 0, sizeof(int64_t) * 16 * (size_t)(plen - 1));
+    for (int64_t k = 0; k < K; k++) {
+        const uint8_t* row = keys + k * plen;
+        const int64_t c = counts[k];
+        int8_t prev = map[row[0]];
+        if (prev >= 0) freq_out[(int64_t)prev * plen] += c;
+        for (int64_t l = 1; l < plen; l++) {
+            const int8_t b = map[row[l]];
+            if (b >= 0) {
+                freq_out[(int64_t)b * plen + l] += c;
+                if (prev >= 0) nn_out[(l - 1) * 16 + prev * 4 + b] += c;
+            }
+            prev = b;
+        }
+    }
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
