@@ -1215,7 +1215,9 @@ class DesignEngine:
         pa = np.frombuffer(optimal_primer.encode(), np.uint8)
         # not-covered matrix over all keys at once: [K, plen]
         mis = ~self._covered[pa[None, :], key_chars]
-        nmis = mis.sum(axis=1)
+        nmis = mis.sum(axis=1).tolist()     # plain ints: the per-key loop
+        # below indexes these thousands of times; ndarray scalar boxing
+        # costs more than the whole vector pass
         f_non, r_non = {}, {}
         f_mis = r_mis = 0
         # The reference iterates ``set(cover.keys()) - optimal_primer_set``
@@ -1228,8 +1230,8 @@ class DesignEngine:
         if p.algo == "v15":
             margin = p.position_margin
             pos = np.arange(plen)
-            lo_bad = (mis & (pos < margin)[None, :]).any(axis=1)
-            hi_bad = (mis & (pos > plen - margin)[None, :]).any(axis=1)
+            lo_bad = (mis & (pos < margin)[None, :]).any(axis=1).tolist()
+            hi_bad = (mis & (pos > plen - margin)[None, :]).any(axis=1).tolist()
             for key in uncover_iter:
                 i = key_index[key]
                 if nmis[i] > p.variation:
@@ -1249,8 +1251,8 @@ class DesignEngine:
                         f_mis += counts[i]
                         r_mis += counts[i]
         else:
-            f_bad = (mis & self._y_strict_arr[None, :]).any(axis=1)
-            r_bad = (mis & self._y_strict_r_arr[None, :]).any(axis=1)
+            f_bad = (mis & self._y_strict_arr[None, :]).any(axis=1).tolist()
+            r_bad = (mis & self._y_strict_r_arr[None, :]).any(axis=1).tolist()
             for key in uncover_iter:
                 i = key_index[key]
                 if nmis[i] > p.variation:

@@ -459,6 +459,10 @@ def hairpin_flag(primer: str, distance: int, first_members=None):
     return None if r < 0 else bool(r)
 
 
+_DIMER_BUFS = threading.local()
+_GROUP_BUFS = threading.local()
+
+
 def dimer_screen(primer: str, num=5, length=14):
     """Candidate (end, d2) pairs for the design engine's self-dimer check
     (the string-search phase of multiPrime-core.py:487-503), in the exact
@@ -469,8 +473,14 @@ def dimer_screen(primer: str, num=5, length=14):
         return None
     plen = len(primer)
     max_out = 4096
-    ends_buf = ctypes.create_string_buffer(max_out * 64)
-    out = np.empty(3 * max_out, np.int64)
+    # reused per thread: allocating 256 KB + 96 KB per primer dominated the
+    # call cost (the C side only ever writes the first n entries)
+    bufs = getattr(_DIMER_BUFS, "v", None)
+    if bufs is None:
+        bufs = (ctypes.create_string_buffer(max_out * 64),
+                np.empty(3 * max_out, np.int64))
+        _DIMER_BUFS.v = bufs
+    ends_buf, out = bufs
     n = lib.dimer_screen(primer.encode("ascii"), plen, num, num + length - 1,
                          ends_buf, len(ends_buf), out.ctypes.data, max_out)
     if n < 0:
@@ -601,11 +611,20 @@ def group_rows(win: np.ndarray):
     if lib is None:
         return None
     n, plen = win.shape
-    order = np.empty(n, np.int32)
-    members = np.empty(n, np.int32)
-    offsets = np.empty(n + 1, np.int32)
-    r = lib.group_rows(win.ctypes.data, n, plen, order.ctypes.data,
-                       members.ctypes.data, offsets.ctypes.data)
+    # per-thread output buffers with cached raw pointers: the .ctypes.data
+    # property builds a ctypes view per access, which dominated this
+    # binding's cost at ~30 us/call over thousands of windows
+    bufs = getattr(_GROUP_BUFS, "v", None)
+    if bufs is None or bufs[0] < n:
+        order = np.empty(n, np.int32)
+        members = np.empty(n, np.int32)
+        offsets = np.empty(n + 1, np.int32)
+        bufs = (n, order, members, offsets, order.ctypes.data,
+                members.ctypes.data, offsets.ctypes.data)
+        _GROUP_BUFS.v = bufs
+    _, order, members, offsets, p_order, p_members, p_offsets = bufs
+    r = lib.group_rows(win.ctypes.data, n, plen, p_order, p_members,
+                       p_offsets)
     return int(r), order, members, offsets
 
 
