@@ -105,3 +105,29 @@ def test_native_v20_loop_matches_python(seed, variation, monkeypatch):
     gp, np_ = mcdpd.pairing_inputs(res_python)
     assert json.dumps(gn) == json.dumps(gp)
     assert json.dumps(nn) == json.dumps(np_)
+
+
+@needs_native
+def test_native_freq_nn_matches_einsum_fuzz():
+    """freq_nn (seqlib.cpp) == the einsum formulation it replaced in
+    _design_window, including all-zero one-hot rows for gap bytes."""
+    rng = np.random.default_rng(11)
+    ascii_pool = np.frombuffer(b"ACGT-", np.uint8)
+    for _ in range(200):
+        k = int(rng.integers(1, 60))
+        plen = int(rng.integers(2, 30))
+        # bias towards pure bases, but keep gaps in the mix
+        key_chars = ascii_pool[
+            rng.choice(5, size=(k, plen), p=[0.24, 0.24, 0.24, 0.24, 0.04])]
+        counts = rng.integers(1, 500, size=k).astype(np.int64)
+        got = native.freq_nn(key_chars, counts)
+        assert got is not None
+        freq_n, nn_n = got
+        onehot = key_chars[:, :, None] == mcdpd._ASCII_BASES[None, None, :]
+        freq_e = np.einsum("k,klb->bl", counts, onehot.astype(np.int64))
+        left = onehot[:, :-1, :].astype(np.int64)
+        right = onehot[:, 1:, :].astype(np.int64)
+        nn_e = np.einsum("k,kli,klj->lij", counts, left, right)
+        assert freq_n.dtype == np.int64 and nn_n.dtype == np.int64
+        np.testing.assert_array_equal(freq_n, freq_e)
+        np.testing.assert_array_equal(nn_n, nn_e)
