@@ -637,11 +637,13 @@ class DesignEngine:
             wins = extractor.windows(pos_block)      # [N, W, plen]
             gap_blk = (wins == ord("-")).sum(axis=2)
             imp_blk = _IMPURE_TABLE[wins].any(axis=2)
+            same_blk = (wins == wins[:1]).all(axis=(0, 2))
             for wi, position in enumerate(pos_block):
                 res = self._design_window(int(position), wins[:, wi, :],
                                           seq_ids, n, threshold,
                                           gates=(gap_blk[:, wi],
-                                                 imp_blk[:, wi]))
+                                                 imp_blk[:, wi],
+                                                 bool(same_blk[wi])))
                 if res is not None:
                     results.append(res)
             if progress:
@@ -676,6 +678,7 @@ class DesignEngine:
             win_chars = iupac._MASK_TO_ASCII[stats["win"] & 15]  # [N, W, plen]
             gap_blk = (win_chars == ord("-")).sum(axis=2)
             imp_blk = _IMPURE_TABLE[win_chars].any(axis=2)
+            same_blk = (win_chars == win_chars[:1]).all(axis=(0, 2))
             for wi, position in enumerate(pos_block):
                 pre = (stats["freq"][wi].T.astype(np.int64),
                        stats["nn"][wi].astype(np.int64),
@@ -683,7 +686,8 @@ class DesignEngine:
                 res = self._design_window(int(position), win_chars[:, wi, :],
                                           seq_ids, n, threshold, pre=pre,
                                           gates=(gap_blk[:, wi],
-                                                 imp_blk[:, wi]))
+                                                 imp_blk[:, wi],
+                                                 bool(same_blk[wi])))
                 if res is not None:
                     results.append(res)
             done += len(pos_block)
@@ -719,8 +723,9 @@ class DesignEngine:
         if gates is None:
             gapcnt = (win_chars == ord("-")).sum(axis=1)
             needs_expand = _IMPURE_TABLE[win_chars].any(axis=1)
+            all_same = bool((win_chars == win_chars[:1]).all())
         else:               # precomputed per block (same ops, batched)
-            gapcnt, needs_expand = gates
+            gapcnt, needs_expand, all_same = gates
         is_gap = gapcnt > p.variation
 
         # Gap gate: the reference checks the running rounded fraction after
@@ -729,6 +734,26 @@ class DesignEngine:
         gap_number = int(is_gap.sum())
         if round(gap_number / total, 2) >= (1 - p.coverage):
             return None
+
+        # Uniform-pure fast path (singleton clusters, zero-variation
+        # windows): with one distinct pure row the general path provably
+        # reduces to the v15/v16 full-degenerate short-circuit over trivial
+        # tensors — cover == {row: total}, cBit == tBit ==
+        # shannon_pair([total], total, [], 0), the a<4 early-out becomes
+        # "row misses a base", mis_primer_check iterates an empty set, and
+        # the short-circuit fires iff 1 < degeneracy and 0 < dege_number.
+        # Exact-equivalence fuzz: tests/test_design_golden.py.
+        if (all_same and not needs_expand[0] and p.algo in ("v15", "v16")
+                and p.degeneracy > 1 and p.dege_number > 0):
+            row = win_chars[0].tobytes().decode("ascii")
+            c_bit, t_bit = thermo.shannon_pair([total], total, [], 0)
+            if t_bit > threshold:
+                return None
+            if len(set(row)) < 4:            # a < 4: some base never occurs
+                return None
+            info = self.pre_filter_info(row)
+            return self._finalize(position, c_bit, t_bit, row, total, total,
+                                  info, {}, {}, {row: total}, set(), {})
 
         # Distinct raw windows with first-occurrence order and per-row member
         # lists: expansion/dict building then runs over the distinct rows
@@ -1293,10 +1318,12 @@ class _DesignWorker:
         wins = self.extractor.windows(chunk)
         gap_blk = (wins == ord("-")).sum(axis=2)
         imp_blk = _IMPURE_TABLE[wins].any(axis=2)
+        same_blk = (wins == wins[:1]).all(axis=(0, 2))
         for wi, position in enumerate(chunk):
             res = self.engine._design_window(
                 int(position), wins[:, wi, :], self.seq_ids, self.n,
-                self.threshold, gates=(gap_blk[:, wi], imp_blk[:, wi]))
+                self.threshold, gates=(gap_blk[:, wi], imp_blk[:, wi],
+                                       bool(same_blk[wi])))
             if res is not None:
                 out.append(res)
         return out

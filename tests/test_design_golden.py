@@ -469,3 +469,39 @@ def test_write_sidecars_forked_sync_fallback(tmp_path, monkeypatch):
     wait2()
     wait2()     # second call must not raise ChildProcessError
     assert json.load(open(out2 + ".gap_seq_id_json")) == {"5": {}}
+
+
+def test_uniform_pure_fast_path_exact_equivalence():
+    """The all-rows-identical-and-pure fast path in _design_window must be
+    an exact reduction of the general path (same WindowResult fields,
+    including float signs like -0.0 and the a<4 / tBit / dimer gates)."""
+    rng = np.random.default_rng(23)
+    lut = np.array(list("ACGT"))
+    params = mcdpd.DesignParams(
+        primer_length=18, coverage=0.7, dege_number=4, degeneracy=10,
+        variation=1, entropy_threshold=3.6, gc=(0.2, 0.7), min_product=150,
+        coordinate="2,3,-1", hairpin_distance=4, algo="v16", nproc=1)
+    eng = mcdpd.DesignEngine(params)
+    checked = fired = 0
+    for trial in range(400):
+        n = int(rng.choice([1, 1, 3, 50]))
+        if trial % 5 == 0:
+            # row missing one base: must hit the a<4 early-out identically
+            row = "".join(rng.choice(lut[:3], size=18))
+        else:
+            row = "".join(rng.choice(lut, size=18))
+        win = np.tile(np.frombuffer(row.encode(), np.uint8), (n, 1)).copy()
+        gapcnt = (win == ord("-")).sum(axis=1)
+        needs = mcdpd._IMPURE_TABLE[win].any(axis=1)
+        ids = [">s%d" % i for i in range(n)]
+        fast = eng._design_window(7, win, ids, n, 3.6,
+                                  gates=(gapcnt, needs, True))
+        slow = eng._design_window(7, win, ids, n, 3.6,
+                                  gates=(gapcnt, needs, False))
+        checked += 1
+        if fast is None or slow is None:
+            assert fast is None and slow is None
+            continue
+        fired += 1
+        assert repr(vars(fast)) == repr(vars(slow))
+    assert fired >= 50 and checked == 400
