@@ -247,13 +247,8 @@ def bench_device_win():
 def _clear_memo_caches():
     """Reset every module-level lru_cache the design/pairing hot path uses
     so a repeat bench run re-does the same cold-cluster work."""
-    from multiprime_tpu.models import mcdpd, pairing
-    from multiprime_tpu.thermo import exact as thermo
-    from multiprime_tpu.utils import iupac
-    for mod in (mcdpd, pairing, thermo, iupac):
-        for obj in vars(mod).values():
-            if hasattr(obj, "cache_clear"):
-                obj.cache_clear()
+    from multiprime_tpu.models import mcdpd
+    mcdpd.clear_memo_caches()
 
 
 def main():

@@ -1514,6 +1514,22 @@ def write_sidecars(results, outfile):
         _fast_json_dump({r.position: r.gap_ids for r in results}, fg)
 
 
+def clear_memo_caches():
+    """Reset the per-primer lru_cache memos (design, pairing, thermo,
+    IUPAC).  Primer strings rarely repeat across clusters, so in a
+    many-cluster fan-out the caches only grow: ~1.3 MB/cluster RSS and a
+    gen-2 GC walk that made cluster #300 ~30% slower than cluster #1 in a
+    300-singleton test.  The pipeline driver calls this between clusters;
+    bench.py calls it between timed runs."""
+    from ..thermo import exact as _thermo
+    from ..utils import iupac as _iupac
+    from . import pairing as _pairing
+    for mod in (globals(), vars(_pairing), vars(_thermo), vars(_iupac)):
+        for obj in (mod.values() if isinstance(mod, dict) else mod):
+            if hasattr(obj, "cache_clear"):
+                obj.cache_clear()
+
+
 def fork_safe():
     """True when os.fork is available and no JAX backend is live in this
     process (libtpu does not survive fork) — the shared probe for every

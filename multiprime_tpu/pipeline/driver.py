@@ -554,6 +554,10 @@ class Pipeline:
         finally:
             if sidecar_wait is not None:
                 sidecar_wait()
+            # cap the per-primer memo caches: primers don't repeat across
+            # clusters, and letting the caches grow across a 4096-cluster
+            # fan-out costs GBs of RSS and a growing gen-2 GC walk
+            mcdpd.clear_memo_caches()
         return rep
 
     def _wrc_cluster(self, name, msa_path, tfa):
