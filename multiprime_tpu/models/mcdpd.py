@@ -211,9 +211,10 @@ def resolve_stage_a(n_seqs, n_windows, plen):
     if forced is not None:
         return forced
     t_host = linkmod.est_host_stagea_s(n_seqs, n_windows, plen)
-    if t_host < 0.15:          # too small to be worth a device dispatch
-        return "host"          # (or a first-use link probe)
-    t_dev = linkmod.est_device_stagea_s(n_seqs, n_windows, plen)
+    startup = linkmod.device_startup_s()
+    if t_host < 0.15 + startup:   # too small to be worth a device
+        return "host"             # dispatch (or a first-use link probe)
+    t_dev = startup + linkmod.est_device_stagea_s(n_seqs, n_windows, plen)
     return "device" if t_dev < t_host else "host"
 
 
@@ -693,6 +694,8 @@ class DesignEngine:
             done += len(pos_block)
             if progress:
                 progress(done, len(positions))
+        from ..utils import link as linkmod
+        linkmod.mark_device_warm()
         return results
 
     def _design_parallel(self, extractor, positions, seq_ids, n, threshold):

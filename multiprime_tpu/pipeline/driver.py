@@ -637,6 +637,14 @@ class Pipeline:
             core_fa = self._p("Core_primers_set",
                               "core_final_maxprimers_set.fa")
             stages.primerset_format(core_final, core_fa)
+        # release the solve's parsed candidate set (1.2 GB of tuples at the
+        # 100k scale) BEFORE the pcr fork and the validation scan: keeping
+        # it live made every gen-2 GC pass during the scan walk millions of
+        # dead-weight objects (and the fork COW-duplicate them), stretching
+        # a ~20 s scan to ~10 min in the 100k run
+        primers = None
+        import gc
+        gc.collect()
         self.cfg.timings["solve"] = round(time.time() - t_solve, 3)
         # perfect-match PCR products + coverage summary.  The product
         # writing is IO-bound (GBs of per-pair FASTAs at scale) while the

@@ -73,6 +73,45 @@ TUNNEL_LINK = {"up_mbps": 40.0, "down_mbps": 15.0, "rtt_ms": 23.0,
 _CACHE = None
 
 
+def jax_startup_s():
+    """One-time cost of bringing up jax in THIS process (import + backend
+    init; ~10-15 s measured on this box with the axon platform, ~2-5 s on
+    a local install).  Zero once jax is already imported.  The auto
+    policies charge it to the device side so a host path that finishes in
+    seconds is never beaten by a device estimate that ignores the import
+    it would trigger.  Override with MPTPU_JAX_STARTUP_S."""
+    import sys
+    if "jax" in sys.modules:
+        return 0.0
+    return float(os.environ.get("MPTPU_JAX_STARTUP_S", "9.0"))
+
+
+_DEVICE_WARM = False
+
+
+def mark_device_warm():
+    """Called by the device paths after their first successful dispatch in
+    this process: later estimates stop charging the first-use constant."""
+    global _DEVICE_WARM
+    _DEVICE_WARM = True
+
+
+def device_startup_s():
+    """Expected one-time cost of the FIRST device execution in this
+    process: the jax import (if still pending) plus the first
+    compile+dispatch through the backend.  On this box's relayed chip the
+    first jit+fetch measured 0.4 s warm but 207 s when the remote compile
+    service was cold — the tail that turned a 13 s host-won scan stage
+    into 10 minutes before the policies charged for it.  The default
+    charges a conservative middle ground (the cold tail is unknowable in
+    advance); override with MPTPU_DEVICE_FIRST_USE_S.  Zero once a device
+    path has completed in this process (mark_device_warm)."""
+    if _DEVICE_WARM:
+        return 0.0
+    return jax_startup_s() + float(
+        os.environ.get("MPTPU_DEVICE_FIRST_USE_S", "10.0"))
+
+
 def _cache_path(platform):
     root = os.environ.get("XDG_CACHE_HOME",
                           os.path.join(os.path.expanduser("~"), ".cache"))
@@ -94,25 +133,62 @@ def _env_override():
 
 def _measure(size_mb=8):
     """Time the link with jax (which must already be importable).  One
-    size_mb transfer each way for bandwidth, five tiny ones for RTT."""
+    size_mb transfer each way for bandwidth, a few tiny ones for RTT.
+
+    Hard time budget (MPTPU_LINK_PROBE_BUDGET_S, default 15 s): a relayed
+    link under load can stall a single tiny device_put for MINUTES — the
+    first 100k pipeline run burned 10 min inside this probe (cached
+    rtt_ms 121701).  A jax op can't be interrupted once issued, but the
+    budget is checked between ops: on overrun the probe returns the
+    pessimistic tunnel numbers (marked truncated) instead of issuing more,
+    so the policy falls back to host and the pipeline moves on."""
     import numpy as np
     import jax
+
+    budget = float(os.environ.get("MPTPU_LINK_PROBE_BUDGET_S", "15"))
+    start = time.time()
+
+    def over():
+        return time.time() - start > budget
+
+    def bail():
+        got = dict(TUNNEL_LINK)
+        got["platform"] = platform
+        got["probed"] = True
+        got["truncated"] = True
+        return got
 
     platform = jax.default_backend()
     tiny = np.zeros(1024, np.uint8)
     jax.block_until_ready(jax.device_put(tiny))          # warm path
+    if over():
+        return bail()
+    # adaptive iteration count: if the first round trip is already slow,
+    # one sample is answer enough
     t0 = time.time()
-    for _ in range(5):
+    jax.block_until_ready(jax.device_put(tiny))
+    first = time.time() - t0
+    reps = 1 if first > 0.5 else 4
+    t0 = time.time()
+    for _ in range(reps):
+        if over():
+            return bail()
         jax.block_until_ready(jax.device_put(tiny))
-    rtt_up = (time.time() - t0) / 5
+    rtt_up = (time.time() - t0) / reps
     small_dev = jax.device_put(tiny)
     jax.block_until_ready(small_dev)
     t0 = time.time()
-    for _ in range(5):
+    for _ in range(reps):
+        if over():
+            return bail()
         np.asarray(small_dev)
-    rtt_down = (time.time() - t0) / 5
+    rtt_down = (time.time() - t0) / reps
+    if over():
+        return bail()
     big = np.zeros(size_mb << 20, np.uint8)
     jax.block_until_ready(jax.device_put(big))           # page-in, warm
+    if over():
+        return bail()
     t0 = time.time()
     big_dev = jax.device_put(big)
     jax.block_until_ready(big_dev)
@@ -120,6 +196,8 @@ def _measure(size_mb=8):
     t0 = time.time()
     np.asarray(big_dev)
     down_s = time.time() - t0
+    if over():
+        return bail()
     # Full dispatch->fetch round trip of a fresh computed result: on
     # relayed links block_until_ready can return before execution, so the
     # honest dispatch cost only shows at the fetch of a NEW array.  This is
@@ -136,6 +214,41 @@ def _measure(size_mb=8):
             "rtt_ms": round(max(rtt_up, rtt_down) * 1e3, 2),
             "dispatch_ms": round(dispatch_s * 1e3, 2),
             "platform": platform, "probed": True}
+
+
+def _measure_killable():
+    """Run _measure in a subprocess with a hard kill timeout.
+
+    The in-process budget checks can only bail BETWEEN jax ops; a single
+    op can stall for minutes on a relayed link (first compile measured
+    207 s cold).  A child process can be killed mid-op, so the parent
+    never blocks past the timeout.  One-time per machine (disk-cached by
+    the caller).  Returns the measured dict, a truncated tunnel-default
+    dict, or None when the child failed entirely."""
+    import subprocess
+    import sys
+    budget = float(os.environ.get("MPTPU_LINK_PROBE_BUDGET_S", "15"))
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    code = ("import json\nfrom multiprime_tpu.utils import link\n"
+            "print('LINKJSON ' + json.dumps(link._measure()), flush=True)\n")
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=budget + 30, env=env)     # +30: child pays jax import
+        for line in out.stdout.splitlines():
+            if line.startswith("LINKJSON "):
+                return json.loads(line[len("LINKJSON "):])
+        return None
+    except subprocess.TimeoutExpired:
+        got = dict(TUNNEL_LINK)
+        got["probed"] = True
+        got["truncated"] = True
+        return got
+    except Exception:
+        return None
 
 
 def probe(force=False):
@@ -166,10 +279,22 @@ def probe(force=False):
                 return got
         except (OSError, ValueError):
             pass
-    try:
-        got = _measure()
-    except Exception:
-        got = dict(TUNNEL_LINK)
+    if platform == "cpu":
+        # no relay to stall on; in-process keeps the probe hermetic for
+        # the CPU test environment (monkeypatched _measure included)
+        try:
+            got = _measure()
+        except Exception:
+            got = dict(TUNNEL_LINK)
+    else:
+        got = _measure_killable()
+        if got is None:
+            got = dict(TUNNEL_LINK)
+    if got.get("truncated"):
+        # a stalled probe is often transient (relay under load): use the
+        # pessimistic numbers for THIS process but let the next one retry
+        _CACHE = got
+        return got
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp.%d" % os.getpid()

@@ -151,13 +151,19 @@ def _auto_backend(target_seqs, patterns, plen, pad_len, n_pat_padded,
     native_ok = native.available()
     t_host = linkmod.est_host_scan_s(total_bases, len(patterns), params.mm,
                                      native_ok)
-    if t_host < 1.0:            # host finishes ~instantly: never worth a
-        return "numpy"          # device dispatch, let alone a link probe
+    # the device side must also pay its one-time process costs — the jax
+    # import (if pending) and the first compile+dispatch (minutes when the
+    # remote compile service is cold; see utils/link.device_startup_s) —
+    # without this term a 2 s host scan could trigger a 15 s import just
+    # to "estimate" a device win
+    startup = linkmod.device_startup_s()
+    if t_host < 1.0 + startup:  # host beats any device path that would
+        return "numpy"          # still need the import / dispatch / probe
     n_out = pad_len - plen + 1
     bs = ms.safe_batch_size(params.device_batch_seqs, n_out, n_pat_padded)
     n_batches = -(-len(target_seqs) // bs)
     upload_bytes = n_batches * bs * pad_len          # uint8 mask rows
-    t_dev = linkmod.est_device_scan_s(
+    t_dev = startup + linkmod.est_device_scan_s(
         total_bases, len(patterns), plen, n_batches, upload_bytes,
         resident=bool(params.corpus_cache))
     return "conv" if t_dev < t_host else "numpy"
@@ -299,6 +305,8 @@ def scan_hits(target_seqs, patterns, params: ScanParams):
         if worst <= max_hits:
             break
         max_hits = 1 << (2 * worst - 1).bit_length()
+    from ..utils import link as linkmod
+    linkmod.mark_device_warm()       # first-use cost paid in this process
     for bi in range(n_batches):
         seq, pos, pat, mm_, _ = ms.decode_packed(
             packs[bi], n_out, p1h.shape[0], max_hits)

@@ -91,11 +91,18 @@ def test_scan_auto_force_host_beats_formula(monkeypatch):
 def test_stagea_auto_flips_with_link(monkeypatch):
     """Golden-cluster shape (500 x ~1800 windows): host Stage A ~0.4 s.
     Tunnel: shipping the 16 MB window tensor back costs ~1.1 s -> host.
-    Local link: transfer collapses to ~2 ms -> device."""
+    Local link + warm device: transfer collapses to ~2 ms -> device.
+    Cold process: the one-time first-compile charge keeps a 0.4 s
+    workload on host even locally (the 100k run lost 10 min to an
+    uncharged first device use)."""
     _set_link(monkeypatch, TUNNEL)
+    monkeypatch.setattr(linkmod, "_DEVICE_WARM", True)
     assert mcdpd.resolve_stage_a(500, 1800, 18) == "host"
     _set_link(monkeypatch, LOCAL)
     assert mcdpd.resolve_stage_a(500, 1800, 18) == "device"
+    monkeypatch.setattr(linkmod, "_DEVICE_WARM", False)
+    monkeypatch.delenv("MPTPU_DEVICE_FIRST_USE_S", raising=False)
+    assert mcdpd.resolve_stage_a(500, 1800, 18) == "host"
 
 
 def test_stagea_auto_small_cluster_stays_host(monkeypatch):
@@ -128,3 +135,34 @@ def test_probe_disk_cache_roundtrip(tmp_path, monkeypatch):
     again = linkmod.probe()
     assert again["up_mbps"] == 123.0
     assert calls == [1], "second probe must come from the disk cache"
+
+
+def test_truncated_probe_not_cached(tmp_path, monkeypatch):
+    """A probe that hit its time budget (relay stall: the 100k run burned
+    10 min inside an unbudgeted probe) must serve pessimistic numbers for
+    THIS process but leave no disk cache, so the next process re-measures."""
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    for var in ("MPTPU_LINK_UP_MBPS", "MPTPU_LINK_DOWN_MBPS",
+                "MPTPU_LINK_RTT_MS", "MPTPU_LINK_DISPATCH_MS"):
+        monkeypatch.delenv(var, raising=False)
+    trunc = dict(linkmod.TUNNEL_LINK)
+    trunc.update(platform="cpu", probed=True, truncated=True)
+    monkeypatch.setattr(linkmod, "_measure", lambda *a, **k: dict(trunc))
+    monkeypatch.setattr(linkmod, "_CACHE", None)
+    got = linkmod.probe()
+    assert got["truncated"] and got["up_mbps"] == linkmod.TUNNEL_LINK["up_mbps"]
+    import os as _os
+    assert not _os.path.exists(linkmod._cache_path("cpu"))
+
+
+def test_device_startup_charge_lifecycle(monkeypatch):
+    """device_startup_s: positive while the process has never completed a
+    device dispatch, zero after mark_device_warm."""
+    monkeypatch.setattr(linkmod, "_DEVICE_WARM", False)
+    monkeypatch.delenv("MPTPU_DEVICE_FIRST_USE_S", raising=False)
+    assert linkmod.device_startup_s() >= 10.0
+    linkmod.mark_device_warm()
+    try:
+        assert linkmod.device_startup_s() == 0.0
+    finally:
+        linkmod._DEVICE_WARM = False
