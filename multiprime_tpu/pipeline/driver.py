@@ -292,6 +292,9 @@ class Pipeline:
                 "stage_a": cfg.stage_a,
                 "align_backend": cfg.align_backend,
                 "design_backend": cfg.design_backend}
+        vscan = sys.modules.get("multiprime_tpu.validate.scan")
+        if vscan is not None and getattr(vscan, "LAST_BACKEND", None):
+            info["scan_backend"] = vscan.LAST_BACKEND
         jax_mod = sys.modules.get("jax")
         if jax_mod is not None:
             try:

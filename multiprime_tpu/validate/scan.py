@@ -34,6 +34,10 @@ import numpy as np
 from ..utils import iupac
 from ..ops import mismatch_scan as ms
 
+# Which backend the most recent scan_hits call resolved to
+# ("host" / "device" / "device-sharded"); surfaced in pipeline metrics.
+LAST_BACKEND = None
+
 
 @dataclass
 class ScanParams:
@@ -214,6 +218,7 @@ def scan_hits(target_seqs, patterns, params: ScanParams):
     pmesh = _sys.modules.get("multiprime_tpu.parallel.mesh")
     mesh = pmesh.active_mesh() if pmesh is not None else None
     from .. import native
+    global LAST_BACKEND
     if backend == "auto":
         backend = _auto_backend(target_seqs, patterns, plen, pad_len,
                                 p1h.shape[0], params)
@@ -222,11 +227,14 @@ def scan_hits(target_seqs, patterns, params: ScanParams):
         # through to the host path.  Explicit backends keep the mesh
         # override (the sharded-equivalence tests rely on it).
         if mesh is not None and backend != "numpy":
+            LAST_BACKEND = "device-sharded"
             return _scan_hits_sharded(mesh, target_seqs, p1h, s1h, n_real,
                                       pad_len, plen, params)
     elif mesh is not None:
+        LAST_BACKEND = "device-sharded"
         return _scan_hits_sharded(mesh, target_seqs, p1h, s1h, n_real,
                                   pad_len, plen, params)
+    LAST_BACKEND = "host" if backend == "numpy" else "device"
     if backend == "numpy":
         # native scans: identical hits (fuzzed against find_hits_numpy and
         # each other in tests/test_scan.py).  seed_scan amortises its index
