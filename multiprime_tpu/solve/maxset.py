@@ -22,6 +22,7 @@ device-scale sets.
 
 from __future__ import annotations
 
+import re
 import sys
 from functools import lru_cache
 
@@ -191,16 +192,68 @@ class DimerLedger:
         self.core_hit_ends = hit_ends
 
 
+_TABRUN = re.compile("\t{2,}")
+
+
+class _LazyRow:
+    """A candidate row that splits its fields incrementally.
+
+    ``list(filter(None, line.strip().split("\t")))`` materialises every
+    field eagerly — 53.6 s and ~5.8 GB of small strings for the 100k run's
+    1.2 GB aggregate (4096 rows × ~30k fields), almost all of it dead
+    weight: the greedy solvers read only a short prefix of most rows.
+    The normalised form (strip + collapse tab runs) is field-for-field
+    identical to the filtered split — fields cannot contain tabs — so
+    ``len`` is a tab count, the sort sidecar can write the normalised
+    string verbatim, and ``row[i]`` tokenises just far enough to serve i.
+    Equivalence is pinned by tests/test_solve_golden.py."""
+
+    __slots__ = ("norm", "_fields", "_pos", "_n")
+
+    def __init__(self, norm):
+        self.norm = norm
+        self._fields = []
+        self._pos = 0 if norm else None      # None = fully tokenised
+        self._n = (norm.count("\t") + 1) if norm else 0
+
+    def __len__(self):
+        return self._n
+
+    def __getitem__(self, i):
+        f = self._fields
+        if not 0 <= i < self._n:
+            raise IndexError(i)
+        while len(f) <= i:
+            j = self.norm.find("\t", self._pos)
+            if j < 0:
+                f.append(self.norm[self._pos:])
+                self._pos = None
+            else:
+                f.append(self.norm[self._pos:j])
+                self._pos = j + 1
+        return f[i]
+
+    def __iter__(self):
+        for i in range(self._n):
+            yield self[i]
+
+
+def _row_text(row):
+    """The row's tab-joined text — free for _LazyRow (its normalised
+    string IS that text), computed for plain lists (tests / direct API)."""
+    return row.norm if isinstance(row, _LazyRow) else "\t".join(row)
+
+
 def parse_and_sort(infile, sort_file):
     """Read candidate rows, sort by candidate count ascending (stable), and
     write the sort.<name> sidecar (get_Maxprimerset.py:363-371)."""
     with open(infile) as f:
         primers = sorted(
-            [list(filter(None, line.strip().split("\t"))) for line in f],
+            [_LazyRow(_TABRUN.sub("\t", line.strip())) for line in f],
             key=len)
     with open(sort_file, "w") as f:
         for row in primers:
-            f.write("\t".join(row) + "\n")
+            f.write(row.norm + "\n")
     return primers
 
 
@@ -223,7 +276,7 @@ def greedy_maximal(primers, output, next_candidate_file, step=5):
             row = primers[row_pointer]
             if len(row) <= 1:
                 print("Non primers: virus {} missing!".format(row[0]))
-                next_f.write("\t".join(row) + "\n")
+                next_f.write(_row_text(row) + "\n")
                 row_pointer += 1
                 column_pointer = 1
                 continue
@@ -234,7 +287,7 @@ def greedy_maximal(primers, output, next_candidate_file, step=5):
                     if column_pointer > len(row) - step:
                         clique.append({"#Primer": row[0]})
                         print("virus {} missing!".format(row[0]))
-                        next_f.write("\t".join(row) + "\n")
+                        next_f.write(_row_text(row) + "\n")
                         row_pointer += 1
                         column_pointer = 1
                         break
@@ -291,7 +344,7 @@ def greedy_maximal_with_offtarget(primers, output, next_candidate_file,
         while row_pointer < len(primers):
             row = primers[row_pointer]
             if len(row) <= 1:
-                next_f.write("\t".join(row) + "\n")
+                next_f.write(_row_text(row) + "\n")
                 row_pointer += 1
                 column_pointer = 1
                 continue
@@ -304,7 +357,7 @@ def greedy_maximal_with_offtarget(primers, output, next_candidate_file,
                     column_pointer += step
                     if column_pointer > len(row) - step:
                         clique.append({"#Primer": row[0]})
-                        next_f.write("\t".join(row) + "\n")
+                        next_f.write(_row_text(row) + "\n")
                         row_pointer += 1
                         column_pointer = 1
                         break
