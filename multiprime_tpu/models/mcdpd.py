@@ -740,14 +740,20 @@ class DesignEngine:
 
         # Uniform-pure fast path (singleton clusters, zero-variation
         # windows): with one distinct pure row the general path provably
-        # reduces to the v15/v16 full-degenerate short-circuit over trivial
-        # tensors — cover == {row: total}, cBit == tBit ==
+        # collapses — cover == {row: total}, cBit == tBit ==
         # shannon_pair([total], total, [], 0), the a<4 early-out becomes
-        # "row misses a base", mis_primer_check iterates an empty set, and
-        # the short-circuit fires iff 1 < degeneracy and 0 < dege_number.
-        # Exact-equivalence fuzz: tests/test_design_golden.py.
-        if (all_same and not needs_expand[0] and p.algo in ("v15", "v16")
-                and p.degeneracy > 1 and p.dege_number > 0):
+        # "row misses a base", and every refinement route is the identity:
+        # the v15/v16 full-degenerate short-circuit emits the row itself
+        # (or, when the degeneracy gates block it, the refine loop exits
+        # immediately at coverage_init == cover_number), and v20's
+        # mis-coverage loop never runs because the uncover set is empty so
+        # f_mis == r_mis == 0 with coverage_init == cover_number.  All
+        # paths then _finalize(row, N, N, {}, {}) with nonsense 0.
+        # v2 is excluded (refine_global's combination search is not
+        # obviously the identity).  Exact-equivalence fuzz over all three
+        # algos and the degeneracy edges: tests/test_design_golden.py.
+        if (all_same and not needs_expand[0]
+                and p.algo in ("v15", "v16", "v20")):
             row = win_chars[0].tobytes().decode("ascii")
             c_bit, t_bit = thermo.shannon_pair([total], total, [], 0)
             if t_bit > threshold:

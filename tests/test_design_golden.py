@@ -477,13 +477,17 @@ def test_uniform_pure_fast_path_exact_equivalence():
     including float signs like -0.0 and the a<4 / tBit / dimer gates)."""
     rng = np.random.default_rng(23)
     lut = np.array(list("ACGT"))
-    params = mcdpd.DesignParams(
-        primer_length=18, coverage=0.7, dege_number=4, degeneracy=10,
-        variation=1, entropy_threshold=3.6, gc=(0.2, 0.7), min_product=150,
-        coordinate="2,3,-1", hairpin_distance=4, algo="v16", nproc=1)
-    eng = mcdpd.DesignEngine(params)
+    engines = []
+    for algo in ("v16", "v20", "v15"):
+        for dege, dn in ((10, 4), (1, 0)):   # incl. blocked-short-circuit edge
+            engines.append(mcdpd.DesignEngine(mcdpd.DesignParams(
+                primer_length=18, coverage=0.7, dege_number=dn,
+                degeneracy=dege, variation=1, entropy_threshold=3.6,
+                gc=(0.2, 0.7), min_product=150, coordinate="2,3,-1",
+                hairpin_distance=4, algo=algo, nproc=1)))
     checked = fired = 0
     for trial in range(400):
+        eng = engines[trial % len(engines)]
         n = int(rng.choice([1, 1, 3, 50]))
         if trial % 5 == 0:
             # row missing one base: must hit the a<4 early-out identically
