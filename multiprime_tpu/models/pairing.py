@@ -173,6 +173,9 @@ def _dimer_hit_ends_py(primer):
     return frozenset(out)
 
 
+_PURE_SET = frozenset("ACGT")
+
+
 class PairingEngine:
     def __init__(self, params: PairingParams):
         self.p = params
@@ -192,6 +195,27 @@ class PairingEngine:
         return thermo.gc_degenerate_mean_unrounded(primer)
 
     def gc_clamp(self, primer, num=4, length=13):
+        if not (set(primer) - _PURE_SET):
+            # pure fast path: suffix GC fractions from one tail walk — for
+            # a pure string gc_degenerate_mean_unrounded reduces to
+            # round((G+C)/len, 3) of the suffix itself (gc_fraction), with
+            # primer[-i:] for i > len being the whole primer.  No suffix
+            # substrings, no expansion machinery, no per-suffix caches.
+            # Exact-equivalence fuzz: tests/test_pairing_golden.py.
+            n = len(primer)
+            top = min(n, num + length - 1)
+            acc = 0
+            tail_gc = [0] * (top + 1)
+            for j in range(1, top + 1):
+                ch = primer[n - j]
+                if ch == "G" or ch == "C":
+                    acc += 1
+                tail_gc[j] = acc
+            for i in range(num, num + length):
+                k = i if i <= n else n
+                if round(tail_gc[k] / k, 3) > 0.6:
+                    return True
+            return False
         for i in range(num, num + length):
             if self._gc_mean(primer[-i:]) > 0.6:
                 return True

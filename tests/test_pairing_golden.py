@@ -155,3 +155,29 @@ def test_native_dimer_hit_ends_matches_python_fuzz():
         a = pairing._dimer_hit_ends.__wrapped__(p)
         b = frozenset(pairing._dimer_hit_ends_py(p))
         assert a == b, p
+
+
+def test_gc_clamp_pure_fast_path_matches_general():
+    """The pure-primer gc_clamp fast path (one tail walk) must equal the
+    per-suffix degenerate-mean formulation on every input class: pure,
+    degenerate, and shorter than num+length-1."""
+    import random
+    from multiprime_tpu.models import pairing
+    eng = pairing.PairingEngine(pairing.PairingParams())
+    rng = random.Random(5)
+    codes = "ACGT" * 8 + "RYMKSWBDHVN"
+    def general(primer, num=4, length=13):
+        for i in range(num, num + length):
+            if eng._gc_mean(primer[-i:]) > 0.6:
+                return True
+        return False
+    checked_pure = 0
+    for trial in range(600):
+        ln = rng.choice([6, 12, 16, 18, 20, 25])
+        pool = "ACGT" if trial % 2 else codes   # half the trials pure
+        primer = "".join(rng.choice(pool) for _ in range(ln))
+        got, want = eng.gc_clamp(primer), general(primer)
+        assert got == want, primer
+        if not (set(primer) - pairing._PURE_SET):
+            checked_pure += 1
+    assert checked_pure >= 100
