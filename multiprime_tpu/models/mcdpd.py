@@ -1565,6 +1565,14 @@ def write_sidecars_forked(results, outfile):
     if not fork_safe():
         write_sidecars(results, outfile)
         return lambda: None
+    # Small payloads write faster than a fork costs (~5 ms of JSON vs
+    # ~15-25 ms of fork+waitpid for a singleton cluster); only overlap
+    # when the JSON volume justifies it.
+    payload = sum(len(r.f_non_cover) + len(r.r_non_cover) + len(r.gap_ids)
+                  for r in results)
+    if payload + len(results) < 5000:
+        write_sidecars(results, outfile)
+        return lambda: None
     pid = os.fork()
     if pid == 0:
         code = 1
