@@ -752,7 +752,12 @@ class DesignEngine:
         # v2 is excluded (refine_global's combination search is not
         # obviously the identity).  Exact-equivalence fuzz over all three
         # algos and the degeneracy edges: tests/test_design_golden.py.
-        if (all_same and not needs_expand[0]
+        # gapcnt[0] == 0: _IMPURE_TABLE treats '-' as pure, so without this
+        # guard an all-identical window carrying 1..variation gaps (allowed
+        # by the gap gate above) would reach _finalize with '-' in the
+        # primer and crash tm_degenerate_mean; the general path rejects such
+        # windows via its zero freq-column gate.
+        if (all_same and not needs_expand[0] and gapcnt[0] == 0
                 and p.algo in ("v15", "v16", "v20")):
             row = win_chars[0].tobytes().decode("ascii")
             c_bit, t_bit = thermo.shannon_pair([total], total, [], 0)

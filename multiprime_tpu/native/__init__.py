@@ -606,7 +606,11 @@ def group_rows(win: np.ndarray):
     """Group identical rows of a contiguous uint8 [N, plen] window block,
     first-occurrence order, ascending member indices — the insertion
     semantics of the Python dict loop in mcdpd._design_window.  Returns
-    (R, order[R], members[N], offsets[R+1]) or None (fallback)."""
+    (R, order[R], members[N], offsets[R+1]) or None (fallback).
+
+    ALIASING: the returned arrays are shared per-thread buffers that the
+    NEXT group_rows call on the same thread overwrites — consume them
+    before calling again (copy if they must outlive the call)."""
     lib = load()
     if lib is None:
         return None

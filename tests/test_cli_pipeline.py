@@ -139,7 +139,7 @@ def test_pipeline_cluster_pool_identical(tmp_path):
     seq_dir = tmp_path / "res_seq"
     os.rename(res, seq_dir)
     run_pipeline(None, nproc=3, **kw)
-    skip = ("pipeline_metrics.json", ".hairpin", ".dimer")
+    skip = ("pipeline_metrics.json",)
     seq_files = sorted(p for p in seq_dir.rglob("*") if p.is_file())
     assert seq_files
     for p in seq_files:
@@ -185,6 +185,19 @@ def test_reference_yaml_key_parity():
     assert cfg.product_size == (150, 1200)
 
 
+def test_model_yaml_key(tmp_path):
+    """`Model:` (multiPrime.yaml:30-33) maps fast -> v20, normal -> v2;
+    an explicit algo key wins."""
+    from multiprime_tpu.pipeline.driver import PipelineConfig
+    y = tmp_path / "a.yaml"
+    y.write_text("Model: normal\n")
+    assert PipelineConfig.from_yaml(str(y)).algo == "v2"
+    y.write_text("Model: fast\n")
+    assert PipelineConfig.from_yaml(str(y)).algo == "v20"
+    y.write_text("Model: normal\nalgo: v16\n")
+    assert PipelineConfig.from_yaml(str(y)).algo == "v16"
+
+
 def test_pipeline_log_dir(tmp_path):
     """log_dir produces per-stage + per-cluster log files with the
     reference's `INFO <ts> Total times:` line (multiPrime.py:182-218)."""
@@ -227,6 +240,53 @@ def test_pipeline_original_variant(tmp_path):
     # no unmatched.fa without a dict (reference -d None behaviour)
     assert not list((res / "Core_primers_set" / "BWT_coverage")
                     .glob("*unmatched*"))
+
+
+def test_core_primer_set_tree_shape(tmp_path):
+    """Rules 14/16/18/19 (multiPrime.py:340-460): with a core-sized cluster
+    the driver must produce every file class present in the golden
+    Core_primers_set/ tree — core txt2fa dir + .number, core_PCR_product/
+    + core_Coverage_stast.xls, the core .fa QC reports, the core .term.fa,
+    and the BWT_coverage outputs scanned from the CORE set."""
+    from multiprime_tpu.pipeline.driver import run_pipeline
+    res = tmp_path / "res"
+    run_pipeline(None, input_fa="/root/reference/test_data/test.fa",
+                 results_dir=str(res), virus_name="test", coverage=0.6,
+                 core_number=3)
+    core = res / "Core_primers_set"
+    golden = "/root/reference/test_data/results/Core_primers_set"
+    # every golden file class must exist (cluster-specific basenames inside
+    # the two directories differ by input, so compare the fixed names plus
+    # per-directory non-emptiness)
+    fixed = [p for p in os.listdir(golden)
+             if os.path.isfile(os.path.join(golden, p))]
+    for name in fixed:
+        assert (core / name).exists(), name
+    for sub in ("core_candidate_primers_sets", "core_PCR_product"):
+        assert [p for p in (core / sub).iterdir()
+                if p.name != ".snakemake_timestamp"], sub
+    for name in os.listdir(os.path.join(golden, "BWT_coverage")):
+        assert (core / "BWT_coverage" / name).exists(), name
+    # rule 19 contract: the scan ran on the CORE set (3'-l-mer primer_len,
+    # term 1, 50..2000 products) — core term.fa holds the expanded l-mers
+    body = (core / "core_final_maxprimers_set.term.fa").read_text()
+    lmers = [l for l in body.splitlines() if not l.startswith(">")]
+    assert lmers and all(len(l) == 18 for l in lmers)
+    out_rows = (core / "BWT_coverage" /
+                "core_final_maxprimers_set.out").read_text().splitlines()
+    assert out_rows[0].startswith("Chrom")
+    for row in out_rows[1:]:
+        length = int(row.split("\t")[-1])
+        assert 50 < length < 2000
+    # no core-sized cluster -> fallback final-set scan (small-input runs
+    # still get coverage validation)
+    res2 = tmp_path / "res2"
+    run_pipeline(None, input_fa="/root/reference/test_data/test.fa",
+                 results_dir=str(res2), virus_name="test", coverage=0.6)
+    assert (res2 / "Core_primers_set" / "BWT_coverage" /
+            "final_maxprimers_set.out").exists()
+    assert not (res2 / "Core_primers_set" /
+                "core_final_maxprimers_set.xls").exists()
 
 
 def test_pipeline_resume_regenerates_torn_sidecars(tmp_path):
@@ -358,7 +418,8 @@ def test_pcr_scan_overlap_forked_subprocess(tmp_path):
     cov_a = (res / "Primers_set" / "Coverage_stast.xls").read_text()
     cov_b = (seq / "Primers_set" / "Coverage_stast.xls").read_text()
     assert cov_a == cov_b and cov_a.strip()
-    bwt = ("Core_primers_set", "BWT_coverage", "final_maxprimers_set.out")
+    bwt = ("Core_primers_set", "BWT_coverage",
+           "core_final_maxprimers_set.out")
     assert (res.joinpath(*bwt)).read_bytes() == \
         (seq.joinpath(*bwt)).read_bytes()
 

@@ -494,6 +494,17 @@ def test_uniform_pure_fast_path_exact_equivalence():
             row = "".join(rng.choice(lut[:3], size=18))
         else:
             row = "".join(rng.choice(lut, size=18))
+        if trial % 7 == 3:
+            # gap-carrying uniform rows (<= variation gaps pass the gap
+            # gate): the fast path must NOT fire — '-' is "pure" in
+            # _IMPURE_TABLE, and building a '-' primer crashes
+            # tm_degenerate_mean (ADVICE r3 high).  Both routes must agree
+            # (the general path rejects via the zero freq-column gate).
+            chars = list(row)
+            for gi in rng.choice(18, size=int(rng.integers(1, 3)),
+                                 replace=False):
+                chars[gi] = "-"
+            row = "".join(chars)
         win = np.tile(np.frombuffer(row.encode(), np.uint8), (n, 1)).copy()
         gapcnt = (win == ord("-")).sum(axis=1)
         needs = mcdpd._IMPURE_TABLE[win].any(axis=1)
