@@ -117,6 +117,13 @@ def _run(argv):
     p.add_argument("--stage-a", choices=["host", "device", "auto"],
                    dest="stage_a",
                    help="design Stage-A backend (default: auto/config)")
+    p.add_argument("--cluster-shard", dest="cluster_shard", metavar="i/P",
+                   help="run only every P-th cluster of the fan-out "
+                        "(multi-host: each host runs its shard against a "
+                        "shared results dir; any later run completes the "
+                        "solve/validate tail via file-level resume; "
+                        "defaults to this jax process's slot under "
+                        "multi-process jax.distributed)")
     p.add_argument("--pcr-products", dest="pcr_products",
                    choices=["full", "gzip", "summary"],
                    help="per-pair PCR-product FASTA bodies (default full; "
@@ -146,6 +153,8 @@ def _run(argv):
         overrides["devices"] = args.devices
     if args.stage_a is not None:
         overrides["stage_a"] = args.stage_a
+    if args.cluster_shard is not None:
+        overrides["cluster_shard"] = args.cluster_shard
     if args.pcr_products is not None:
         overrides["pcr_products"] = args.pcr_products
     if args.profile:

@@ -107,6 +107,17 @@ class PipelineConfig:
     # reference's one resource knob, run.sh:6 `--cores 10`).  Outputs are
     # byte-identical to devices=1 (tests/test_parallel.py).
     devices: int = 1
+    # cluster-axis sharding across HOSTS/processes: "i/P" makes this run
+    # process only clusters i, i+P, i+2P, ... of the fan-out (the dominant
+    # cost at scale is per-cluster host work — design Stage B + pairing —
+    # which scales with hosts, not with one host's chips).  Workers skip
+    # the aggregate/solve tail when other shards' candidate files are still
+    # missing; any later run over the same results_dir (e.g. on host 0, or
+    # simply re-running without the flag) completes it through the normal
+    # file-level resume.  "" = all clusters.  Under a live multi-process
+    # jax.distributed runtime the default resolves to
+    # "{process_index}/{process_count}" automatically.
+    cluster_shard: str = ""
     # "centerstar" (auto host/device), "centerstar-device", "centerstar-numpy",
     # "progressive" (UPGMA guide tree + profile-profile merges; with the
     # refine polish it reproduces MAFFT-level column quality — slower than
@@ -286,7 +297,15 @@ class Pipeline:
         self._stage("extract_cluster", [cluster_txt],
                     lambda: self._extract_clusters(rmdup_fa, uniq_fa,
                                                    cluster_txt))
-        self._per_cluster_stages()
+        shard = self._resolve_cluster_shard()
+        self._per_cluster_stages(shard)
+        if shard is not None and not self._fanout_complete():
+            # other shards are still producing candidate files; this
+            # worker's job ends here (the aggregating run resumes the tail)
+            self.log.append(("aggregate", "deferred: fan-out incomplete "
+                             "(cluster_shard=%s)" % self.cfg.cluster_shard,
+                             0.0))
+            return self.log
         self._aggregate_and_solve()
         for name in ("align", "design", "pair", "solve", "pcr", "scan"):
             if name in cfg.timings:
@@ -438,7 +457,42 @@ class Pipeline:
                     for m in sample:
                         f.write(headers.get(m, ">" + m).lstrip(">") + "\n")
 
-    def _per_cluster_stages(self):
+    def _resolve_cluster_shard(self):
+        """-> (index, count) or None.  Explicit "i/P" config wins; under a
+        live multi-process jax.distributed runtime the default is this
+        process's slot, so `mptpu run` on every host of a pod slice
+        partitions the fan-out automatically."""
+        spec = (self.cfg.cluster_shard or "").strip()
+        if spec:
+            idx, cnt = spec.split("/")
+            idx, cnt = int(idx), int(cnt)
+            if not 0 <= idx < cnt:
+                raise ValueError("bad cluster_shard %r" % spec)
+            return (idx, cnt) if cnt > 1 else None
+        import sys
+        jax_mod = sys.modules.get("jax")
+        if jax_mod is not None:
+            try:
+                if jax_mod.process_count() > 1:
+                    return (jax_mod.process_index(), jax_mod.process_count())
+            except Exception:
+                pass
+        return None
+
+    def _load_cluster_names(self):
+        if not hasattr(self, "cluster_names"):
+            self.cluster_names = [
+                line.split("\t")[0]
+                for line in open(self._p("cluster.txt")).read().splitlines()[1:]]
+        return self.cluster_names
+
+    def _fanout_complete(self):
+        return all(
+            os.path.exists(self._p("Clusters_cprimer",
+                                   n + ".candidate.primers.txt"))
+            for n in self._load_cluster_names())
+
+    def _per_cluster_stages(self, shard=None):
         """Per-cluster align -> design -> pair fan-out.
 
         With ``nproc > 1`` clusters run concurrently on a fork pool —
@@ -446,13 +500,18 @@ class Pipeline:
         get_multiPrime over checkpoint extract_cluster, --cores): every
         cluster touches disjoint files, so workers are independent;
         largest clusters are scheduled first (LPT) and the in-cluster
-        design pool is disabled to keep total processes at nproc."""
+        design pool is disabled to keep total processes at nproc.
+
+        ``shard=(i, P)`` keeps only clusters i, i+P, ... (strided over the
+        size-implied name order so every shard gets a fair mix of large
+        and small clusters)."""
         cfg = self.cfg
-        if not hasattr(self, "cluster_names"):
-            self.cluster_names = [
-                line.split("\t")[0]
-                for line in open(self._p("cluster.txt")).read().splitlines()[1:]]
-        names = self.cluster_names
+        names = self._load_cluster_names()
+        if shard is not None:
+            idx, cnt = shard
+            by_size = sorted(names,
+                             key=lambda n: -int(n.rsplit("_", 1)[1]))
+            names = [n for j, n in enumerate(by_size) if j % cnt == idx]
         workers = min(cfg.nproc, len(names))
         if workers > 1:
             import multiprocessing

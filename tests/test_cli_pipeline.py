@@ -242,6 +242,47 @@ def test_pipeline_original_variant(tmp_path):
                     .glob("*unmatched*"))
 
 
+def test_cluster_shard_fanout_identical(tmp_path):
+    """Multi-host cluster-axis sharding: two `cluster_shard` worker runs
+    over one results dir, then an aggregating resume run, must reproduce
+    the sequential run byte-for-byte.  Workers must defer the solve tail
+    while other shards' candidate files are missing."""
+    rng = np.random.default_rng(41)
+    lut = np.array(list("ACGT"))
+    bases = ["".join(rng.choice(lut, size=480)) for _ in range(3)]
+    fa = tmp_path / "three.fa"
+    with open(fa, "w") as f:
+        for b, base in enumerate(bases):
+            for i in range(8):
+                s = list(base)
+                for _ in range(6):
+                    s[rng.integers(0, len(s))] = str(rng.choice(lut))
+                f.write(">%c%d\n%s\n" % (65 + b, i, "".join(s)))
+    from multiprime_tpu.pipeline.driver import run_pipeline
+    res = tmp_path / "res"
+    kw = dict(input_fa=str(fa), results_dir=str(res), virus_name="three",
+              coverage=0.5, min_seq_length=100, product_size=(100, 400),
+              algo="v20")
+    run_pipeline(None, **kw)
+    seq_dir = tmp_path / "res_seq"
+    os.rename(res, seq_dir)
+    _, log0 = run_pipeline(None, cluster_shard="0/2", **kw)
+    assert any("deferred" in str(row[1]) for row in log0)
+    assert not (res / "Primers_set" / "final_maxprimers_set.xls").exists()
+    cands = list((res / "Clusters_cprimer").glob("*.candidate.primers.txt"))
+    assert len(cands) == 2          # 3 clusters strided 2 ways: shard 0 gets 2
+    _, log1 = run_pipeline(None, cluster_shard="1/2", **kw)
+    # shard 1 completed the fan-out, so it runs the aggregate tail itself
+    assert not any("deferred" in str(row[1]) for row in log1)
+    run_pipeline(None, **kw)        # idempotent resume (everything cached)
+    skip = ("pipeline_metrics.json",)
+    for p in sorted(q for q in seq_dir.rglob("*") if q.is_file()):
+        rel = p.relative_to(seq_dir)
+        if any(str(rel).endswith(s) for s in skip):
+            continue
+        assert (res / rel).read_bytes() == p.read_bytes(), str(rel)
+
+
 def test_core_primer_set_tree_shape(tmp_path):
     """Rules 14/16/18/19 (multiPrime.py:340-460): with a core-sized cluster
     the driver must produce every file class present in the golden
