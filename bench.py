@@ -148,6 +148,21 @@ def bench_e2e():
                 virus_name="CDS_20727_tfa", coverage=0.7, nproc=nproc)
             out["golden_tfa_500seq_s"] = round(time.time() - t0, 2)
             out["golden_tfa_stages"] = pipe.cfg.timings
+            # core-set DAG half (rules 14/16/18/19): the 500-seq cluster
+            # clears core_number, so the golden Core_primers_set file
+            # classes must all be present (r4 wiring)
+            core = os.path.join(td, "res", "Core_primers_set")
+            want = ["core_candidate_primers_sets.number",
+                    "core_final_maxprimers_set.xls",
+                    "core_final_maxprimers_set.fa.findimer",
+                    "core_final_maxprimers_set.fa.hairpin",
+                    "core_final_maxprimers_set.fa.dimer",
+                    "core_Coverage_stast.xls",
+                    "core_final_maxprimers_set.term.fa",
+                    os.path.join("BWT_coverage",
+                                 "core_final_maxprimers_set.out.pair.num")]
+            out["core_dag_complete"] = all(
+                os.path.exists(os.path.join(core, p)) for p in want)
     except Exception as e:  # pragma: no cover
         out["error"] = str(e)
     return out

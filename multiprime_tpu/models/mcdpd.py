@@ -1260,12 +1260,17 @@ class DesignEngine:
         f_non, r_non = {}, {}
         f_mis = r_mis = 0
         # The reference iterates ``set(cover.keys()) - optimal_primer_set``
-        # (core.py:765,1106-1109), so the F/R non-cover dicts — and hence the
-        # JSON key order — follow CPython's set layout, not insertion order.
-        # Build the same sets from the same strings in the same order to
-        # reproduce that layout in-process.
+        # (core.py:765,1106-1109), so its F/R non-cover JSON key order
+        # follows CPython's per-process randomized set layout — the one
+        # byte stream in its output contract that differs between two runs
+        # of the SAME reference script.  We iterate in first-occurrence
+        # (insertion) order instead: every derived value (mis counts,
+        # pairing unions, coverage) is order-insensitive, the JSON mappings
+        # are semantically identical, and our sidecars become byte-stable
+        # across processes — which the sharded fan-out byte-parity relies
+        # on (shadow tests compare sidecars via json.loads for this reason).
         key_index = {k: i for i, k in enumerate(keys)}
-        uncover_iter = list(set(keys) - optimal_set)
+        uncover_iter = [k for k in keys if k not in optimal_set]
         if p.algo == "v15":
             margin = p.position_margin
             pos = np.arange(plen)

@@ -573,25 +573,29 @@ def pair_degeprime(engine: "PairingEngine", primers):
     return pairs, candidates
 
 
-def write_degeprime_output(pairs, outfile):
+def write_degeprime_output(pairs, outfile, write_path=None):
     """get_degePrimer.py run()'s exact single-file output (:527-547): the
     abspath as row ID, tab-joined 5-field pairs, trailing tab, one line."""
     outfile = os.path.abspath(outfile)
-    with open(outfile, "w") as fo:
+    with open(write_path or outfile, "w") as fo:
         fo.write(str(outfile) + "\t")
         for row in pairs:
             fo.write("\t".join(map(str, row)) + "\t")
         fo.write("\n")
 
 
-def write_outputs(pairs, outfile):
+def write_outputs(pairs, outfile, write_path=None):
     """txt/xls/fa triple with the reference's exact formatting
     (get_multiPrime.py:638-662), including the trailing-tab txt row and the
-    rstrip-based sibling paths."""
+    rstrip-based sibling paths.
+
+    write_path: actually write the txt there (bytes still label
+    ``outfile``) — lets the driver rename the txt into place atomically,
+    since its existence is the cluster-done signal for sharded fan-outs."""
     outfile = os.path.abspath(outfile)
     file_id = str(outfile)
     primer_id = str(outfile).split("/")[-1].rstrip(".txt")
-    with open(outfile, "w") as fo, \
+    with open(write_path or outfile, "w") as fo, \
             open(outfile.strip(".txt") + ".xls", "w") as fx, \
             open(outfile.strip(".txt") + ".fa", "w") as fa:
         headers = ["Primer_F_seq", "Primer_R_seq",
@@ -609,7 +613,7 @@ def write_outputs(pairs, outfile):
         fo.write("\n")
 
 
-def write_empty_output(outfile):
+def write_empty_output(outfile, write_path=None):
     """The "max product < min len" degenerate case (get_multiPrime.py:610-617)."""
-    with open(outfile, "w") as fo:
+    with open(write_path or outfile, "w") as fo:
         fo.write(str(outfile) + "\n")

@@ -155,6 +155,8 @@ class PipelineConfig:
             "devices": "devices",
             "seq_number_ATGC": "seq_number_ATGC",
             "seq_number": "min_seq_length",
+            "scan_term": "scan_term", "scan_term_len": "scan_term_len",
+            "scan_mm": "scan_mm",
         }
         for key, attr in mapping.items():
             if attr and key in raw:
@@ -164,6 +166,9 @@ class PipelineConfig:
         if "PRODUCT_size" in raw:
             cfg.product_size = tuple(
                 int(x) for x in str(raw["PRODUCT_size"]).split(","))
+        if "scan_product" in raw:
+            cfg.scan_product = tuple(
+                int(x) for x in str(raw["scan_product"]).split(","))
         if "gc_content" in raw:
             cfg.gc_content = tuple(
                 float(x) for x in str(raw["gc_content"]).split(","))
@@ -184,7 +189,8 @@ class PipelineConfig:
             cfg.algo = ("v20" if str(raw["Model"]).strip().lower() == "fast"
                         else "v2")
         for key in ("design_backend", "align_backend", "algo",
-                    "pipeline_variant", "stage_a", "pcr_products"):
+                    "pipeline_variant", "stage_a", "pcr_products",
+                    "cluster_shard"):
             if key in raw:
                 setattr(cfg, key, str(raw[key]))
         return cfg
@@ -280,6 +286,16 @@ class Pipeline:
         cfg = self.cfg
         if cfg.pipeline_variant == "original" and cfg.algo == "v20":
             cfg.algo = "v15"             # multiPrime-original.py:210
+        shard = self._resolve_cluster_shard()
+        if shard is not None and shard[0] != 0 \
+                and not os.path.exists(self._p("cluster.txt")):
+            # non-zero shards must not race shard 0 on the upstream stages
+            # (two processes writing format.fa/cluster.txt concurrently
+            # corrupt each other's reads): wait for the atomic cluster.txt
+            # marker, whose rename-into-place implies every upstream
+            # output is complete — then all upstream stages below resolve
+            # as cached
+            self._await_upstream()
         fmt_fa = self._p("Total_fa", self.v + ".format.fa")
         self._stage("seq_format", [fmt_fa], lambda: self._seq_format(fmt_fa))
         if cfg.pipeline_variant != "original":
@@ -297,15 +313,28 @@ class Pipeline:
         self._stage("extract_cluster", [cluster_txt],
                     lambda: self._extract_clusters(rmdup_fa, uniq_fa,
                                                    cluster_txt))
-        shard = self._resolve_cluster_shard()
         self._per_cluster_stages(shard)
-        if shard is not None and not self._fanout_complete():
-            # other shards are still producing candidate files; this
-            # worker's job ends here (the aggregating run resumes the tail)
-            self.log.append(("aggregate", "deferred: fan-out incomplete "
-                             "(cluster_shard=%s)" % self.cfg.cluster_shard,
-                             0.0))
-            return self.log
+        if shard is not None:
+            if not self._fanout_complete():
+                # other shards are still producing candidate files; this
+                # worker's job ends here (the aggregating run resumes the
+                # tail)
+                self.log.append(("aggregate", "deferred: fan-out incomplete "
+                                 "(cluster_shard=%s)" % self.cfg.cluster_shard,
+                                 0.0))
+                return self.log
+            # two shards can observe the completed fan-out at the same
+            # moment — exactly one may run the solve/validate tail.
+            # O_EXCL arbitration; a crashed winner leaves a stale lock,
+            # which only defers sharded workers: a plain (unsharded) run
+            # ignores it and finishes via file-level resume.
+            lock = self._p("Primers_set", ".aggregate.lock")
+            try:
+                os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            except FileExistsError:
+                self.log.append(("aggregate", "deferred: another shard "
+                                 "holds the aggregate lock", 0.0))
+                return self.log
         self._aggregate_and_solve()
         for name in ("align", "design", "pair", "solve", "pcr", "scan"):
             if name in cfg.timings:
@@ -430,7 +459,10 @@ class Pipeline:
                 with open(dict_pkl, "rb") as df:
                     rec = pickle.load(df)
                 headers = {k: v.splitlines()[0] for k, v in rec.items()}
-        with open(cluster_txt, "w") as ct:
+        # write-then-rename: cluster.txt's existence is the upstream-
+        # complete marker shard workers wait on (_await_upstream), so it
+        # must appear only after every per-cluster file is on disk
+        with open(cluster_txt + ".tmp", "w") as ct:
             ct.write("#Cluster_id\tNumber\n")
             for i, members in enumerate(merged):
                 name = "Cluster_%d_%d" % (i, len(members))
@@ -456,6 +488,7 @@ class Pipeline:
                           "w") as f:
                     for m in sample:
                         f.write(headers.get(m, ">" + m).lstrip(">") + "\n")
+        os.replace(cluster_txt + ".tmp", cluster_txt)
 
     def _resolve_cluster_shard(self):
         """-> (index, count) or None.  Explicit "i/P" config wins; under a
@@ -478,6 +511,23 @@ class Pipeline:
             except Exception:
                 pass
         return None
+
+    def _await_upstream(self, timeout_s=None, poll_s=0.5):
+        """Block until shard 0's upstream stages finish (cluster.txt
+        renamed into place).  Timeout via MPTPU_SHARD_WAIT_S (default 1h)."""
+        if timeout_s is None:
+            timeout_s = float(os.environ.get("MPTPU_SHARD_WAIT_S", "3600"))
+        marker = self._p("cluster.txt")
+        t0 = time.time()
+        while not os.path.exists(marker):
+            if time.time() - t0 > timeout_s:
+                raise TimeoutError(
+                    "cluster_shard=%s waited %.0f s for shard 0's upstream "
+                    "stages (%s missing)" % (self.cfg.cluster_shard,
+                                             timeout_s, marker))
+            time.sleep(poll_s)
+        self.log.append(("upstream", "awaited shard 0 (%.1f s)"
+                         % (time.time() - t0), 0.0))
 
     def _load_cluster_names(self):
         if not hasattr(self, "cluster_names"):
@@ -625,10 +675,15 @@ class Pipeline:
                 number = pairing.count_ref_seqs(tfa, 0)
                 peng = pairing.PairingEngine(pparams)
                 pairs, _ = peng.pair(primers, gap_ids, non_cover, number)
+                # write-then-rename: a candidate file's existence signals
+                # this cluster done to _fanout_complete (possibly polled by
+                # another shard's aggregating run), so it must never be
+                # observable half-written
                 if pairs is None:
-                    pairing.write_empty_output(cand)
+                    pairing.write_empty_output(cand, write_path=cand + ".tmp")
                 else:
-                    pairing.write_outputs(pairs, cand)
+                    pairing.write_outputs(pairs, cand, write_path=cand + ".tmp")
+                os.replace(cand + ".tmp", cand)
                 rep["pair_s"] += time.time() - t0
                 self._log_file("get_multiPrime_" + name, time.time() - t0)
         finally:
@@ -664,7 +719,9 @@ class Pipeline:
                 end_dege=cfg.end, hairpin_distance=cfg.distance,
                 diff_tm=cfg.diff_tm, adaptor=cfg.adaptor))
             pairs, _ = pairing.pair_degeprime(eng, primers)
-            pairing.write_degeprime_output(pairs, cand)
+            pairing.write_degeprime_output(pairs, cand,
+                                           write_path=cand + ".tmp")
+            os.replace(cand + ".tmp", cand)
 
     def _aggregate_and_solve(self):
         from ..solve import maxset

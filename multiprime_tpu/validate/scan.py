@@ -491,12 +491,16 @@ def write_outputs(rows, outfile, targets_dict=None):
         fo.write("total coverage of primer set (PS) is: {}\n".format(
             len(acc_ids)))
     if targets_dict is not None:
-        unmatched = set(targets_dict.keys()) - target_seq
         with open(outfile + ".total.acc.num", "a+") as fo:
             fo.write("total target number is: {}\n".format(len(targets_dict)))
+        # corpus (dict-insertion) order, NOT set order: the reference
+        # iterates a set difference here, whose order depends on the
+        # process hash seed — the one nondeterministic byte stream in its
+        # whole output contract.  Same records, stable order.
         with open(outfile + ".unmatched.fa", "w") as out:
-            for um in unmatched:
-                out.write(targets_dict[um])
+            for um in targets_dict:
+                if um not in target_seq:
+                    out.write(targets_dict[um])
     return pair_count
 
 
