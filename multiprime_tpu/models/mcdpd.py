@@ -633,18 +633,38 @@ class DesignEngine:
                                          threshold)
         results = []
         block = 256
+        fastable = self.p.algo in ("v15", "v16", "v20")
         for b0 in range(0, len(positions), block):
             pos_block = positions[b0:b0 + block]
             wins = extractor.windows(pos_block)      # [N, W, plen]
             gap_blk = (wins == ord("-")).sum(axis=2)
             imp_blk = _IMPURE_TABLE[wins].any(axis=2)
             same_blk = (wins == wins[:1]).all(axis=(0, 2))
+            # batch the uniform-pure fast path's four per-window native
+            # calls (di/hairpin/dimer-candidates/Tm) into ONE call for the
+            # whole block's qualifying windows (singleton clusters are all
+            # qualifying windows)
+            pure_pre = {}
+            if fastable:
+                pure_wi = [wi for wi in range(wins.shape[1])
+                           if same_blk[wi] and gap_blk[0, wi] == 0
+                           and not imp_blk[0, wi]]
+                if pure_wi:
+                    batch = native.pure_window_filters(
+                        np.ascontiguousarray(wins[0, pure_wi, :]),
+                        self.p.hairpin_distance)
+                    if batch is not None:
+                        flags, tms, gcs, cands = batch
+                        pure_pre = {wi: (int(flags[bi]), float(tms[bi]),
+                                         int(gcs[bi]), cands[bi])
+                                    for bi, wi in enumerate(pure_wi)}
             for wi, position in enumerate(pos_block):
                 res = self._design_window(int(position), wins[:, wi, :],
                                           seq_ids, n, threshold,
                                           gates=(gap_blk[:, wi],
                                                  imp_blk[:, wi],
-                                                 bool(same_blk[wi])))
+                                                 bool(same_blk[wi])),
+                                          pure_pre=pure_pre.get(wi))
                 if res is not None:
                     results.append(res)
             if progress:
@@ -720,7 +740,7 @@ class DesignEngine:
 
     # -- per-window Stage B ----------------------------------------------------
     def _design_window(self, position, win_chars, seq_ids, total, threshold,
-                       pre=None, gates=None):
+                       pre=None, gates=None, pure_pre=None):
         p = self.p
         plen = p.primer_length
         if gates is None:
@@ -765,6 +785,12 @@ class DesignEngine:
                 return None
             if len(set(row)) < 4:            # a < 4: some base never occurs
                 return None
+            if pure_pre is not None:
+                # block-batched native filters (design(): one call per
+                # block) — exact-equivalence fuzz in tests/test_design_
+                # golden.py::test_pure_window_filters_batch_equivalence
+                return self._finalize_pure(position, c_bit, t_bit, row,
+                                           total, pure_pre)
             info = self.pre_filter_info(row)
             return self._finalize(position, c_bit, t_bit, row, total, total,
                                   info, {}, {}, {row: total}, set(), {})
@@ -991,6 +1017,41 @@ class DesignEngine:
                            info, f_non, r_non, gap_seq_id)
         res.degeneracy = degeneracy
         return res
+
+    def _finalize_pure(self, position, c_bit, t_bit, row, total, pre):
+        """_finalize specialised to the uniform-pure fast path with the
+        block-batched native filter results: for cover == {row: total},
+        expansions == (row,) the general assembly collapses to dege_n = 0,
+        nonsense = 0, perfect = f_mis = r_mis = total; info reproduces
+        pre_filter_info byte-for-byte from the flags/GC count, the dimer
+        gate replays dimer_check's float verdicts over the native
+        candidate stream, and tm equals tm_degenerate_mean(row)."""
+        flags, tm_val, gc_count, cands = pre
+        plen = len(row)
+        # gc_degenerate_mean(row) for a pure row: round(round(gc/L,3), 2)
+        gc = round(round(gc_count / plen, 3), 2)
+        issues = []
+        lo, hi = self.p.gc
+        if not float(lo) <= gc <= float(hi):
+            issues.append("GC_out_of_range (" + str(gc) + ")")
+        if flags & 1:
+            issues.append("di_nucleotide")
+        if flags & 2:
+            issues.append("hairpin")
+        info = gc if not issues else "|".join(issues)
+        linear = self.p.algo in ("v15", "v16")
+        for end, d2 in cands:
+            gce = end.count("G") + end.count("C")
+            if linear:
+                loss = thermo.penalty_points_linear(len(end), gce, 0, d2)
+            else:
+                loss = thermo.penalty_points(len(end), gce, 0, d2)
+            dg = thermo.delta_g(end, both_ends=True)
+            if loss >= 3 or (dg < -5 and d2 == 0):
+                return None
+        tm_avg = round(tm_val, 2)
+        return WindowResult(position, c_bit, t_bit, row, 0, 0, total,
+                            total, total, tm_avg, info, {}, {}, {})
 
     def _finalize(self, position, c_bit, t_bit, primer, f_mis, r_mis, info,
                   f_non, r_non, cover, cover_extra, gap_seq_id):

@@ -175,6 +175,18 @@ def _dimer_hit_ends_py(primer):
 
 _PURE_SET = frozenset("ACGT")
 
+_GC_CLAMP_MIN = {}
+
+
+def _gc_clamp_min_count(k):
+    """Minimal integer GC count g with round(g/k, 3) > 0.6 (k+1 if none) —
+    the integer form of gc_clamp's rounded-fraction test."""
+    v = _GC_CLAMP_MIN.get(k)
+    if v is None:
+        v = next((g for g in range(k + 1) if round(g / k, 3) > 0.6), k + 1)
+        _GC_CLAMP_MIN[k] = v
+    return v
+
 
 class PairingEngine:
     def __init__(self, params: PairingParams):
@@ -213,7 +225,10 @@ class PairingEngine:
                 tail_gc[j] = acc
             for i in range(num, num + length):
                 k = i if i <= n else n
-                if round(tail_gc[k] / k, 3) > 0.6:
+                # round(g/k, 3) > 0.6 is monotone in the integer count g:
+                # compare against the per-k minimal passing count instead
+                # of rounding ~17 floats per call (same verdict)
+                if tail_gc[k] >= _gc_clamp_min_count(k):
                     return True
             return False
         for i in range(num, num + length):
@@ -240,9 +255,12 @@ class PairingEngine:
         length = len(primer)
         if length < 10 + d:
             return False
-        flag = native.hairpin_flag(
-            primer, d, "".join(iupac.CODE_MEMBERS.get(ch, ["A"])[0]
-                               for ch in primer))
+        if not (set(primer) - _PURE_SET):
+            first = primer          # pure: the first expansion is itself
+        else:
+            first = "".join(iupac.CODE_MEMBERS.get(ch, ["A"])[0]
+                            for ch in primer)
+        flag = native.hairpin_flag(primer, d, first)
         if flag is not None:
             return flag
         prep = _occ_union(primer)
@@ -400,6 +418,28 @@ class PairingEngine:
                             or self.gc_clamp(rp))
 
         def enumerate_pairs(threshold, sink, si0=0, si1=None):
+            # per-primer dimer state (self-hit, 3'-end set, hit-end set)
+            # hoisted out of the pair loop: the verdict is two isdisjoint
+            # calls per pair instead of lru-wrapped method dispatch
+            dimer_state = {}
+
+            def _dstate(pr):
+                st = dimer_state.get(pr)
+                if st is None:
+                    st = (self._self_hit(pr), self._end_fset(pr),
+                          _dimer_hit_ends(pr))
+                    dimer_state[pr] = st
+                return st
+
+            avg_cache = {}      # (tm_f, tm_r) -> formatted mean Tm
+            cov_cache = {}      # covered -> rounded fraction
+            diff_tm = p.diff_tm
+            # candidate-indexed lists: the inner loop reads by position in
+            # `candidates`, so parallel lists replace three dict lookups
+            # per visited pair
+            cand_tm = [primers[c][3] for c in candidates]
+            cand_rok = [r_ok[c] for c in candidates]
+            cand_rseq = [r_seq[c] for c in candidates]
             for start_pos in candidates[si0:si1]:
                 if not f_ok[start_pos]:
                     continue
@@ -410,9 +450,14 @@ class PairingEngine:
                     right = bisect_left(candidates, start_pos + max_len) - 1
                 if left > right:
                     continue
-                for stop_pos in candidates[left:right + 1]:
-                    if not r_ok[stop_pos]:
+                primer_f = primers[start_pos][0]
+                tm_f = primers[start_pos][3]
+                f_bits = _id_bits(start_pos, 0)
+                f_self, f_ends, f_hits = _dstate(primer_f)
+                for j in range(left, right + 1):
+                    if not cand_rok[j]:
                         continue
+                    stop_pos = candidates[j]
                     distance = stop_pos - start_pos + 1
                     if distance > max_len:
                         break
@@ -423,23 +468,31 @@ class PairingEngine:
                     # (get_multiPrime.py:544-574) but cheapest-first gives
                     # the identical surviving set: two float compares, then
                     # a set union, then the (precomputed-set) dimer verdict.
-                    tm_f = primers[start_pos][3]
-                    tm_r = primers[stop_pos][3]
-                    if abs(tm_f - tm_r) > p.diff_tm:
+                    tm_r = cand_tm[j]
+                    if abs(tm_f - tm_r) > diff_tm:
                         continue
-                    uncovered = len(_id_bits(start_pos, 0)
-                                    | _id_bits(stop_pos, 1))
+                    uncovered = len(f_bits | _id_bits(stop_pos, 1))
                     if uncovered / number > threshold:
                         continue
-                    primer_f = primers[start_pos][0]
-                    primer_r = r_seq[stop_pos]
-                    if self.dimer_check(primer_f, primer_r):
+                    primer_r = cand_rseq[j]
+                    r_self, r_ends, r_hits = _dstate(primer_r)
+                    if f_self or r_self \
+                            or not f_ends.isdisjoint(r_hits) \
+                            or not r_ends.isdisjoint(f_hits):
                         continue
                     covered = number - uncovered
-                    avg_tm = str(round(thermo._stat_mean([tm_f, tm_r]), 2))
+                    key = (tm_f, tm_r)
+                    avg_tm = avg_cache.get(key)
+                    if avg_tm is None:
+                        avg_tm = str(round(thermo._stat_mean([tm_f, tm_r]),
+                                           2))
+                        avg_cache[key] = avg_tm
+                    frac = cov_cache.get(covered)
+                    if frac is None:
+                        frac = round(covered / number, 4)
+                        cov_cache[covered] = frac
                     sink.append((primer_f, primer_r,
-                                 "%d:%s:%s" % (distance, avg_tm,
-                                               round(covered / number, 4)),
+                                 "%d:%s:%s" % (distance, avg_tm, frac),
                                  covered,
                                  "%d:%d" % (start_pos, stop_pos)))
 

@@ -223,6 +223,14 @@ def _bind(lib):
         ctypes.c_void_p, ctypes.c_int64,                        # trig, l1
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,       # trig buf
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]       # dg buf
+    lib.pure_window_filters.restype = ctypes.c_int64
+    lib.pure_window_filters.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,        # rows
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,         # d, num rng
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,      # flags/tm/gc
+        ctypes.c_void_p,                                        # counts
+        ctypes.c_void_p, ctypes.c_int64,                        # ends buf
+        ctypes.c_void_p, ctypes.c_int64]                        # cand out
 
 
 def available():
@@ -488,6 +496,51 @@ def dimer_screen(primer: str, num=5, length=14):
     raw = ends_buf.raw
     return [(raw[out[3 * i]:out[3 * i] + out[3 * i + 1]].decode("ascii"),
              int(out[3 * i + 2])) for i in range(n)]
+
+
+def pure_window_filters(win_block, distance, num=5, length=14):
+    """Batched filters for a [W, plen] uint8 block of PURE-ACGT windows
+    (the design engine's uniform-pure fast path): per row -> (flags
+    bit0 di / bit1 hairpin, exact Calc_Tm_v2, GC count, dimer_screen
+    candidate tuple).  One ctypes call instead of four per window.
+    Returns (flags, tm, gc, cand_lists) or None (fallback)."""
+    lib = load()
+    if lib is None:
+        return None
+    w, plen = win_block.shape
+    if w == 0:
+        return (np.empty(0, np.int8), np.empty(0, np.float64),
+                np.empty(0, np.int64), [])
+    _tm_ready(lib)
+    blob = np.ascontiguousarray(win_block, np.uint8)
+    flags = np.empty(w, np.int8)
+    tm = np.empty(w, np.float64)
+    gc = np.empty(w, np.int64)
+    counts = np.empty(w, np.int64)
+    max_out = 4096 * 8
+    ends_buf = ctypes.create_string_buffer(max_out * 64)
+    out = np.empty(3 * max_out, np.int64)
+    n = lib.pure_window_filters(
+        blob.ctypes.data, w, plen, distance, num, num + length - 1,
+        flags.ctypes.data, tm.ctypes.data, gc.ctypes.data,
+        counts.ctypes.data, ends_buf, len(ends_buf),
+        out.ctypes.data, max_out)
+    if n < 0:
+        return None
+    raw = ends_buf.raw
+    cands = []
+    k = 0
+    for r in range(w):
+        c = int(counts[r])
+        if c == 0:
+            cands.append(())
+        else:
+            cands.append(tuple(
+                (raw[out[3 * i]:out[3 * i] + out[3 * i + 1]]
+                 .decode("ascii"), int(out[3 * i + 2]))
+                for i in range(k, k + c)))
+        k += c
+    return flags, tm, gc, cands
 
 
 _TM_READY = False

@@ -988,6 +988,58 @@ int64_t hairpin_flag(const char* primer, int64_t plen, int64_t d,
     return 0;
 }
 
+int64_t tm_batch(const char* seqs, int64_t k, int64_t len, double* out);
+
+// Batched per-window filters for PURE-ACGT rows of an [n, plen] byte
+// matrix — the design engine's uniform-pure fast path pays four ctypes
+// round trips per window (di_nucleotide_flag, hairpin_flag, dimer_screen,
+// tm_batch); this folds a whole window block into one call.  Per row:
+// flags bit0 = di/tri-nucleotide run, bit1 = strong hairpin; exact
+// Calc_Tm_v2; GC count; and dimer_screen's candidate (end, d2) stream with
+// per-row counts (offsets into the shared ends_buf) so the float Loss/dG
+// verdicts stay in Python exactly as in the per-primer path.  Returns the
+// total candidate count, or -1 for fallback (non-pure char, plen > 63,
+// buffer overflow, Tm tables uninitialised).
+int64_t pure_window_filters(const char* rows, int64_t n, int64_t plen,
+                            int64_t distance, int64_t num_min,
+                            int64_t num_max,
+                            int8_t* flags, double* tm_out, int64_t* gc_out,
+                            int64_t* cand_counts,
+                            char* ends_buf, int64_t ends_cap,
+                            int64_t* cand_out, int64_t max_out) {
+    if (plen <= 1 || plen > 63) return -1;
+    int64_t total = 0, buf_used = 0;
+    for (int64_t r = 0; r < n; r++) {
+        const char* s = rows + r * plen;
+        int64_t gc = 0;
+        for (int64_t i = 0; i < plen; i++) {
+            const char c = s[i];
+            if (c == 'G' || c == 'C') gc++;
+            else if (c != 'A' && c != 'T') return -1;
+        }
+        gc_out[r] = gc;
+        int8_t f = 0;
+        if (di_nucleotide_flag(s, plen) > 0) f |= 1;
+        if (hairpin_flag(s, plen, distance, nullptr) > 0) f |= 2;
+        flags[r] = f;
+        const int64_t cnt = dimer_screen(
+            s, plen, num_min, num_max, ends_buf + buf_used,
+            ends_cap - buf_used, cand_out + 3 * total, max_out - total);
+        if (cnt < 0) return -1;
+        int64_t used = 0;
+        if (cnt > 0)
+            used = cand_out[3 * (total + cnt - 1)]
+                 + cand_out[3 * (total + cnt - 1) + 1];
+        for (int64_t k2 = 0; k2 < cnt; k2++)
+            cand_out[3 * (total + k2)] += buf_used;   // global offsets
+        buf_used += used;
+        cand_counts[r] = cnt;
+        total += cnt;
+        if (tm_batch(s, 1, plen, tm_out + r) < 0) return -1;
+    }
+    return total;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -145,10 +145,15 @@ def num_degenerate_positions(seq: str) -> int:
     return n
 
 
+_PURE_EXPAND = frozenset("ACGT-")
+
+
 @lru_cache(maxsize=500000)
 def expand(seq: str) -> tuple:
     """All expansions of a degenerate sequence, in the reference's product
     order (degenerate_seq, multiPrime-core.py:368-380).  Gaps stay as '-'."""
+    if not (set(seq) - _PURE_EXPAND):
+        return (seq,)           # pure/gap-only: expands to itself
     member_lists = []
     for ch in seq:
         member_lists.append(CODE_MEMBERS.get(ch, [ch]))
