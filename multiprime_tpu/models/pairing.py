@@ -655,14 +655,17 @@ def write_outputs(pairs, outfile, write_path=None):
                    "Product length:Tm:coverage_percentage",
                    "Target number", "Primer_start_end"]
         fx.write("\t".join(headers) + "\n")
+        # one join per file (identical bytes; per-row .write calls were
+        # ~1/6 of the singleton-cluster pair stage at the 21k scale)
+        cells = ["\t".join(map(str, row)) for row in pairs]
         fo.write(file_id + "\t")
-        for row in pairs:
-            fo.write("\t".join(map(str, row)) + "\t")
-            fx.write("\t".join(map(str, row)) + "\n")
-        for row in pairs:
-            start, stop = row[4].split(":")
-            fa.write(">" + primer_id + "_" + start + "F\n" + row[0] + "\n>"
-                     + primer_id + "_" + stop + "R\n" + row[1] + "\n")
+        if cells:
+            fo.write("\t".join(cells) + "\t")
+        fx.write("".join(c + "\n" for c in cells))
+        fa.write("".join(
+            ">" + primer_id + "_" + row[4].split(":")[0] + "F\n" + row[0]
+            + "\n>" + primer_id + "_" + row[4].split(":")[1] + "R\n"
+            + row[1] + "\n" for row in pairs))
         fo.write("\n")
 
 
