@@ -383,13 +383,19 @@ class PairingEngine:
         if candidates[-1] - candidates[0] < min_len:
             return None, candidates     # signals "product can't fit" case
 
-        # Bitset of uncovered accessions per position/side.
+        # Bitset of uncovered accessions per position/side — a Python int
+        # with one bit per accession (indices assigned on first sight):
+        # the per-pair union+cardinality is then one OR + bit_count()
+        # instead of building a set (identical count: the index map is
+        # injective, so popcount(a|b) == |set_a U set_b|).
         all_ids = {}
+        id_index = {}
 
         def _id_bits(pos, side):
             key = (pos, side)
-            if key in all_ids:
-                return all_ids[key]
+            bits = all_ids.get(key)
+            if bits is not None:
+                return bits
             ids = set()
             g = gap_ids.get(str(pos))
             if g is None:
@@ -401,8 +407,15 @@ class PairingEngine:
                 nc = non_cover_ids.get(pos)
             for v in nc[side].values():
                 ids.update(v)
-            all_ids[key] = ids
-            return ids
+            bits = 0
+            for x in ids:
+                b = id_index.get(x)
+                if b is None:
+                    b = len(id_index)
+                    id_index[x] = b
+                bits |= 1 << b
+            all_ids[key] = bits
+            return bits
 
         # Per-candidate gate caches.
         f_ok, r_ok, r_seq = {}, {}, {}
@@ -471,7 +484,7 @@ class PairingEngine:
                     tm_r = cand_tm[j]
                     if abs(tm_f - tm_r) > diff_tm:
                         continue
-                    uncovered = len(f_bits | _id_bits(stop_pos, 1))
+                    uncovered = (f_bits | _id_bits(stop_pos, 1)).bit_count()
                     if uncovered / number > threshold:
                         continue
                     primer_r = cand_rseq[j]

@@ -118,8 +118,41 @@ class DimerLedger:
         set intersection with the per-primer hit-end sets (_hit_end_set),
         maintained incrementally for the core.  Verdict-identical to the
         reference's rescan (see _pair_is_dimer_ref + fuzz test)."""
-        new_primers = list(dict.fromkeys(
-            list(iupac.expand(primer_f)) + list(iupac.expand(primer_r))))
+        ef = iupac.expand(primer_f)
+        er = iupac.expand(primer_r)
+        if len(ef) == 1 and len(er) == 1:
+            # pure pair (the dominant case at scale): the union-set tests
+            # decompose into pairwise isdisjoint calls over the cached
+            # per-primer frozensets — no per-call set building.  The OR of
+            # the decomposed tests is exactly the original verdict, and the
+            # test ORDER preserves the original's laziness: most rejections
+            # fire on the cheap suffix-vs-core-hit test before the O(n^2)
+            # _hit_end_set of either primer is ever computed.
+            ch = self.core_hit_ends
+            sf = suffix_ends(primer_f)
+            if not sf.isdisjoint(ch):
+                return True
+            if primer_f == primer_r:
+                hf = _hit_end_set(primer_f)
+                if not sf.isdisjoint(hf):
+                    return True
+                return primer_f not in self.core_primers_set \
+                    and not self.core_ends.isdisjoint(hf)
+            sr = suffix_ends(primer_r)
+            if not sr.isdisjoint(ch):
+                return True
+            hf = _hit_end_set(primer_f)
+            if not sf.isdisjoint(hf) or not sr.isdisjoint(hf):
+                return True
+            hr = _hit_end_set(primer_r)
+            if not sf.isdisjoint(hr) or not sr.isdisjoint(hr):
+                return True
+            cs = self.core_primers_set
+            ce = self.core_ends
+            if primer_f not in cs and not ce.isdisjoint(hf):
+                return True
+            return primer_r not in cs and not ce.isdisjoint(hr)
+        new_primers = list(dict.fromkeys(list(ef) + list(er)))
         new_set = set(new_primers)
         core_set = self.core_primers_set
         new_ends = set()
@@ -237,6 +270,18 @@ class _LazyRow:
         for i in range(self._n):
             yield self[i]
 
+    def pair(self, i):
+        """(self[i], self[i+1]) in one call — the greedy walks read rows
+        exclusively as adjacent F/R pairs, so this halves the per-access
+        method dispatch on the hot loop."""
+        self[i + 1]
+        f = self._fields
+        return f[i], f[i + 1]
+
+
+def _row_pair(row, i):
+    return row.pair(i) if isinstance(row, _LazyRow) else (row[i], row[i + 1])
+
 
 def _row_text(row):
     """The row's tab-joined text — free for _LazyRow (its normalised
@@ -281,8 +326,8 @@ def greedy_maximal(primers, output, next_candidate_file, step=5):
                 column_pointer = 1
                 continue
             while column_pointer <= len(row) - step:
-                if ledger.pair_is_dimer(row[column_pointer],
-                                        row[column_pointer + 1]):
+                pf, pr = _row_pair(row, column_pointer)
+                if ledger.pair_is_dimer(pf, pr):
                     column_pointer += step
                     if column_pointer > len(row) - step:
                         clique.append({"#Primer": row[0]})
