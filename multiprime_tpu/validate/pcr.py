@@ -271,10 +271,14 @@ def _pcr_products_occ(primer_f, primer_r, corpus, occ, want_bodies=True):
         if body(t):
             produced.add(t)
             products[corpus.headers[t]] = True
-    for t, key in enumerate(corpus.headers):
-        if t not in produced:
-            non_products[key] = None
-    return products, non_products
+    # summary mode returns the produced index set instead of a dense
+    # non-product dict: materialising {key: None} for every uncovered
+    # target per pair walked N_targets x N_pairs entries (47 s of the
+    # 100k run's 63 s pcr stage); run() derives the count as
+    # N - len(produced) and the final uncovered set from the running
+    # intersection of produced sets — identical counts and sets
+    # (tests/test_cli_pipeline.py::test_pcr_products_modes)
+    return products, produced
 
 
 def run(pairs, ref_file, out_dir, coverage_file, products="full"):
@@ -295,12 +299,48 @@ def run(pairs, ref_file, out_dir, coverage_file, products="full"):
     covered, uncovered = set(), set()
     corpus = _Corpus(ref_file)
     occ = _batch_occurrences(pairs, corpus) if len(pairs) > 4 else None
+    inter_produced = None      # summary+occ: intersection of produced sets
+    dup_groups = dup_idx = n_distinct = None
+    if occ is not None and products == "summary":
+        # duplicate-header bookkeeping: the reference's non-product dict
+        # collapses lines by header, so the summary count must be the
+        # number of DISTINCT headers with some non-producing line
+        hc = {}
+        for h in corpus.headers:
+            hc[h] = hc.get(h, 0) + 1
+        n_distinct = len(hc)
+        dup_groups = {}
+        for t, h in enumerate(corpus.headers):
+            if hc[h] > 1:
+                dup_groups.setdefault(h, []).append(t)
+        dup_idx = {t for ts in dup_groups.values() for t in ts}
     with open(coverage_file, "a+") as cov:
         for key, (primer_f, primer_r) in pairs.items():
+            if occ is not None and products == "summary":
+                # produced-index form: the per-pair dense non-product dict
+                # never materialises (it walked N_targets x N_pairs entries
+                # — 47 s of the 100k run's 63 s pcr stage)
+                products_d, produced = _pcr_products_occ(
+                    primer_f, primer_r, corpus, occ, want_bodies=False)
+                if dup_groups:
+                    full = sum(1 for ts in dup_groups.values()
+                               if all(t in produced for t in ts))
+                    uniq_prod = len(produced) - sum(
+                        1 for t in produced if t in dup_idx)
+                    n_non = n_distinct - uniq_prod - full
+                else:
+                    n_non = n_distinct - len(produced)
+                cov.write("Number of Product/non_Product, primer-F and "
+                          "primer-R: {}\t{}\t{}\t{}\t{}\n".format(
+                              key, len(products_d), n_non,
+                              primer_f, primer_r))
+                covered.update(products_d)
+                inter_produced = produced if inter_produced is None \
+                    else inter_produced & produced
+                continue
             if occ is not None:
                 products_d, non_products = _pcr_products_occ(
-                    primer_f, primer_r, corpus, occ,
-                    want_bodies=products != "summary")
+                    primer_f, primer_r, corpus, occ)
             else:
                 products_d, non_products = _pcr_products_corpus(
                     primer_f, primer_r, corpus)
@@ -327,6 +367,11 @@ def run(pairs, ref_file, out_dir, coverage_file, products="full"):
                 np_.write("".join(
                     rid + "\n" + seq + "\n"
                     for rid, seq in non_products.items()))
+    if inter_produced is not None:
+        # a header is uncovered iff SOME pair lacked a product for it ==
+        # not produced by every pair
+        uncovered.update(h for t, h in enumerate(corpus.headers)
+                         if t not in inter_produced)
     n_seqs = 0
     with open(ref_file, encoding="utf-8") as f:
         for chunk in iter(lambda: f.read(1 << 20), ""):

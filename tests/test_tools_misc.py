@@ -220,5 +220,26 @@ def test_pcr_occ_summary_counts_match_bodies(tmp_path):
     with_bodies = pcr._pcr_products_occ(f, r, corpus, occ, want_bodies=True)
     keys_only = pcr._pcr_products_occ(f, r, corpus, occ, want_bodies=False)
     assert list(with_bodies[0]) == list(keys_only[0])
-    assert list(with_bodies[1]) == list(keys_only[1])
+    # want_bodies=False returns the produced INDEX set; the non-product
+    # header list (dict-collapsed, first-seen order) must derive exactly
+    produced = keys_only[1]
+    derived, seen = [], set()
+    for t, h in enumerate(corpus.headers):
+        if t not in produced and h not in seen:
+            seen.add(h)
+            derived.append(h)
+    assert list(with_bodies[1]) == derived
     assert len(with_bodies[0]) > 0
+    # the duplicate-header case must actually occur (a producing and a
+    # barren line sharing a header) or this test checks nothing
+    assert len(set(corpus.headers)) < len(corpus.headers)
+    # run()-level: summary's dup-aware non-product counts and final
+    # covered/uncovered sets must equal the full-body walk on this
+    # duplicate-header corpus
+    outs = {}
+    for mode in ("full", "summary"):
+        stast = tmp_path / (mode + ".xls")
+        cov_s, unc_s = pcr.run(pairs, str(ref), str(tmp_path / mode),
+                               str(stast), products=mode)
+        outs[mode] = (stast.read_text(), cov_s, unc_s)
+    assert outs["full"] == outs["summary"]
