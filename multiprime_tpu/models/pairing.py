@@ -447,12 +447,15 @@ class PairingEngine:
             avg_cache = {}      # (tm_f, tm_r) -> formatted mean Tm
             cov_cache = {}      # covered -> rounded fraction
             diff_tm = p.diff_tm
-            # candidate-indexed lists: the inner loop reads by position in
-            # `candidates`, so parallel lists replace three dict lookups
-            # per visited pair
+            # candidate-indexed arrays: the r_ok and |dTm| gates (which
+            # reject ~90% of visited pairs) evaluate as one vectorised
+            # mask per start; the Python loop then touches survivors only.
+            # |a-b| is exact and symmetric in IEEE754, so the numpy form
+            # rejects exactly the pairs `abs(tm_f - tm_r) > diff_tm` does.
             cand_tm = [primers[c][3] for c in candidates]
-            cand_rok = [r_ok[c] for c in candidates]
             cand_rseq = [r_seq[c] for c in candidates]
+            tm_arr = np.asarray(cand_tm, np.float64)
+            rok_arr = np.asarray([r_ok[c] for c in candidates], bool)
             for start_pos in candidates[si0:si1]:
                 if not f_ok[start_pos]:
                     continue
@@ -467,23 +470,20 @@ class PairingEngine:
                 tm_f = primers[start_pos][3]
                 f_bits = _id_bits(start_pos, 0)
                 f_self, f_ends, f_hits = _dstate(primer_f)
-                for j in range(left, right + 1):
-                    if not cand_rok[j]:
-                        continue
+                # slice bounds imply min_len < distance <= max_len for
+                # every j in [left, right] (bisect_left on start+min_len /
+                # start+max_len), so the distance re-checks of the scalar
+                # loop are provably always-true here
+                mask = rok_arr[left:right + 1] \
+                    & (np.abs(tm_arr[left:right + 1] - tm_f) <= diff_tm)
+                for j in (np.nonzero(mask)[0] + left).tolist():
                     stop_pos = candidates[j]
                     distance = stop_pos - start_pos + 1
-                    if distance > max_len:
-                        break
-                    if not (min_len <= distance <= max_len):
-                        continue
                     # Gates are independent pure predicates ANDed together;
                     # the reference tests dimer -> Tm -> coverage
                     # (get_multiPrime.py:544-574) but cheapest-first gives
-                    # the identical surviving set: two float compares, then
-                    # a set union, then the (precomputed-set) dimer verdict.
+                    # the identical surviving set.
                     tm_r = cand_tm[j]
-                    if abs(tm_f - tm_r) > diff_tm:
-                        continue
                     uncovered = (f_bits | _id_bits(stop_pos, 1)).bit_count()
                     if uncovered / number > threshold:
                         continue

@@ -481,42 +481,47 @@ def test_pure_window_filters_batch_equivalence():
         pytest.skip("native library unavailable")
     rng = np.random.default_rng(37)
     lut = np.array(list("ACGT"))
-    engines = {algo: mcdpd.DesignEngine(mcdpd.DesignParams(
-        primer_length=18, coverage=0.7, dege_number=4, degeneracy=10,
-        variation=1, entropy_threshold=3.6, gc=(0.2, 0.7), min_product=150,
-        coordinate="2,3,-1", hairpin_distance=4, algo=algo, nproc=1))
-        for algo in ("v20", "v16", "v15")}
-    special = [
-        "ACGTACGTACGTACGTAC",            # hairpin-prone repeat
-        "GGGGGGGGGCCCCCCCCC",            # GC out of range + runs
-        "ATATATATATATATATAT",            # AT-rich + XY run
-        "ACGTAAAACGTACGTACG",            # XXXX run
-        "GCGCGCGCATATATATGC",            # dimer-prone palindromic ends
-    ]
-    rows = special + ["".join(rng.choice(lut, size=18)) for _ in range(95)]
-    mat = np.stack([np.frombuffer(r.encode(), np.uint8) for r in rows])
     checked = produced = rejected = 0
-    for algo, eng in engines.items():
-        batch = native.pure_window_filters(mat, 4)
-        assert batch is not None
-        flags, tms, gcs, cands = batch
-        for bi, row in enumerate(rows):
-            win = np.tile(mat[bi], (3, 1))
-            gates = (np.zeros(3, np.int64), np.zeros(3, bool), True)
-            plain = eng._design_window(9, win, [">a", ">b", ">c"], 3, 3.6,
-                                       gates=gates)
-            pre = (int(flags[bi]), float(tms[bi]), int(gcs[bi]), cands[bi])
-            fast = eng._design_window(9, win, [">a", ">b", ">c"], 3, 3.6,
-                                      gates=gates, pure_pre=pre)
-            checked += 1
-            if plain is None:
-                assert fast is None, (algo, row)
-                rejected += 1
-            else:
-                assert fast is not None and \
-                    repr(vars(fast)) == repr(vars(plain)), (algo, row)
-                produced += 1
-    assert checked == 300 and produced >= 100 and rejected >= 3
+    for plen in (18, 26):
+        engines = {algo: mcdpd.DesignEngine(mcdpd.DesignParams(
+            primer_length=plen, coverage=0.7, dege_number=4, degeneracy=10,
+            variation=1, entropy_threshold=3.6, gc=(0.2, 0.7),
+            min_product=150, coordinate="2,3,-1", hairpin_distance=4,
+            algo=algo, nproc=1)) for algo in ("v20", "v16", "v15")}
+        special = [
+            "ACGTACGTACGTACGTAC",        # hairpin-prone repeat
+            "GGGGGGGGGCCCCCCCCC",        # GC out of range + runs
+            "ATATATATATATATATAT",        # AT-rich + XY run
+            "ACGTAAAACGTACGTACG",        # XXXX run
+            "GCGCGCGCATATATATGC",        # dimer-prone palindromic ends
+        ]
+        special = [(s * 2)[:plen] for s in special]
+        rows = special + ["".join(rng.choice(lut, size=plen))
+                          for _ in range(95)]
+        mat = np.stack([np.frombuffer(r.encode(), np.uint8) for r in rows])
+        for algo, eng in engines.items():
+            batch = native.pure_window_filters(mat, 4)
+            assert batch is not None
+            flags, tms, gcs, cands = batch
+            for bi, row in enumerate(rows):
+                win = np.tile(mat[bi], (3, 1))
+                gates = (np.zeros(3, np.int64), np.zeros(3, bool), True)
+                plain = eng._design_window(9, win, [">a", ">b", ">c"], 3,
+                                           3.6, gates=gates)
+                pre = (int(flags[bi]), float(tms[bi]), int(gcs[bi]),
+                       cands[bi])
+                fast = eng._design_window(9, win, [">a", ">b", ">c"], 3,
+                                          3.6, gates=gates, pure_pre=pre)
+                checked += 1
+                if plain is None:
+                    assert fast is None, (algo, plen, row)
+                    rejected += 1
+                else:
+                    assert fast is not None and \
+                        repr(vars(fast)) == repr(vars(plain)), \
+                        (algo, plen, row)
+                    produced += 1
+    assert checked == 600 and produced >= 200 and rejected >= 6
 
 
 def test_uniform_pure_fast_path_exact_equivalence():
