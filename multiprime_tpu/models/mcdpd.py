@@ -376,11 +376,19 @@ def parse_msa(path):
     return ids, mat
 
 
+@lru_cache(maxsize=4096)
+def _pure_gc_mean(gc_count, plen):
+    """gc_degenerate_mean of a pure row from its GC count:
+    round(round(gc/L, 3), 2) on the (count, plen) grid."""
+    return round(round(gc_count / plen, 3), 2)
+
+
 class DesignEngine:
     """Bit-exact MC-EDPD engine over one MSA."""
 
     def __init__(self, params: DesignParams):
         self.p = params
+        self._uniform_bits = None    # (total, cBit, tBit) fast-path cache
         plen = params.primer_length
         if params.algo in ("v20", "v16", "v2"):
             self.y_strict, self.y_strict_r = self._forbidden_sets()
@@ -780,7 +788,12 @@ class DesignEngine:
         if (all_same and not needs_expand[0] and gapcnt[0] == 0
                 and p.algo in ("v15", "v16", "v20")):
             row = win_chars[0].tobytes().decode("ascii")
-            c_bit, t_bit = thermo.shannon_pair([total], total, [], 0)
+            # constant per cluster (depends only on total) — cached
+            bits = self._uniform_bits
+            if bits is None or bits[0] != total:
+                bits = (total,) + thermo.shannon_pair([total], total, [], 0)
+                self._uniform_bits = bits
+            _, c_bit, t_bit = bits
             if t_bit > threshold:
                 return None
             if len(set(row)) < 4:            # a < 4: some base never occurs
@@ -1029,7 +1042,8 @@ class DesignEngine:
         flags, tm_val, gc_count, cands = pre
         plen = len(row)
         # gc_degenerate_mean(row) for a pure row: round(round(gc/L,3), 2)
-        gc = round(round(gc_count / plen, 3), 2)
+        # — plen+1 possible counts, memoized on the tiny (count, plen) grid
+        gc = _pure_gc_mean(gc_count, plen)
         issues = []
         lo, hi = self.p.gc
         if not float(lo) <= gc <= float(hi):

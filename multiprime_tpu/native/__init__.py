@@ -469,6 +469,7 @@ def hairpin_flag(primer: str, distance: int, first_members=None):
 
 _DIMER_BUFS = threading.local()
 _GROUP_BUFS = threading.local()
+_PWF_BUFS = threading.local()
 
 
 def dimer_screen(primer: str, num=5, length=14):
@@ -513,13 +514,16 @@ def pure_window_filters(win_block, distance, num=5, length=14):
                 np.empty(0, np.int64), [])
     _tm_ready(lib)
     blob = np.ascontiguousarray(win_block, np.uint8)
-    flags = np.empty(w, np.int8)
-    tm = np.empty(w, np.float64)
-    gc = np.empty(w, np.int64)
-    counts = np.empty(w, np.int64)
     max_out = 4096 * 8
-    ends_buf = ctypes.create_string_buffer(max_out * 64)
-    out = np.empty(3 * max_out, np.int64)
+    bufs = getattr(_PWF_BUFS, "v", None)
+    if bufs is None or bufs[0] < w:
+        cap = max(w, 512)
+        bufs = (cap, np.empty(cap, np.int8), np.empty(cap, np.float64),
+                np.empty(cap, np.int64), np.empty(cap, np.int64),
+                ctypes.create_string_buffer(max_out * 64),
+                np.empty(3 * max_out, np.int64))
+        _PWF_BUFS.v = bufs
+    _, flags, tm, gc, counts, ends_buf, out = bufs
     n = lib.pure_window_filters(
         blob.ctypes.data, w, plen, distance, num, num + length - 1,
         flags.ctypes.data, tm.ctypes.data, gc.ctypes.data,
@@ -527,19 +531,21 @@ def pure_window_filters(win_block, distance, num=5, length=14):
         out.ctypes.data, max_out)
     if n < 0:
         return None
-    raw = ends_buf.raw
-    cands = []
-    k = 0
-    for r in range(w):
-        c = int(counts[r])
-        if c == 0:
-            cands.append(())
-        else:
-            cands.append(tuple(
+    # candidate rows are sparse (most pure windows screen clean): decode
+    # only rows with counts; everything else shares one empty tuple
+    cands = [()] * w
+    if n > 0:
+        raw = ends_buf.raw
+        k = 0
+        for r in np.nonzero(counts[:w])[0].tolist():
+            c = int(counts[r])
+            cands[r] = tuple(
                 (raw[out[3 * i]:out[3 * i] + out[3 * i + 1]]
                  .decode("ascii"), int(out[3 * i + 2]))
-                for i in range(k, k + c)))
-        k += c
+                for i in range(k, k + c))
+            k += c
+    # NOTE: flags/tm/gc alias per-thread buffers overwritten by the next
+    # call on this thread — consume before calling again
     return flags, tm, gc, cands
 
 
