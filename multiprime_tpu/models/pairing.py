@@ -351,6 +351,61 @@ class PairingEngine:
                             return True
         return False
 
+    def _pure_gate_tables(self, primers):
+        """All-pure fast path for the pair() gates: four native batch
+        calls compute, for every primer position, the prefilter flags
+        (di/hairpin) + GC count, gc_clamp of primer and of its RC, and
+        the adaptor-extended hairpins.  Returns (flags, gc, plen) for the
+        prefilter and stashes f_ok/r_ok/r_seq maps on self; None -> the
+        per-candidate Python/native path."""
+        from .. import native as nat
+        self._gate_maps = None
+        p = self.p
+        positions = list(primers)
+        prs = [primers[pos][0] for pos in positions]
+        if len(prs) < 16:
+            return None                  # batch overhead not worth it
+        plen_ = len(prs[0])
+        joined = "".join(prs)
+        if len(joined) != plen_ * len(prs) or (set(joined) - _PURE_SET):
+            return None                  # ragged or degenerate
+        ad0, ad1 = str(p.adaptor[0]), str(p.adaptor[1])
+        if (set(ad0) | set(ad1)) - _PURE_SET:
+            return None
+        mat = np.frombuffer(joined.encode(), np.uint8).reshape(-1, plen_)
+        num, length = 4, 13              # gc_clamp defaults
+        mc = [0] * (num + length)
+        for k in range(1, num + length):
+            mc[k] = _gc_clamp_min_count(k)
+        out = nat.pure_gate_batch(mat, p.hairpin_distance, mc, want=7)
+        if out is None:
+            return None
+        flags, gc = out
+        rcs = [iupac.rc(pr) for pr in prs]
+        rc_out = nat.pure_gate_batch(
+            np.frombuffer("".join(rcs).encode(), np.uint8)
+            .reshape(-1, plen_), p.hairpin_distance, mc,
+            want=4)                          # gc_clamp(rc) only
+        a0_out = nat.pure_gate_batch(
+            np.frombuffer("".join(ad0 + pr for pr in prs).encode(),
+                          np.uint8).reshape(-1, plen_ + len(ad0)),
+            p.hairpin_distance, want=2)      # hairpin only
+        a1_out = nat.pure_gate_batch(
+            np.frombuffer("".join(ad1 + rc for rc in rcs).encode(),
+                          np.uint8).reshape(-1, plen_ + len(ad1)),
+            p.hairpin_distance, want=2)
+        if rc_out is None or a0_out is None or a1_out is None:
+            return None
+        f_ok, r_ok, r_seq = {}, {}, {}
+        for i, pos in enumerate(positions):
+            # pure primers can't carry 3'-degenerate bases; gates reduce
+            # to adaptor-hairpin + gc_clamp (bit 2)
+            f_ok[pos] = not ((a0_out[0][i] & 2) or (flags[i] & 4))
+            r_ok[pos] = not ((a1_out[0][i] & 2) or (rc_out[0][i] & 4))
+            r_seq[pos] = rcs[i]
+        self._gate_maps = (f_ok, r_ok, r_seq)
+        return flags, gc, plen_
+
     # -- main ------------------------------------------------------------------
     def pair(self, primers, gap_ids, non_cover_ids, number):
         """Enumerate and score primer pairs.
@@ -365,18 +420,37 @@ class PairingEngine:
         lo_gc, hi_gc = float(p.gc[0]), float(p.gc[1])
         min_len, max_len = int(p.size[0]), int(p.size[1])
 
-        # Pre-filter candidates (get_multiPrime.py:479-497).
+        # Pre-filter candidates (get_multiPrime.py:479-497).  When every
+        # primer (and both adaptors) is pure ACGT, all per-candidate gates
+        # — prefilter hairpin/GC/di plus the f_ok/r_ok adaptor-hairpin and
+        # gc_clamp checks — batch into four native calls (for pure rows
+        # the weak first-expansion hairpin equals the strong mask scan:
+        # the single expansion IS the mask).  Exact-equivalence fuzz:
+        # tests/test_pairing_golden.py::test_pure_gate_batch_equivalence.
+        batch = self._pure_gate_tables(primers)
         candidates = []
-        for pos in primers:
-            primer = primers[pos][0]
-            if self.hairpin(primer):
-                continue
-            gc = self._gc_mean(primer)
-            if gc > hi_gc or gc < lo_gc:
-                continue
-            if self._helper.di_nucleotide(primer):
-                continue
-            candidates.append(pos)
+        if batch is not None:
+            pflags, pgc, plen_ = batch
+            for i, pos in enumerate(primers):
+                if pflags[i] & 2:                    # hairpin
+                    continue
+                gc = float(round(int(pgc[i]) / plen_, 3))
+                if gc > hi_gc or gc < lo_gc:
+                    continue
+                if pflags[i] & 1:                    # di/tri runs
+                    continue
+                candidates.append(pos)
+        else:
+            for pos in primers:
+                primer = primers[pos][0]
+                if self.hairpin(primer):
+                    continue
+                gc = self._gc_mean(primer)
+                if gc > hi_gc or gc < lo_gc:
+                    continue
+                if self._helper.di_nucleotide(primer):
+                    continue
+                candidates.append(pos)
         candidates.sort()
         if not candidates:
             return [], candidates
@@ -417,18 +491,22 @@ class PairingEngine:
             all_ids[key] = bits
             return bits
 
-        # Per-candidate gate caches.
-        f_ok, r_ok, r_seq = {}, {}, {}
-        for pos in candidates:
-            primer = primers[pos][0]
-            f_ok[pos] = not (self.hairpin(p.adaptor[0] + primer)
-                            or self.has_3prime_degenerate(primer)
-                            or self.gc_clamp(primer))
-            rp = iupac.rc(primer)
-            r_seq[pos] = rp
-            r_ok[pos] = not (self.hairpin(p.adaptor[1] + rp)
-                            or self.has_3prime_degenerate(rp)
-                            or self.gc_clamp(rp))
+        # Per-candidate gate caches (batched maps when the pure fast path
+        # engaged).
+        if batch is not None and self._gate_maps is not None:
+            f_ok, r_ok, r_seq = self._gate_maps
+        else:
+            f_ok, r_ok, r_seq = {}, {}, {}
+            for pos in candidates:
+                primer = primers[pos][0]
+                f_ok[pos] = not (self.hairpin(p.adaptor[0] + primer)
+                                 or self.has_3prime_degenerate(primer)
+                                 or self.gc_clamp(primer))
+                rp = iupac.rc(primer)
+                r_seq[pos] = rp
+                r_ok[pos] = not (self.hairpin(p.adaptor[1] + rp)
+                                 or self.has_3prime_degenerate(rp)
+                                 or self.gc_clamp(rp))
 
         def enumerate_pairs(threshold, sink, si0=0, si1=None):
             # per-primer dimer state (self-hit, 3'-end set, hit-end set)

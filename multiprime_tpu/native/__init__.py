@@ -223,6 +223,12 @@ def _bind(lib):
         ctypes.c_void_p, ctypes.c_int64,                        # trig, l1
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,       # trig buf
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]       # dg buf
+    lib.pure_gate_batch.restype = ctypes.c_int64
+    lib.pure_gate_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,        # rows
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,         # d, num rng
+        ctypes.c_void_p, ctypes.c_int64,                        # counts,want
+        ctypes.c_void_p, ctypes.c_void_p]                       # flags, gc
     lib.pure_window_filters.restype = ctypes.c_int64
     lib.pure_window_filters.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,        # rows
@@ -497,6 +503,40 @@ def dimer_screen(primer: str, num=5, length=14):
     raw = ends_buf.raw
     return [(raw[out[3 * i]:out[3 * i] + out[3 * i + 1]].decode("ascii"),
              int(out[3 * i + 2])) for i in range(n)]
+
+
+def pure_gate_batch(rows_mat, distance, gc_min_counts=None, num=4,
+                    length=13, want=7):
+    """Batched pairing gates for a [W, plen] uint8 matrix of PURE-ACGT
+    rows: per row -> (flags bit0 di / bit1 hairpin / bit2 gc_clamp,
+    GC count).  gc_min_counts[k] = minimal tail GC count with
+    round(g/k, 3) > 0.6 (None skips the gc_clamp bit).  `want` selects
+    which gates to compute (1 di | 2 hairpin | 4 gc_clamp) — di costs 40
+    pattern scans per row, so callers skip what they don't read.
+    Returns (flags, gc) COPIES (safe to retain) or None (fallback)."""
+    lib = load()
+    if lib is None:
+        return None
+    w, plen = rows_mat.shape
+    if w == 0:
+        return np.empty(0, np.int8), np.empty(0, np.int64)
+    blob = np.ascontiguousarray(rows_mat, np.uint8)
+    flags = np.empty(w, np.int8)
+    gc = np.empty(w, np.int64)
+    num_max = num + length - 1
+    if gc_min_counts is not None:
+        mc = np.ascontiguousarray(gc_min_counts, np.int64)
+        if len(mc) < num_max + 1:
+            raise ValueError("gc_min_counts too short")
+        mc_ptr = mc.ctypes.data
+    else:
+        mc_ptr = None
+    r = lib.pure_gate_batch(blob.ctypes.data, w, plen, distance, num,
+                            num_max, mc_ptr, want, flags.ctypes.data,
+                            gc.ctypes.data)
+    if r < 0:
+        return None
+    return flags, gc
 
 
 def pure_window_filters(win_block, distance, num=5, length=14):

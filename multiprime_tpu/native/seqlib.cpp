@@ -990,6 +990,53 @@ int64_t hairpin_flag(const char* primer, int64_t plen, int64_t d,
 
 int64_t tm_batch(const char* seqs, int64_t k, int64_t len, double* out);
 
+// Batched pairing gates for PURE-ACGT rows of an [n, plen] byte matrix
+// (PairingEngine's prefilter + f_ok/r_ok loops): per row flags bit0 =
+// di/tri-nucleotide run, bit1 = hairpin (strong == weak for pure rows:
+// the single expansion IS the mask), bit2 = gc_clamp.  The gc_clamp
+// verdict compares integer tail GC counts against gc_min_counts[k]
+// (k = clamped suffix length), precomputed in Python so the
+// round(g/k, 3) > 0.6 semantics stay on the Python side.  gc_out gets
+// the full-row GC count (the prefilter's GC-mean bound).  Returns 0 or
+// -1 for fallback (non-pure char, plen > 63).
+int64_t pure_gate_batch(const char* rows, int64_t n, int64_t plen,
+                        int64_t distance, int64_t num_min, int64_t num_max,
+                        const int64_t* gc_min_counts, int64_t want,
+                        int8_t* flags, int64_t* gc_out) {
+    if (plen <= 0 || plen > 63) return -1;
+    for (int64_t r = 0; r < n; r++) {
+        const char* s = rows + r * plen;
+        int64_t gc = 0;
+        for (int64_t i = 0; i < plen; i++) {
+            const char c = s[i];
+            if (c == 'G' || c == 'C') gc++;
+            else if (c != 'A' && c != 'T') return -1;
+        }
+        gc_out[r] = gc;
+        int8_t f = 0;
+        if ((want & 1) && di_nucleotide_flag(s, plen) > 0) f |= 1;
+        if ((want & 2) && hairpin_flag(s, plen, distance, nullptr) > 0)
+            f |= 2;
+        // gc_clamp: tail GC counts vs the per-k minimal passing count
+        if ((want & 4) && gc_min_counts) {
+            int64_t acc = 0;
+            int64_t tail[64];
+            const int64_t top = std::min(plen, num_max);
+            for (int64_t j = 1; j <= top; j++) {
+                const char c = s[plen - j];
+                if (c == 'G' || c == 'C') acc++;
+                tail[j] = acc;
+            }
+            for (int64_t i = num_min; i <= num_max; i++) {
+                const int64_t k = std::min(i, plen);
+                if (tail[k] >= gc_min_counts[k]) { f |= 4; break; }
+            }
+        }
+        flags[r] = f;
+    }
+    return 0;
+}
+
 // Batched per-window filters for PURE-ACGT rows of an [n, plen] byte
 // matrix — the design engine's uniform-pure fast path pays four ctypes
 // round trips per window (di_nucleotide_flag, hairpin_flag, dimer_screen,

@@ -55,6 +55,58 @@ def test_pairing_bit_identical(tmp_path):
         == GOLD_FA.read_text()
 
 
+def test_pure_gate_batch_equivalence(monkeypatch):
+    """The all-pure batched gate path must produce the identical pair list
+    (candidates, f_ok/r_ok, r_seq) as the per-candidate Python/native
+    gates, across gate-triggering primers (hairpins, GC extremes, runs,
+    clamps) and a degenerate-primer cluster that must fall back."""
+    import numpy as np
+
+    from multiprime_tpu import native
+
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(91)
+    lut = np.array(list("ACGT"))
+    params = pairing.PairingParams(
+        size=(40, 200), fraction=0.5, end_dege=4, hairpin_distance=4,
+        diff_tm=30, adaptor=("TCTTTCCCTACACGACGCTCTTCCGATCT",
+                             "TGGAGTTCAGACGTGTGCTCTTCCGATCT"), max_seq=0)
+
+    def synth_cluster(n_pos, dege=False):
+        primers = {}
+        specials = ["ACGTACGTACGTACGTAC", "GGGGGGGGGCCCCCCCCC",
+                    "ATATATATATATATATAT", "ACGTAAAACGTACGTACG",
+                    "GGCGGCGGAAAATTTTGG"]
+        for k in range(n_pos):
+            pos = 3 + 7 * k
+            if k < len(specials):
+                pr = specials[k]
+            else:
+                pr = "".join(rng.choice(lut, size=18))
+            if dege and k == n_pos - 1:
+                pr = "R" + pr[1:]
+            primers[pos] = [pr, 0.9, 5, 5, float(50 + rng.integers(0, 8))]
+        return primers
+
+    for trial, dege in ((0, False), (1, False), (2, True)):
+        primers = synth_cluster(40 + trial * 13, dege)
+        gap_ids = {str(pos): {} for pos in primers}
+        non_cover = {str(pos): [{}, {}] for pos in primers}
+        eng = pairing.PairingEngine(params)
+        with_batch, cand_b = eng.pair(primers, gap_ids, non_cover, 5)
+        used_batch = eng._gate_maps is not None
+        assert used_batch == (not dege), trial
+        monkeypatch.setattr(native, "pure_gate_batch",
+                            lambda *a, **k: None)
+        eng2 = pairing.PairingEngine(params)
+        plain, cand_p = eng2.pair(primers, gap_ids, non_cover, 5)
+        monkeypatch.undo()
+        assert cand_b == cand_p, trial
+        assert with_batch == plain, trial
+        assert plain and len(plain) > 3, "fixture produced no pairs"
+
+
 def test_weak_hairpin_is_weaker():
     eng = pairing.PairingEngine(pairing.PairingParams(weak_hairpin=True))
     strong = pairing.PairingEngine(pairing.PairingParams(weak_hairpin=False))
