@@ -283,6 +283,47 @@ def test_cluster_shard_fanout_identical(tmp_path):
         assert (res / rel).read_bytes() == p.read_bytes(), str(rel)
 
 
+def test_cluster_shard_worker_waits_for_upstream(tmp_path, monkeypatch):
+    """A non-zero shard on a results dir with no cluster.txt must wait for
+    shard 0's upstream (and time out cleanly via MPTPU_SHARD_WAIT_S)
+    instead of racing the upstream stages."""
+    fa = tmp_path / "toy.fa"
+    fa.write_text(">a\n" + "ACGT" * 100 + "\n")
+    monkeypatch.setenv("MPTPU_SHARD_WAIT_S", "0.2")
+    from multiprime_tpu.pipeline.driver import run_pipeline
+    with pytest.raises(TimeoutError, match="cluster_shard"):
+        run_pipeline(None, input_fa=str(fa), results_dir=str(tmp_path / "r"),
+                     virus_name="toy", cluster_shard="1/2")
+    # shard 0 is the upstream owner: same empty dir, no wait
+    run_pipeline(None, input_fa=str(fa), results_dir=str(tmp_path / "r"),
+                 virus_name="toy", cluster_shard="0/2", min_seq_length=100,
+                 coverage=0.5, product_size=(100, 390))
+    assert (tmp_path / "r" / "cluster.txt").exists()
+
+
+def test_scan_term_len_resolves_to_primer_len(tmp_path):
+    """scan_term_len=-1 resolves to the configured primer_len (rule 19's
+    -l {primer_len}), visible in the core/final term.fa l-mers."""
+    rng = np.random.default_rng(19)
+    lut = np.array(list("ACGT"))
+    base = "".join(rng.choice(lut, size=520))
+    fa = tmp_path / "p.fa"
+    with open(fa, "w") as f:
+        for i in range(6):
+            s = list(base)
+            for _ in range(5):
+                s[rng.integers(0, len(s))] = str(rng.choice(lut))
+            f.write(">x%d\n%s\n" % (i, "".join(s)))
+    from multiprime_tpu.pipeline.driver import run_pipeline
+    run_pipeline(None, input_fa=str(fa), results_dir=str(tmp_path / "r"),
+                 virus_name="p", coverage=0.5, min_seq_length=100,
+                 product_size=(100, 400), primer_len=20)
+    term = (tmp_path / "r" / "Primers_set" /
+            "final_maxprimers_set.term.fa").read_text()
+    lmers = [l for l in term.splitlines() if not l.startswith(">")]
+    assert lmers and all(len(l) == 20 for l in lmers)
+
+
 def test_core_primer_set_tree_shape(tmp_path):
     """Rules 14/16/18/19 (multiPrime.py:340-460): with a core-sized cluster
     the driver must produce every file class present in the golden
