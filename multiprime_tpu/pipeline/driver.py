@@ -186,8 +186,17 @@ class PipelineConfig:
             # (algo v20); "normal" = the multiPrime2 global-optimum
             # combination search (algo v2: lower-degeneracy primers via
             # position-subset search, slower).  An explicit `algo:` wins.
-            cfg.algo = ("v20" if str(raw["Model"]).strip().lower() == "fast"
-                        else "v2")
+            model = str(raw["Model"]).strip().lower()
+            if model == "fast":
+                cfg.algo = "v20"
+            elif model == "normal":
+                cfg.algo = "v2"
+            else:
+                import warnings
+                warnings.warn(
+                    "multiPrime.yaml Model: %r is not one of fast/normal; "
+                    "keeping the default engine (algo=%s)"
+                    % (raw["Model"], cfg.algo))
         for key in ("design_backend", "align_backend", "algo",
                     "pipeline_variant", "stage_a", "pcr_products",
                     "cluster_shard"):
@@ -325,17 +334,30 @@ class Pipeline:
                 return self.log
             # two shards can observe the completed fan-out at the same
             # moment — exactly one may run the solve/validate tail.
-            # O_EXCL arbitration; a crashed winner leaves a stale lock,
-            # which only defers sharded workers: a plain (unsharded) run
-            # ignores it and finishes via file-level resume.
+            # O_EXCL arbitration; the winner removes the lock when the tail
+            # finishes (even on an exception, via finally), so a lock on
+            # disk means a tail run is genuinely in flight.  Only a
+            # hard-killed winner (SIGKILL / power loss) leaves a stale
+            # lock; that defers sharded workers until the lock is removed
+            # or a plain (unsharded) run finishes via file-level resume.
             lock = self._p("Primers_set", ".aggregate.lock")
             try:
                 os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
             except FileExistsError:
                 self.log.append(("aggregate", "deferred: another shard "
-                                 "holds the aggregate lock", 0.0))
+                                 "holds the aggregate lock (%s; if no tail "
+                                 "run is alive, delete it or re-run "
+                                 "unsharded)" % lock, 0.0))
                 return self.log
-        self._aggregate_and_solve()
+            try:
+                self._aggregate_and_solve()
+            finally:
+                try:
+                    os.unlink(lock)
+                except OSError:
+                    pass
+        else:
+            self._aggregate_and_solve()
         for name in ("align", "design", "pair", "solve", "pcr", "scan"):
             if name in cfg.timings:
                 self.log.append((name, "ran", round(cfg.timings[name], 2)))
@@ -494,7 +516,14 @@ class Pipeline:
         """-> (index, count) or None.  Explicit "i/P" config wins; under a
         live multi-process jax.distributed runtime the default is this
         process's slot, so `mptpu run` on every host of a pod slice
-        partitions the fan-out automatically."""
+        partitions the fan-out automatically.  The auto path requires
+        results_dir on SHARED storage (every rank must see shard 0's
+        files); ranks that never observe cluster.txt fail fast after a
+        short grace period (MPTPU_SHARD_WAIT_S, auto default 120 s) with a
+        pointer at the cluster_shard="0/1" escape hatch.  NFS caveat: the
+        wait polls os.path.exists, which needs close-to-open consistency —
+        with aggressive attribute caching (`actimeo`), visibility of shard
+        0's rename can be delayed by up to the cache timeout."""
         spec = (self.cfg.cluster_shard or "").strip()
         if spec:
             idx, cnt = spec.split("/")
@@ -507,6 +536,7 @@ class Pipeline:
         if jax_mod is not None:
             try:
                 if jax_mod.process_count() > 1:
+                    self._shard_auto = True
                     return (jax_mod.process_index(), jax_mod.process_count())
             except Exception:
                 pass
@@ -514,17 +544,38 @@ class Pipeline:
 
     def _await_upstream(self, timeout_s=None, poll_s=0.5):
         """Block until shard 0's upstream stages finish (cluster.txt
-        renamed into place).  Timeout via MPTPU_SHARD_WAIT_S (default 1h)."""
+        renamed into place).  Timeout via MPTPU_SHARD_WAIT_S (explicit-
+        shard default 1h; 120 s when the shard slot was auto-resolved from
+        jax.distributed, so a non-shared results_dir fails fast instead of
+        hanging each rank for an hour).  Emits a progress line every 30 s
+        so a stuck worker is diagnosable from its log."""
+        auto = getattr(self, "_shard_auto", False)
         if timeout_s is None:
-            timeout_s = float(os.environ.get("MPTPU_SHARD_WAIT_S", "3600"))
+            timeout_s = float(os.environ.get(
+                "MPTPU_SHARD_WAIT_S", "120" if auto else "3600"))
         marker = self._p("cluster.txt")
         t0 = time.time()
+        next_note = 30.0
         while not os.path.exists(marker):
-            if time.time() - t0 > timeout_s:
+            waited = time.time() - t0
+            if waited > timeout_s:
+                hint = ""
+                if auto:
+                    hint = (" [shard slot auto-resolved from "
+                            "jax.distributed: results_dir must be on "
+                            "storage shared with rank 0; pass "
+                            "cluster_shard=\"0/1\" to opt out of "
+                            "auto-sharding]")
                 raise TimeoutError(
                     "cluster_shard=%s waited %.0f s for shard 0's upstream "
-                    "stages (%s missing)" % (self.cfg.cluster_shard,
-                                             timeout_s, marker))
+                    "stages (%s missing)%s" % (self.cfg.cluster_shard or
+                                               "auto", timeout_s, marker,
+                                               hint))
+            if waited >= next_note:
+                print("[mptpu] shard worker waiting for upstream marker "
+                      "%s (%.0f s / %.0f s)" % (marker, waited, timeout_s),
+                      flush=True)
+                next_note += 30.0
             time.sleep(poll_s)
         self.log.append(("upstream", "awaited shard 0 (%.1f s)"
                          % (time.time() - t0), 0.0))

@@ -196,6 +196,12 @@ def test_model_yaml_key(tmp_path):
     assert PipelineConfig.from_yaml(str(y)).algo == "v20"
     y.write_text("Model: normal\nalgo: v16\n")
     assert PipelineConfig.from_yaml(str(y)).algo == "v16"
+    # unknown values warn and keep the default instead of silently
+    # falling into the slow global-optimum engine (ADVICE r4)
+    y.write_text("Model: fsat\n")
+    with pytest.warns(UserWarning, match="fast/normal"):
+        cfg = PipelineConfig.from_yaml(str(y))
+    assert cfg.algo == "v20"
 
 
 def test_pipeline_log_dir(tmp_path):
@@ -274,6 +280,9 @@ def test_cluster_shard_fanout_identical(tmp_path):
     _, log1 = run_pipeline(None, cluster_shard="1/2", **kw)
     # shard 1 completed the fan-out, so it runs the aggregate tail itself
     assert not any("deferred" in str(row[1]) for row in log1)
+    # ... and releases the aggregate lock on the way out, so a later
+    # sharded run on this dir is not permanently deferred (ADVICE r4)
+    assert not (res / "Primers_set" / ".aggregate.lock").exists()
     run_pipeline(None, **kw)        # idempotent resume (everything cached)
     skip = ("pipeline_metrics.json",)
     for p in sorted(q for q in seq_dir.rglob("*") if q.is_file()):
