@@ -106,6 +106,31 @@ def _trig_table(l1):
     return t
 
 
+@lru_cache(maxsize=1)
+def _dg_tables():
+    """Python-precomputed double tables for the native dG verdict in
+    dimer_hit_ends2: per-step addends fl(ZACH_FREE*ZACH_HBONDS +
+    ZACH_PENALTY) (indexed b(e[n+1])*4 + b(e[n]), exactly the order
+    thermo.delta_g accumulates), ZACH_INIT by base, TERMINAL_TA, SYMMETRY,
+    and the per-length salt term (0.175*ln(0.05)+0.20)*L — every double the
+    kernel adds/subtracts is the exact value the Python path uses, so the
+    accumulated dg is bit-identical."""
+    import math
+    from ..thermo import tables as tb
+    step = np.zeros(16, np.float64)
+    for i in range(4):
+        for j in range(4):
+            step[i * 4 + j] = (tb.ZACH_FREE_L[i][j] * tb.ZACH_HBONDS_L[i][j]
+                               + tb.ZACH_PENALTY_L[i][j])
+    init = np.array([tb.ZACH_INIT[c] for c in "ACGT"], np.float64)
+    na = 50
+    salt = np.array(
+        [(0.175 * math.log(na / 1000, math.e) + 0.20) * L
+         for L in range(64)], np.float64)
+    return (step, init, float(tb.ZACH_TERMINAL_TA),
+            float(tb.ZACH_SYMMETRY), salt)
+
+
 @lru_cache(maxsize=50000)
 def _dimer_hit_ends(primer):
     """All 3'-ends that trigger the cross-dimer verdict when searched in
@@ -126,6 +151,10 @@ def _dimer_hit_ends(primer):
     stay in memoised Python.  Fuzz-checked against the pure-Python walk
     below (tests/test_pairing_golden.py)."""
     if len(primer) <= 63:
+        full = native.dimer_hit_ends2(primer, _trig_table(len(primer) + 1),
+                                      _dg_tables())
+        if full is not None:
+            return full
         res = native.dimer_hit_ends(primer, _trig_table(len(primer) + 1))
         if res is not None:
             trig, dg_cands = res
@@ -295,7 +324,14 @@ class PairingEngine:
     def _ends_rc(self, primer):
         """(end, RC(end)) tuples for a primer's 3'-end set — cached because
         the same primers recur across thousands of pair candidates."""
-        ends = self._helper.current_end(primer)
+        if not (set(primer) - _PURE_SET):
+            # pure: current_end's expand() of each suffix is the suffix
+            # itself, so the end set is just the 5..18-mer suffixes
+            # (primer[-i:] for i >= len is the whole primer; dedup keeps
+            # the reference's first-seen order)
+            ends = [primer[-i:] for i in range(5, 19)]
+        else:
+            ends = self._helper.current_end(primer)
         return tuple((e, iupac.rc(e)) for e in dict.fromkeys(ends))
 
     def _end_fset(self, primer):
@@ -508,22 +544,24 @@ class PairingEngine:
                                  or self.has_3prime_degenerate(rp)
                                  or self.gc_clamp(rp))
 
+        # id-map emptiness: singleton (and other fully-covered gapless)
+        # clusters carry NO uncovered/gap accessions at all — the coverage
+        # term is then the constants uncovered=0 / covered=number for every
+        # pair, so the per-pair bitset work vanishes (the dominant cluster
+        # class at the 21k/100k scales is exactly this)
+        has_ids = any(gap_ids.values()) if isinstance(gap_ids, dict) else True
+        if not has_ids:
+            has_ids = any(v[0] or v[1] for v in non_cover_ids.values())
+
         def enumerate_pairs(threshold, sink, si0=0, si1=None):
             # per-primer dimer state (self-hit, 3'-end set, hit-end set)
-            # hoisted out of the pair loop: the verdict is two isdisjoint
-            # calls per pair instead of lru-wrapped method dispatch
-            dimer_state = {}
+            # hoisted out of the pair loop and keyed by CANDIDATE INDEX
+            # (list slot, no string hashing): the verdict is two isdisjoint
+            # calls per pair
+            state_f = [None] * len(candidates)
+            state_r = [None] * len(candidates)
 
-            def _dstate(pr):
-                st = dimer_state.get(pr)
-                if st is None:
-                    st = (self._self_hit(pr), self._end_fset(pr),
-                          _dimer_hit_ends(pr))
-                    dimer_state[pr] = st
-                return st
-
-            avg_cache = {}      # (tm_f, tm_r) -> formatted mean Tm
-            cov_cache = {}      # covered -> rounded fraction
+            cov_cache = {}      # covered -> "frac" string (str(round(.,4)))
             diff_tm = p.diff_tm
             # candidate-indexed arrays: the r_ok and |dTm| gates (which
             # reject ~90% of visited pairs) evaluate as one vectorised
@@ -534,7 +572,14 @@ class PairingEngine:
             cand_rseq = [r_seq[c] for c in candidates]
             tm_arr = np.asarray(cand_tm, np.float64)
             rok_arr = np.asarray([r_ok[c] for c in candidates], bool)
-            for start_pos in candidates[si0:si1]:
+            append = sink.append
+            full_frac = None
+            if not has_ids:
+                if 0.0 > threshold:      # degenerate fraction > 1 config:
+                    return               # every pair fails coverage
+                full_frac = str(round(number / number if number else 0.0, 4))
+            for i in range(si0, si1 if si1 is not None else len(candidates)):
+                start_pos = candidates[i]
                 if not f_ok[start_pos]:
                     continue
                 left = bisect_left(candidates, start_pos + min_len)
@@ -544,48 +589,70 @@ class PairingEngine:
                     right = bisect_left(candidates, start_pos + max_len) - 1
                 if left > right:
                     continue
-                primer_f = primers[start_pos][0]
                 tm_f = primers[start_pos][3]
-                f_bits = _id_bits(start_pos, 0)
-                f_self, f_ends, f_hits = _dstate(primer_f)
                 # slice bounds imply min_len < distance <= max_len for
                 # every j in [left, right] (bisect_left on start+min_len /
                 # start+max_len), so the distance re-checks of the scalar
                 # loop are provably always-true here
                 mask = rok_arr[left:right + 1] \
                     & (np.abs(tm_arr[left:right + 1] - tm_f) <= diff_tm)
-                for j in (np.nonzero(mask)[0] + left).tolist():
+                js = (np.nonzero(mask)[0] + left).tolist()
+                if not js:
+                    continue
+                primer_f = primers[start_pos][0]
+                f_st = state_f[i]
+                if f_st is None:
+                    f_st = state_f[i] = (
+                        self._self_hit(primer_f), self._end_fset(primer_f),
+                        _dimer_hit_ends(primer_f))
+                f_self, f_ends, f_hits = f_st
+                if f_self:
+                    continue     # every pair with this F fails the verdict
+                f_bits = _id_bits(start_pos, 0) if has_ids else 0
+                avg_cache = {}        # tm_r -> formatted mean (tm_f fixed)
+                for j in js:
                     stop_pos = candidates[j]
-                    distance = stop_pos - start_pos + 1
                     # Gates are independent pure predicates ANDed together;
                     # the reference tests dimer -> Tm -> coverage
                     # (get_multiPrime.py:544-574) but cheapest-first gives
                     # the identical surviving set.
                     tm_r = cand_tm[j]
-                    uncovered = (f_bits | _id_bits(stop_pos, 1)).bit_count()
-                    if uncovered / number > threshold:
-                        continue
+                    if has_ids:
+                        uncovered = (f_bits
+                                     | _id_bits(stop_pos, 1)).bit_count()
+                        if uncovered / number > threshold:
+                            continue
+                        covered = number - uncovered
+                    else:
+                        covered = number
                     primer_r = cand_rseq[j]
-                    r_self, r_ends, r_hits = _dstate(primer_r)
-                    if f_self or r_self \
-                            or not f_ends.isdisjoint(r_hits) \
-                            or not r_ends.isdisjoint(f_hits):
+                    r_st = state_r[j]
+                    if r_st is None:
+                        r_st = state_r[j] = (
+                            self._self_hit(primer_r),
+                            self._end_fset(primer_r),
+                            _dimer_hit_ends(primer_r))
+                    if r_st[0] \
+                            or not f_ends.isdisjoint(r_st[2]) \
+                            or not r_st[1].isdisjoint(f_hits):
                         continue
-                    covered = number - uncovered
-                    key = (tm_f, tm_r)
-                    avg_tm = avg_cache.get(key)
+                    avg_tm = avg_cache.get(tm_r)
                     if avg_tm is None:
                         avg_tm = str(round(thermo._stat_mean([tm_f, tm_r]),
                                            2))
-                        avg_cache[key] = avg_tm
-                    frac = cov_cache.get(covered)
-                    if frac is None:
-                        frac = round(covered / number, 4)
-                        cov_cache[covered] = frac
-                    sink.append((primer_f, primer_r,
-                                 "%d:%s:%s" % (distance, avg_tm, frac),
-                                 covered,
-                                 "%d:%d" % (start_pos, stop_pos)))
+                        avg_cache[tm_r] = avg_tm
+                    if has_ids:
+                        frac = cov_cache.get(covered)
+                        if frac is None:
+                            frac = str(round(covered / number, 4))
+                            cov_cache[covered] = frac
+                    else:
+                        frac = full_frac
+                    append((primer_f, primer_r,
+                            "%d:%s:%s" % (stop_pos - start_pos + 1,
+                                          avg_tm, frac),
+                            covered,
+                            "%d:%d" % (start_pos, stop_pos)))
 
         def run_pass(threshold, sink):
             """One enumeration pass, forked over contiguous start-index

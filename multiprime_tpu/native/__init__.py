@@ -223,6 +223,14 @@ def _bind(lib):
         ctypes.c_void_p, ctypes.c_int64,                        # trig, l1
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,       # trig buf
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]       # dg buf
+    lib.dimer_hit_ends2.restype = ctypes.c_int64
+    lib.dimer_hit_ends2.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,                        # primer
+        ctypes.c_void_p, ctypes.c_int64,                        # trig, l1
+        ctypes.c_void_p, ctypes.c_void_p,                       # step/init
+        ctypes.c_double, ctypes.c_double,                       # ta, sym
+        ctypes.c_void_p,                                        # salt
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]       # out buf
     lib.pure_gate_batch.restype = ctypes.c_int64
     lib.pure_gate_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,        # rows
@@ -810,6 +818,35 @@ def dimer_hit_ends(primer: str, trig_table: np.ndarray):
     trig = tbuf.raw[:tlen.value].decode("ascii").split()
     dg = dbuf.raw[:dlen.value].decode("ascii").split()
     return trig, dg
+
+
+def dimer_hit_ends2(primer: str, trig_table: np.ndarray, dg_tabs):
+    """dimer_hit_ends with the d2==0 dG verdict resolved natively — one
+    output stream, no Python delta_g tail.  dg_tabs = (step[16], init[4],
+    terminal_ta, symmetry, salt[64]) float64 arrays precomputed in Python
+    (models/pairing._dg_tables) so every double the kernel adds is the
+    exact value the Python path adds.  Returns a frozenset of hit ends, or
+    None (fallback)."""
+    lib = load()
+    if lib is None:
+        return None
+    l1 = trig_table.shape[0]
+    t = np.ascontiguousarray(trig_table, np.uint8)
+    step, init_t, term_ta, symm, salt = dg_tabs
+    cap = 1 << 16
+    bufs = _DIMER_BUFS.__dict__
+    if "t2" not in bufs:
+        bufs["t2"] = ctypes.create_string_buffer(cap)
+    tbuf = bufs["t2"]
+    tlen = ctypes.c_int64(0)
+    r = lib.dimer_hit_ends2(primer.encode("ascii"), len(primer),
+                            t.ctypes.data, l1,
+                            step.ctypes.data, init_t.ctypes.data,
+                            float(term_ta), float(symm), salt.ctypes.data,
+                            tbuf, cap, ctypes.byref(tlen))
+    if r < 0:
+        return None
+    return frozenset(tbuf.raw[:tlen.value].decode("ascii").split())
 
 
 def refine_v20(consensus: str, nn, keys, counts, coverage_init, cover_number,

@@ -1985,6 +1985,128 @@ int64_t dimer_hit_ends(const char* primer, int64_t plen,
     return 0;
 }
 
+// Zacharias-model dG verdict for a pure end e (thermo/exact.delta_g with
+// both_ends=False): accumulate the Python-precomputed per-step addends
+// fl(F*H + P) in the same order, add the 5'-initiation (+TERMINAL_TA when
+// e ends "TA"), subtract the Python-precomputed per-length salt term, add
+// SYMMETRY for the reference's elementwise-complement "symmetry" (base
+// codes pair iff they sum to 3: A0+T3, C1+G2).  round(dg, 2) < -5 is
+// evaluated via snprintf("%.2f") + strtod — both correctly rounded, so the
+// composition equals CPython's round() on every double (fuzz-verified in
+// tests/test_pairing_golden.py).
+static bool dg_end_accept(const char* e, int64_t ln, const double* step,
+                          const double* init_tab, double terminal_ta,
+                          double symmetry, const double* salt_tab) {
+    int b[64];
+    for (int64_t i = 0; i < ln; i++) {
+        const char c = e[i];
+        b[i] = c == 'A' ? 0 : c == 'C' ? 1 : c == 'G' ? 2 : 3;
+    }
+    double dg = 0.0;
+    for (int64_t n = 0; n + 1 < ln; n++)
+        dg += step[b[n + 1] * 4 + b[n]];
+    if (ln >= 2 && e[ln - 2] == 'T' && e[ln - 1] == 'A')
+        dg += init_tab[b[0]] + terminal_ta;
+    else
+        dg += init_tab[b[0]];
+    dg -= salt_tab[ln];
+    if (ln % 2 == 0) {
+        bool sym = true;
+        const int64_t half = ln / 2;
+        for (int64_t i = 0; i < half; i++)
+            if (b[i] + b[half + i] != 3) { sym = false; break; }
+        if (sym) dg += symmetry;
+    }
+    char buf[40];
+    snprintf(buf, sizeof buf, "%.2f", dg);
+    return strtod(buf, nullptr) < -5.0;
+}
+
+// dimer_hit_ends with the d2==0 dG verdict resolved natively: one output
+// stream of hit ends (models/pairing._dimer_hit_ends without the Python
+// delta_g tail — at the 21k/100k scales that tail was ~1/3 of every
+// singleton cluster's pairing stage).  Same enumeration semantics as
+// dimer_hit_ends above; dg-rejected substrings stay eligible for the loss
+// gate in later expansions (only their dG evaluation is memoised).
+int64_t dimer_hit_ends2(const char* primer, int64_t plen,
+                        const uint8_t* trig, int64_t l1,
+                        const double* step_tab, const double* init_tab,
+                        double terminal_ta, double symmetry,
+                        const double* salt_tab,
+                        char* trig_buf, int64_t trig_cap,
+                        int64_t* trig_len) {
+    if (plen <= 0 || plen >= l1 || plen > 63) return -1;
+    std::vector<std::string> expansions;
+    if (!expandAll(primer, plen, &expansions, 4096)) return -1;
+    std::unordered_set<uint64_t> done;      // emitted (hit) substrings
+    std::unordered_set<uint64_t> dg_seen;   // dG-evaluated d2==0 substrings
+    int64_t tpos = 0;
+    char rcbuf[64];
+    for (const auto& p : expansions) {
+        const int64_t n = (int64_t)p.size();
+        int gcpre[64];
+        int b2[64];
+        gcpre[0] = 0;
+        for (int64_t i = 0; i < n; i++) {
+            const char c = p[i];
+            gcpre[i + 1] = gcpre[i] + (c == 'G' || c == 'C');
+            b2[i] = c == 'A' ? 0 : c == 'C' ? 1 : c == 'G' ? 2
+                  : c == 'T' ? 3 : -1;
+            if (b2[i] < 0) return -1;      // non-ACGT expansion: fallback
+        }
+        const int64_t maxln = std::min<int64_t>(18, n);
+        uint64_t codes[64];
+        for (int64_t ln = 5; ln <= maxln; ln++) {
+            const int64_t m = n - ln + 1;
+            const uint64_t mask = (ln * 2 >= 64)
+                ? ~0ull : ((1ull << (ln * 2)) - 1);
+            uint64_t code = 0;
+            for (int64_t i = 0; i < ln; i++)
+                code = (code << 2) | (uint64_t)b2[i];
+            for (int64_t start = 0; start < m; start++) {
+                if (start)
+                    code = ((code << 2) | (uint64_t)b2[start + ln - 1])
+                           & mask;
+                codes[start] = code;
+                bool first_occ = true;
+                for (int64_t j = 0; j < start; j++)
+                    if (codes[j] == code) { first_occ = false; break; }
+                if (!first_occ) continue;
+                const uint64_t key = ((uint64_t)ln << 40) | code;
+                if (done.count(key)) continue;
+                const int64_t d2 = n - ln - start;
+                const int gc = gcpre[start + ln] - gcpre[start];
+                const char* s = p.data() + start;
+                bool hit = false;
+                if (trig[(ln * l1 + gc) * l1 + d2]) {
+                    hit = true;
+                } else if (d2 == 0 && dg_seen.insert(key).second) {
+                    for (int64_t k = 0; k < ln; k++) {
+                        const char ch = s[ln - 1 - k];
+                        rcbuf[k] = ch == 'A' ? 'T' : ch == 'T' ? 'A'
+                                 : ch == 'G' ? 'C' : 'G';
+                    }
+                    hit = dg_end_accept(rcbuf, ln, step_tab, init_tab,
+                                        terminal_ta, symmetry, salt_tab);
+                }
+                if (!hit) continue;
+                done.insert(key);
+                for (int64_t k = 0; k < ln; k++) {
+                    const char ch = s[ln - 1 - k];
+                    rcbuf[k] = ch == 'A' ? 'T' : ch == 'T' ? 'A'
+                             : ch == 'G' ? 'C' : 'G';
+                }
+                if (tpos + ln + 1 > trig_cap) return -1;
+                memcpy(trig_buf + tpos, rcbuf, (size_t)ln);
+                trig_buf[tpos + ln] = '\n';
+                tpos += ln + 1;
+            }
+        }
+    }
+    *trig_len = tpos;
+    return 0;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
