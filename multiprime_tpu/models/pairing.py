@@ -654,6 +654,64 @@ class PairingEngine:
                             covered,
                             "%d:%d" % (start_pos, stop_pos)))
 
+        native_rows = []        # memo: rows are threshold-independent here
+
+        def enumerate_native(threshold, sink):
+            """Full-native banded enumeration for the pure no-ids cluster
+            class (the dominant one at scale): gates + dimer verdict run in
+            one C call over (ln<<40|code) key space; Python only formats
+            the survivor rows.  Returns True when it handled the pass.
+            Exact-equivalence fuzz vs the Python loop:
+            tests/test_pairing_golden.py."""
+            if has_ids or batch is None or not candidates:
+                return False
+            if 0.0 > threshold:
+                return True          # degenerate fraction > 1: emit nothing
+            if native_rows:
+                sink.extend(native_rows[0])
+                return True
+            from .. import native as nat
+            plen_ = len(primers[candidates[0]][0])
+            prs_f = [primers[c][0] for c in candidates]
+            rcs = [r_seq[c] for c in candidates]
+            fmat = np.frombuffer("".join(prs_f).encode(), np.uint8)
+            if fmat.size != plen_ * len(candidates):
+                return False
+            fmat = fmat.reshape(-1, plen_)
+            rmat = np.frombuffer("".join(rcs).encode(),
+                                 np.uint8).reshape(-1, plen_)
+            pos_arr = np.asarray(candidates, np.int64)
+            tm_list = [primers[c][3] for c in candidates]
+            tm_arr2 = np.asarray(tm_list, np.float64)
+            fok_arr = np.asarray([1 if f_ok[c] else 0 for c in candidates],
+                                 np.uint8)
+            rok_arr2 = np.asarray([1 if r_ok[c] else 0 for c in candidates],
+                                  np.uint8)
+            res = nat.pure_pair_bands(
+                fmat, rmat, pos_arr, tm_arr2, fok_arr, rok_arr2,
+                min_len, max_len, p.diff_tm,
+                _trig_table(plen_ + 1), _dg_tables(), 0, len(candidates))
+            if res is None:
+                return False
+            idx, avgs = res
+            frac = str(round(number / number if number else 0.0, 4))
+            rows = []
+            append = rows.append
+            last_i = -1
+            covered = number
+            for (i, j), avg_tm in zip(idx.tolist(), avgs):
+                if i != last_i:
+                    last_i = i
+                    primer_f = prs_f[i]
+                    start_pos = candidates[i]
+                append((primer_f, rcs[j],
+                        "%d:%s:%s" % (candidates[j] - start_pos + 1, avg_tm,
+                                      frac),
+                        covered, "%d:%d" % (start_pos, candidates[j])))
+            native_rows.append(rows)
+            sink.extend(rows)
+            return True
+
         def run_pass(threshold, sink):
             """One enumeration pass, forked over contiguous start-index
             chunks when nproc > 1.  Chunks concatenate in candidate order,
@@ -661,6 +719,8 @@ class PairingEngine:
             tie order — is identical to the serial pass.  (The reference's
             own pool is accidentally serial: get_multiPrime.py:621 submits
             the already-computed call result.)"""
+            if enumerate_native(threshold, sink):
+                return
             # fork+pickle overhead is ~20-40 ms; below ~2k candidates the
             # serial pass wins (measured: golden cluster 0.048 s serial vs
             # 0.068 s forked; test.fa Cluster_0_1 1.64 s vs 1.28 s at 2 cores)
@@ -814,16 +874,23 @@ def write_outputs(pairs, outfile, write_path=None):
                    "Target number", "Primer_start_end"]
         fx.write("\t".join(headers) + "\n")
         # one join per file (identical bytes; per-row .write calls were
-        # ~1/6 of the singleton-cluster pair stage at the 21k scale)
-        cells = ["\t".join(map(str, row)) for row in pairs]
+        # ~1/6 of the singleton-cluster pair stage at the 21k scale).
+        # %s renders every field exactly like str(), so the single format
+        # call per row equals "\t".join(map(str, row)) byte-for-byte.
+        cells = ["%s\t%s\t%s\t%s\t%s" % row if len(row) == 5
+                 else "\t".join(map(str, row)) for row in pairs]
         fo.write(file_id + "\t")
         if cells:
             fo.write("\t".join(cells) + "\t")
-        fx.write("".join(c + "\n" for c in cells))
-        fa.write("".join(
-            ">" + primer_id + "_" + row[4].split(":")[0] + "F\n" + row[0]
-            + "\n>" + primer_id + "_" + row[4].split(":")[1] + "R\n"
-            + row[1] + "\n" for row in pairs))
+        fx.write("\n".join(cells) + "\n" if cells else "")
+        fa_parts = []
+        fa_append = fa_parts.append
+        for row in pairs:
+            start, _, stop = str(row[4]).partition(":")
+            fa_append(">" + primer_id + "_" + start + "F\n" + row[0]
+                      + "\n>" + primer_id + "_" + stop + "R\n"
+                      + row[1] + "\n")
+        fa.write("".join(fa_parts))
         fo.write("\n")
 
 

@@ -231,6 +231,20 @@ def _bind(lib):
         ctypes.c_double, ctypes.c_double,                       # ta, sym
         ctypes.c_void_p,                                        # salt
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]       # out buf
+    lib.pure_pair_bands.restype = ctypes.c_int64
+    lib.pure_pair_bands.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p,                       # F/R mats
+        ctypes.c_int64, ctypes.c_int64,                         # C, L
+        ctypes.c_void_p, ctypes.c_void_p,                       # pos, tm
+        ctypes.c_void_p, ctypes.c_void_p,                       # fok, rok
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_double,        # band, dTm
+        ctypes.c_void_p, ctypes.c_int64,                        # trig, l1
+        ctypes.c_void_p, ctypes.c_void_p,                       # step/init
+        ctypes.c_double, ctypes.c_double,                       # ta, sym
+        ctypes.c_void_p,                                        # salt
+        ctypes.c_int64, ctypes.c_int64,                         # si0, si1
+        ctypes.c_void_p, ctypes.c_int64,                        # out, cap
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]       # avg buf
     lib.pure_gate_batch.restype = ctypes.c_int64
     lib.pure_gate_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,        # rows
@@ -847,6 +861,45 @@ def dimer_hit_ends2(primer: str, trig_table: np.ndarray, dg_tabs):
     if r < 0:
         return None
     return frozenset(tbuf.raw[:tlen.value].decode("ascii").split())
+
+
+def pure_pair_bands(fmat, rmat, pos, tm, fok, rok, min_len, max_len,
+                    diff_tm, trig_table, dg_tabs, si0, si1):
+    """Native banded pair enumeration for pure no-uncovered-ids clusters
+    (models/pairing): returns (int32 [n, 2] (i, j) survivor indices in the
+    Python loop's exact emission order, list of n avg-Tm strings — Python
+    str(round(mean, 2)) bytes), or None (fallback)."""
+    lib = load()
+    if lib is None:
+        return None
+    C, L = fmat.shape
+    l1 = trig_table.shape[0]
+    t = np.ascontiguousarray(trig_table, np.uint8)
+    step, init_t, term_ta, symm, salt = dg_tabs
+    cap = max(1 << 16, C * 128)
+    while True:
+        out = np.empty((cap, 2), np.int32)
+        avg_cap = cap * 34
+        avg_buf = ctypes.create_string_buffer(avg_cap)
+        avg_len = ctypes.c_int64(0)
+        n = lib.pure_pair_bands(
+            fmat.ctypes.data, rmat.ctypes.data, C, L,
+            pos.ctypes.data, tm.ctypes.data,
+            fok.ctypes.data, rok.ctypes.data,
+            int(min_len), int(max_len), float(diff_tm),
+            t.ctypes.data, l1,
+            step.ctypes.data, init_t.ctypes.data,
+            float(term_ta), float(symm), salt.ctypes.data,
+            int(si0), int(si1), out.ctypes.data, cap,
+            avg_buf, avg_cap, ctypes.byref(avg_len))
+        if n >= 0:
+            avgs = avg_buf.raw[:avg_len.value].decode("ascii").split("\n")
+            return out[:n], avgs[:n]
+        # -1 is also the cap-overflow signal: one doubling retry
+        # distinguishes "too many pairs" from a real fallback
+        if cap >= C * C + 1:
+            return None
+        cap = min(C * C + 1, cap * 4)
 
 
 def refine_v20(consensus: str, nn, keys, counts, coverage_init, cover_number,

@@ -2110,6 +2110,207 @@ int64_t dimer_hit_ends2(const char* primer, int64_t plen,
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
+// Native banded pair enumeration for PURE candidate sets with no uncovered
+// accessions (models/pairing.enumerate_pairs' dominant cluster class at
+// scale: singleton and fully-covered gapless clusters).  Replicates the
+// Python loop's gate semantics exactly in (ln<<40|code) key space:
+//   ends(X)  = 5..18-mer suffix codes of X (current_end on a pure string)
+//   hits(X)  = rc'd first-occurrence substrings triggering the loss gate,
+//              plus d2==0 substrings passing the native dG verdict
+//              (dimer_hit_ends2 semantics, single expansion)
+//   pair (i,j) emits iff r_ok[j], |tm_i - tm_j| <= diff_tm, !self(F_i),
+//              !self(R_j), ends(F_i) disjoint hits(R_j), ends(R_j)
+//              disjoint hits(F_i)   [f_ok / band handled per start]
+// String equality on pure ACGT is bijective with key equality, so the
+// surviving (i, j) set — and the (i asc, j asc) emission order the stable
+// coverage sort depends on — is identical to the Python path's.
+
+namespace {
+
+struct PairPrimerState {
+    bool built = false;
+    bool self_hit = false;
+    uint64_t ends[16];
+    int n_ends = 0;
+    std::unordered_set<uint64_t> hits;
+};
+
+// hits(X) for one pure sequence; also fills the suffix end keys + self flag.
+static bool build_pair_state(const uint8_t* s, int64_t n,
+                             const uint8_t* trig, int64_t l1,
+                             const double* step_tab, const double* init_tab,
+                             double terminal_ta, double symmetry,
+                             const double* salt_tab,
+                             PairPrimerState* st) {
+    if (n <= 0 || n >= l1 || n > 63) return false;
+    int b2[64];
+    int gcpre[64];
+    gcpre[0] = 0;
+    for (int64_t i = 0; i < n; i++) {
+        const char c = (char)s[i];
+        gcpre[i + 1] = gcpre[i] + (c == 'G' || c == 'C');
+        b2[i] = c == 'A' ? 0 : c == 'C' ? 1 : c == 'G' ? 2
+              : c == 'T' ? 3 : -1;
+        if (b2[i] < 0) return false;
+    }
+    const int64_t maxln = std::min<int64_t>(18, n);
+    uint64_t codes[64];
+    char rcbuf[64];
+    st->hits.clear();
+    for (int64_t ln = 5; ln <= maxln; ln++) {
+        const int64_t m = n - ln + 1;
+        const uint64_t mask = (ln * 2 >= 64) ? ~0ull
+                              : ((1ull << (ln * 2)) - 1);
+        uint64_t code = 0;
+        for (int64_t i = 0; i < ln; i++)
+            code = (code << 2) | (uint64_t)b2[i];
+        for (int64_t start = 0; start < m; start++) {
+            if (start)
+                code = ((code << 2) | (uint64_t)b2[start + ln - 1]) & mask;
+            codes[start] = code;
+            bool first_occ = true;
+            for (int64_t j = 0; j < start; j++)
+                if (codes[j] == code) { first_occ = false; break; }
+            if (!first_occ) continue;
+            const int64_t d2 = n - ln - start;
+            const int gc = gcpre[start + ln] - gcpre[start];
+            bool hit = false;
+            if (trig[(ln * l1 + gc) * l1 + d2]) {
+                hit = true;
+            } else if (d2 == 0) {
+                for (int64_t k = 0; k < ln; k++) {
+                    const char ch = (char)s[start + ln - 1 - k];
+                    rcbuf[k] = ch == 'A' ? 'T' : ch == 'T' ? 'A'
+                             : ch == 'G' ? 'C' : 'G';
+                }
+                hit = dg_end_accept(rcbuf, ln, step_tab, init_tab,
+                                    terminal_ta, symmetry, salt_tab);
+            }
+            if (!hit) continue;
+            // key of rc(substring): complement (3-b) of reversed walk
+            uint64_t rccode = 0;
+            for (int64_t k = 0; k < ln; k++)
+                rccode = (rccode << 2)
+                       | (uint64_t)(3 - b2[start + ln - 1 - k]);
+            st->hits.insert(((uint64_t)ln << 40) | rccode);
+        }
+    }
+    // suffix end keys (current_end: i = 5..18, primer[-i:] clamps to n)
+    st->n_ends = 0;
+    uint64_t prev = ~0ull;
+    for (int64_t i = 5; i <= 18; i++) {
+        const int64_t ln = i < n ? i : n;
+        uint64_t code = 0;
+        for (int64_t k = n - ln; k < n; k++)
+            code = (code << 2) | (uint64_t)b2[k];
+        const uint64_t key = ((uint64_t)ln << 40) | code;
+        if (key != prev) {           // i >= n repeats the whole primer
+            st->ends[st->n_ends++] = key;
+            prev = key;
+        }
+    }
+    st->self_hit = false;
+    for (int e = 0; e < st->n_ends; e++)
+        if (st->hits.count(st->ends[e])) { st->self_hit = true; break; }
+    st->built = true;
+    return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// str(round(x, 2)) for the finite doubles the pairing rows carry: glibc's
+// %.2f is the correctly-rounded 2-decimal form (same value CPython's
+// round(x, 2) snaps to); stripping trailing zeros while keeping one
+// fractional digit reproduces CPython's shortest-repr str() of that
+// double (grid-fuzzed in tests/test_pairing_golden.py).  Returns length.
+static int py_round2_str(double x, char* out) {
+    int n = snprintf(out, 32, "%.2f", x);
+    // "%.2f" always ends "….BC"; only the final digit is droppable
+    // ("52.50" -> "52.5", "53.00" -> "53.0", "53.05" stays)
+    if (n > 0 && out[n - 1] == '0') n--;
+    out[n] = '\0';
+    return n;
+}
+
+// Returns the pair count written into out_pairs (i32 i,j interleaved)
+// with the per-pair avg-Tm strings ('\n'-joined, Python str(round(.,2))
+// bytes) in avg_buf, or -1 on fallback (non-ACGT rows, state-build
+// failure, or cap overflow — the Python loop handles those).
+int64_t pure_pair_bands(
+    const uint8_t* fmat, const uint8_t* rmat, int64_t C, int64_t L,
+    const int64_t* pos, const double* tm,
+    const uint8_t* fok, const uint8_t* rok,
+    int64_t min_len, int64_t max_len, double diff_tm,
+    const uint8_t* trig, int64_t l1,
+    const double* step_tab, const double* init_tab,
+    double terminal_ta, double symmetry, const double* salt_tab,
+    int64_t si0, int64_t si1,
+    int32_t* out_pairs, int64_t cap,
+    char* avg_buf, int64_t avg_cap, int64_t* avg_len) {
+    if (C <= 0 || si0 < 0 || si1 > C) return -1;
+    std::vector<PairPrimerState> fstate(C), rstate(C);
+    int64_t n_out = 0;
+    int64_t apos = 0;
+    const int64_t last_pos = pos[C - 1];
+    for (int64_t i = si0; i < si1; i++) {
+        if (!fok[i]) continue;
+        // band: bisect_left(pos, start+min_len) .. right
+        const int64_t lo_t = pos[i] + min_len;
+        int64_t lo = std::lower_bound(pos, pos + C, lo_t) - pos;
+        int64_t hi;
+        if (pos[i] + max_len > last_pos) {
+            hi = C - 1;
+        } else {
+            hi = (std::lower_bound(pos, pos + C, pos[i] + max_len) - pos)
+                 - 1;
+        }
+        if (lo > hi) continue;
+        PairPrimerState& fs = fstate[i];
+        if (!fs.built &&
+            !build_pair_state(fmat + i * L, L, trig, l1, step_tab,
+                              init_tab, terminal_ta, symmetry, salt_tab,
+                              &fs))
+            return -1;
+        if (fs.self_hit) continue;
+        const double tmf = tm[i];
+        for (int64_t j = lo; j <= hi; j++) {
+            if (!rok[j]) continue;
+            const double d = tm[j] - tmf;
+            if (d > diff_tm || d < -diff_tm) continue;
+            PairPrimerState& rs = rstate[j];
+            if (!rs.built &&
+                !build_pair_state(rmat + j * L, L, trig, l1, step_tab,
+                                  init_tab, terminal_ta, symmetry,
+                                  salt_tab, &rs))
+                return -1;
+            if (rs.self_hit) continue;
+            bool dimer = false;
+            for (int e = 0; e < fs.n_ends; e++)
+                if (rs.hits.count(fs.ends[e])) { dimer = true; break; }
+            if (!dimer)
+                for (int e = 0; e < rs.n_ends; e++)
+                    if (fs.hits.count(rs.ends[e])) { dimer = true; break; }
+            if (dimer) continue;
+            if (n_out >= cap) return -1;
+            out_pairs[n_out * 2] = (int32_t)i;
+            out_pairs[n_out * 2 + 1] = (int32_t)j;
+            n_out++;
+            // avg Tm string: _stat_mean([a, b]) == (a+b)/2 for finite
+            // doubles, then Python str(round(., 2)) bytes
+            if (apos + 34 > avg_cap) return -1;
+            apos += py_round2_str((tmf + tm[j]) / 2.0, avg_buf + apos);
+            avg_buf[apos++] = '\n';
+        }
+    }
+    *avg_len = apos;
+    return n_out;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
 // Seed-indexed mismatch scan — the large-P path of the bowtie2 replacement.
 //
 // Pigeonhole: a window with <= mm mismatches against a pattern must match

@@ -209,6 +209,88 @@ def test_native_dimer_hit_ends_matches_python_fuzz():
         assert a == b, p
 
 
+def test_native_pure_pair_bands_matches_python_loop():
+    """The full native banded enumeration (gates + dimer verdict + avg-Tm
+    formatting in C) emits the exact row tuples — same order, same bytes —
+    as the Python loop on pure no-uncovered-ids clusters (the dominant
+    class at the 21k/100k scales)."""
+    import numpy as np
+    import pytest
+    from multiprime_tpu import native
+    from multiprime_tpu.models import pairing
+    from multiprime_tpu.thermo import exact as thermo
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(17)
+    lut = np.array(list("ACGT"))
+    pp = pairing.PairingParams(
+        size=(150, 1200), fraction=0.7, end_dege=4, hairpin_distance=4,
+        diff_tm=5, max_seq=0, nproc=1,
+        adaptor=("TCTTTCCCTACACGACGCTCTTCCGATCT",
+                 "TGGAGTTCAGACGTGTGCTCTTCCGATCT"))
+    for trial in range(8):
+        seq = "".join(rng.choice(lut, size=int(rng.integers(400, 800))))
+        primers = {}
+        for pos0 in range(0, len(seq) - 18):
+            w = seq[pos0:pos0 + 18]
+            primers[pos0] = [w, 1, 1, round(float(thermo.tm(w)), 2)]
+        gap_ids = {str(k): {} for k in primers}
+        non_cover = {str(k): [{}, {}] for k in primers}
+        nat_pairs, _ = pairing.PairingEngine(pp).pair(
+            primers, gap_ids, non_cover, 1)
+        orig = native.pure_pair_bands
+        native.pure_pair_bands = lambda *a, **k: None
+        try:
+            py_pairs, _ = pairing.PairingEngine(pp).pair(
+                primers, gap_ids, non_cover, 1)
+        finally:
+            native.pure_pair_bands = orig
+        assert nat_pairs == py_pairs
+        assert nat_pairs, "trial produced no pairs — fuzz has no teeth"
+
+
+def test_native_round2_str_matches_python_grid():
+    """The kernel's avg-Tm string (%.2f + trailing-zero strip) equals
+    Python str(round(_stat_mean([a, b]), 2)) across a dense 2-decimal grid
+    — the claim py_round2_str's comment makes (seqlib.cpp)."""
+    import numpy as np
+    import pytest
+    from multiprime_tpu import native
+    from multiprime_tpu.models import pairing
+    from multiprime_tpu.thermo import exact as thermo
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(23)
+    # windows of one random sequence with CONTROLLED grid Tm values
+    # (the kernel formats (a+b)/2 for every surviving pair; diff_tm=100
+    # disables the Tm gate so grid extremes still pair)
+    lut = np.array(list("ACGT"))
+    seq = "".join(rng.choice(lut, size=700))
+    primers = {}
+    for pos0 in range(0, len(seq) - 18):
+        tm_grid = float(np.round(rng.integers(3000, 9900) / 100.0, 2))
+        primers[pos0] = [seq[pos0:pos0 + 18], 1, 1, tm_grid]
+    pp = pairing.PairingParams(
+        size=(150, 1200), fraction=0.7, diff_tm=100, max_seq=0, nproc=1,
+        adaptor=("TCTTTCCCTACACGACGCTCTTCCGATCT",
+                 "TGGAGTTCAGACGTGTGCTCTTCCGATCT"))
+    gap_ids = {str(k): {} for k in primers}
+    non_cover = {str(k): [{}, {}] for k in primers}
+    pairs, _ = pairing.PairingEngine(pp).pair(primers, gap_ids,
+                                              non_cover, 1)
+    assert len(pairs) > 2000
+    checked = 0
+    for row in pairs:
+        s0, _, s1 = row[4].partition(":")
+        a = primers[int(s0)][3]
+        b = primers[int(s1)][3]
+        want = str(round(thermo._stat_mean([a, b]), 2))
+        got = row[2].split(":")[1]
+        assert got == want, (a, b, got, want)
+        checked += 1
+    assert checked > 2000
+
+
 def test_gc_clamp_pure_fast_path_matches_general():
     """The pure-primer gc_clamp fast path (one tail walk) must equal the
     per-suffix degenerate-mean formulation on every input class: pure,
