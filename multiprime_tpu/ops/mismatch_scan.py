@@ -312,6 +312,148 @@ def hit_codes_conv(targets_1h, primers_1h, suffix_1h, *, mm, term):
     return jnp.where(score >= thresh, mism + 1, 0).astype(jnp.int8)
 
 
+def _bitmap_kernel(x_ref, w_ref, o_ref, acc_ref, *, tile_o, plen, mm,
+                   term, n_ptiles):
+    """Fused scan emitting ONLY the per-window any-hit bitmap [TN, TO]
+    (OR over the primer axis, accumulated across the primer-tile grid
+    axis).  The [TN, TO, TP] verdict tensor lives and dies in VMEM/regs —
+    HBM sees N*O bytes instead of N*O*P (the r4 roofline's
+    materialisation wall, DESIGN.md).  Exact hit tuples are recovered by
+    re-matching just the flagged windows (find_hits_bitmap)."""
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+    base = pl.multiple_of(j * tile_o, 256)
+    pad = 128
+
+    # the primer-tile axis is innermost (row-major grid order) and the
+    # scratch persists across grid steps: the im2col only depends on
+    # (i, j), so rebuild it once per window tile, not once per cell
+    @pl.when(k == 0)
+    def _im2col():
+        block = x_ref[:, :, pl.ds(base, tile_o + pad)]
+        for kk in range(plen):
+            acc_ref[:, pl.ds(4 * kk, 4), :] = block[:, :, kk:kk + tile_o]
+
+    counts = jax.lax.dot_general(
+        acc_ref[:], w_ref[:, 0, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    suffix = jax.lax.dot_general(
+        acc_ref[:], w_ref[:, 1, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    ok = ((plen - counts) <= mm) & (suffix >= term)
+    # int max-reduce instead of bool any: Mosaic rejects the i1 relayout
+    any_hit = jnp.max(jnp.where(ok, 1, 0), axis=2).astype(jnp.int8)
+    if n_ptiles == 1:
+        o_ref[:] = any_hit
+    else:
+        @pl.when(k == 0)
+        def _init():
+            o_ref[:] = any_hit
+
+        @pl.when(k > 0)
+        def _accum():
+            o_ref[:] = o_ref[:] | any_hit
+
+
+def hit_window_bitmap_pallas(targets_1h, primers_1h, suffix_1h, *, mm,
+                             term, tile_n=8, tile_o=512, tile_p=512,
+                             interpret=False):
+    """Fused Pallas pass -> int8 any-hit bitmap [N, O] (1 iff some primer
+    hits that (seq, window) under the mm/term rule)."""
+    n, length, _ = targets_1h.shape
+    p, plen, _ = primers_1h.shape
+    n_out = length - plen + 1
+    n_pad = -n % tile_n
+    o_pad = -n_out % tile_o
+    tile_p = min(tile_p, max(128, 1 << (p - 1).bit_length()))
+    if p > tile_p:
+        tile_o = min(tile_o, 256)
+    p_pad = -p % tile_p
+    x = jnp.transpose(jnp.asarray(targets_1h, jnp.int8), (0, 2, 1))
+    x = jnp.pad(x, ((0, n_pad), (0, 0), (0, o_pad + 128 + plen)))
+    w = jnp.stack([
+        jnp.transpose(jnp.asarray(primers_1h, jnp.int8), (1, 2, 0))
+           .reshape(4 * plen, p),
+        jnp.transpose(jnp.asarray(suffix_1h, jnp.int8), (1, 2, 0))
+           .reshape(4 * plen, p)], axis=1)
+    if p_pad:
+        # padded primer columns are all-zero one-hots: mism = plen > mm,
+        # so they never flag a window
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, p_pad)))
+    n_ptiles = (p + p_pad) // tile_p
+    grid = ((n + n_pad) // tile_n, (n_out + o_pad) // tile_o, n_ptiles)
+    out = pl.pallas_call(
+        functools.partial(_bitmap_kernel, tile_o=tile_o, plen=plen,
+                          mm=mm, term=term, n_ptiles=n_ptiles),
+        out_shape=jax.ShapeDtypeStruct(
+            (n + n_pad, n_out + o_pad), jnp.int8),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_n, 4, x.shape[2]), lambda i, j, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * plen, 2, tile_p), lambda i, j, k: (0, 0, k),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_n, tile_o), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tile_n, 4 * plen, tile_o), jnp.int8)],
+        interpret=interpret,
+    )(x, w)
+    return out[:n, :n_out]
+
+
+@functools.partial(jax.jit, static_argnames=("mm", "term", "backend"))
+def hit_window_bitmap(targets_1h, lengths, primers_1h, suffix_1h, *, mm=1,
+                      term=4, backend="pallas"):
+    """Any-hit window bitmap [N, O] int8 with the in-sequence length mask
+    applied.  backend="conv" reduces the dense conv codes (XLA decides the
+    fusion); "pallas" never materialises the [N, O, P] tensor."""
+    if targets_1h.ndim == 2:
+        targets_1h = expand_masks(targets_1h)
+    plen = primers_1h.shape[1]
+    if backend == "pallas":
+        bm = hit_window_bitmap_pallas(targets_1h, primers_1h, suffix_1h,
+                                      mm=mm, term=term)
+    else:
+        codes = hit_codes_conv(targets_1h, primers_1h, suffix_1h,
+                               mm=mm, term=term)
+        bm = jnp.any(codes > 0, axis=2).astype(jnp.int8)
+    o_idx = jnp.arange(bm.shape[1], dtype=jnp.int32)[None, :]
+    return jnp.where((o_idx + plen) <= lengths[:, None], bm, 0)
+
+
+def find_hits_bitmap(targets_1h_np, lengths_np, primers_1h_np,
+                     suffix_1h_np, *, mm=1, term=4, backend="pallas"):
+    """Two-phase sparse scan: device any-hit bitmap (N*O bytes of HBM
+    traffic instead of N*O*P) + host re-match of just the flagged windows.
+    Returns (seq, window, primer, mism) int arrays in the same ascending
+    (n, o, p) order as find_hits/decode_hits.  Exact: phase B re-applies
+    the identical mm/term rule per flagged window."""
+    bm = np.asarray(hit_window_bitmap(
+        jnp.asarray(targets_1h_np), jnp.asarray(lengths_np),
+        jnp.asarray(primers_1h_np), jnp.asarray(suffix_1h_np),
+        mm=mm, term=term, backend=backend))
+    ns, os_ = np.nonzero(bm)
+    if len(ns) == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z, z.astype(np.int32)
+    plen = primers_1h_np.shape[1]
+    p = primers_1h_np.shape[0]
+    # gather the flagged windows: [H, plen, 4]
+    win = np.stack([targets_1h_np[n, o:o + plen] for n, o in zip(ns, os_)])
+    wmat = win.reshape(len(ns), plen * 4).astype(np.float32)
+    weights = np.concatenate([primers_1h_np, suffix_1h_np], axis=0) \
+        .reshape(2 * p, plen * 4).astype(np.float32).T
+    acc = wmat @ weights                                  # [H, 2P]
+    counts = acc[:, :p].astype(np.int32)
+    sfx = acc[:, p:].astype(np.int32)
+    mism = plen - counts
+    ok = (mism <= mm) & (sfx >= term)
+    h, pi = np.nonzero(ok)
+    return (ns[h].astype(np.int64), os_[h].astype(np.int64),
+            pi.astype(np.int64), mism[h, pi].astype(np.int32))
+
+
 # level-1 compaction block length: per-block any/count stats shrink the
 # nonzero problem by 64x before the exact index extraction
 _BLK = 64

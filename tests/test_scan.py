@@ -56,6 +56,38 @@ def test_find_hits_matches_bruteforce(data):
     assert not any(a == 2 and b == 30 and c == 2 for a, b, c, _ in mine)
 
 
+def test_find_hits_bitmap_matches_find_hits(data):
+    """The two-phase bitmap scan (any-hit window bitmap + host re-match —
+    the r5 semantically-smaller-output experiment, DESIGN.md) returns the
+    exact hit tuples of the dense find_hits path, for both the conv
+    reduction and the fused Pallas kernel (interpret mode off-TPU)."""
+    seqs, primers = data
+    t1h, lens = ms.encode_targets(seqs)
+    p1h = ms.encode_primers(primers)
+    s1h = p1h.copy()
+    s1h[:, :-4, :] = 0
+    idx, _, mism = ms.find_hits(t1h, lens, p1h, s1h, mm=1, term=4,
+                                max_hits=4096)
+    n_out = t1h.shape[1] - 18 + 1
+    s, o, p, m = ms.decode_hits(idx, mism, n_out, len(primers))
+    ref = sorted(zip(s.tolist(), o.tolist(), p.tolist(), m.tolist()))
+    s2, o2, p2, m2 = ms.find_hits_bitmap(t1h, lens, p1h, s1h, mm=1,
+                                         term=4, backend="conv")
+    got = sorted(zip(s2.tolist(), o2.tolist(), p2.tolist(), m2.tolist()))
+    assert got == ref and len(ref) > 0
+    # pallas kernel parity via interpret mode (no TPU in the test env)
+    import jax.numpy as jnp
+    bm_conv = np.asarray(ms.hit_window_bitmap(
+        jnp.asarray(t1h), jnp.asarray(lens), jnp.asarray(p1h),
+        jnp.asarray(s1h), mm=1, term=4, backend="conv"))
+    bm_pal = np.asarray(ms.hit_window_bitmap_pallas(
+        jnp.asarray(t1h, jnp.int8), jnp.asarray(p1h),
+        jnp.asarray(s1h), mm=1, term=4, interpret=True))
+    o_idx = np.arange(bm_pal.shape[1])[None, :]
+    bm_pal = np.where((o_idx + 18) <= lens[:, None], bm_pal, 0)
+    assert np.array_equal(bm_pal, bm_conv)
+
+
 def test_mask_upload_path_matches_onehot(data):
     """The compact [N, L] mask upload (expanded on device) must produce
     exactly the hits of the host one-hot encoding."""
