@@ -327,10 +327,15 @@ def _specificity(argv):
     p.add_argument("-m", "--seedmms", type=int, default=1)
     p.add_argument("-s", "--size", default="100,1500")
     p.add_argument("-o", "--out", required=True)
+    p.add_argument("--exhaustive-join", action="store_true",
+                   help="complete F x R join (skip the reference's "
+                        "per-gene early exit; use for genome-scale "
+                        "backgrounds)")
     a = p.parse_args(argv)
     specificity.run(a.input, a.ref, a.out, term_len=a.len_, mm=a.seedmms,
                     term=a.term,
-                    product_size=tuple(int(x) for x in a.size.split(",")))
+                    product_size=tuple(int(x) for x in a.size.split(",")),
+                    exhaustive_join=a.exhaustive_join)
     return 0
 
 

@@ -426,12 +426,23 @@ def closest(sorted_list, lo_val, hi_val):
     return left, right
 
 
-def pcr_join(gene_ids, f_hits, r_hits, labels, product_size, labels_r=None):
+def pcr_join(gene_ids, f_hits, r_hits, labels, product_size, labels_r=None,
+             exhaustive=False):
     """Per-gene F x R join -> rows (gene, start, stop, F, R, length)
     (PCR_product, :303-342).  Later hits at the same position overwrite
     earlier ones, like the reference's dict() conversion.  labels_r lets the
     F and R hit sets come from different primer files (Primer_set_update's
-    core x new joins)."""
+    core x new joins).
+
+    exhaustive=False keeps the reference's early-exit bug-for-bug: when a
+    start position finds no stop inside its product window, the WHOLE
+    gene's remaining starts are skipped (primer_coverage_validation_by_BWT
+    .py:318-320, identically primer_specificity.py:351-353) — benign for
+    gene-scale targets with dense hits, silently lossy on genome-scale
+    backgrounds where F/R sites of independent pairs are megabases apart.
+    exhaustive=True skips only the current start (and still terminates
+    once every remaining stop lies below the window) — the complete join
+    the genome-scale specificity path documents as superseding."""
     if labels_r is None:
         labels_r = labels
     lo, hi = int(product_size[0]), int(product_size[1])
@@ -453,7 +464,13 @@ def pcr_join(gene_ids, f_hits, r_hits, labels, product_size, labels_r=None):
         for start in starts:
             i0, i1 = closest(stops, start + lo, start + hi)
             if i0 > i1:
-                break
+                if not exhaustive:
+                    break
+                if i0 >= len(stops):
+                    # every stop is below start+lo; starts ascend, so no
+                    # later window can contain one either
+                    break
+                continue
             for stop in stops[i0:i1 + 1]:
                 distance = stop - start + 1
                 if distance > hi:

@@ -52,10 +52,17 @@ def write_outputs(rows, outfile):
 
 
 def run(primer_fa, background_fa, outfile, *, term_len=18, term=4, mm=1,
-        product_size=(100, 1500), batch_seqs=256, backend="auto"):
+        product_size=(100, 1500), batch_seqs=256, backend="auto",
+        exhaustive_join=False):
     """Scan primers (3'-l-mers when term_len > 0) against a background DB;
     any F/R join inside an amplifiable window is a predicted off-target
-    amplicon.  Returns the joined rows."""
+    amplicon.  Returns the joined rows.
+
+    exhaustive_join=True replaces the reference's per-gene early-exit join
+    (primer_specificity.py:351-353: one start with an empty product window
+    abandons the gene) with the complete join — required for genome-scale
+    backgrounds where independent pairs' sites are megabases apart; the
+    default stays bug-for-bug parity."""
     import os
     params = vscan.ScanParams(term_len=term_len, term=term, mm=mm,
                               product_size=tuple(product_size),
@@ -70,6 +77,7 @@ def run(primer_fa, background_fa, outfile, *, term_len=18, term=4, mm=1,
     f_hits = vscan.scan_hits_long(target_seqs, patterns, params)
     r_hits = vscan.scan_hits_long(target_seqs, rc_patterns, params)
     rows = vscan.pcr_join(gene_ids, f_hits, r_hits, labels,
-                          params.product_size)
+                          params.product_size,
+                          exhaustive=exhaustive_join)
     write_outputs(rows, outfile)
     return rows

@@ -56,6 +56,28 @@ def test_find_hits_matches_bruteforce(data):
     assert not any(a == 2 and b == 30 and c == 2 for a, b, c, _ in mine)
 
 
+def test_pcr_join_exhaustive_vs_parity():
+    """The reference's join abandons a gene at the first start with an
+    empty product window (primer_specificity.py:351-353); exhaustive=True
+    keeps scanning.  Construct a gene where pair A's F site has no R in
+    window but pair B's complete amplicon lies further downstream: parity
+    mode must drop it (bug-for-bug), exhaustive mode must find it."""
+    from multiprime_tpu.validate import scan as vscan
+    labels = ["A_F", "A_R", "B_F", "B_R"]
+    # F hits: A at 100 (no R within [200, 1600]), B at 5000
+    f_hits = [(0, 100, 0, 0), (0, 5000, 2, 0)]
+    # R hits: B's at 5500 (inside B's window), none for A
+    r_hits = [(0, 5500, 3, 0)]
+    rows_par = vscan.pcr_join(["g"], f_hits, r_hits, labels, (100, 1500))
+    rows_exh = vscan.pcr_join(["g"], f_hits, r_hits, labels, (100, 1500),
+                              exhaustive=True)
+    assert rows_par == []                      # reference parity
+    assert rows_exh == [("g", 5000, 5500, "B_F", "B_R", 501)]
+    # termination clause: every stop below every window -> identical empty
+    assert vscan.pcr_join(["g"], [(0, 9000, 0, 0)], r_hits, labels,
+                          (100, 1500), exhaustive=True) == []
+
+
 def test_find_hits_bitmap_matches_find_hits(data):
     """The two-phase bitmap scan (any-hit window bitmap + host re-match —
     the r5 semantically-smaller-output experiment, DESIGN.md) returns the
