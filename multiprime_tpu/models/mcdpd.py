@@ -383,6 +383,22 @@ def _pure_gc_mean(gc_count, plen):
     return round(round(gc_count / plen, 3), 2)
 
 
+@lru_cache(maxsize=None)
+def _loss3_table(l1, linear):
+    """uint8 [l1, l1, l1] of the self-dimer Loss >= 3 verdicts over
+    (end_len, gc, d2) — the exact Python floats, tabulated once per
+    (primer_len, penalty variant) for the native pure_window_filters2
+    gate (dimer_check's loss half, core.py:487-503)."""
+    t = np.zeros((l1, l1, l1), np.uint8)
+    fn = thermo.penalty_points_linear if linear else thermo.penalty_points
+    for ln in range(5, min(19, l1)):
+        for gc in range(ln + 1):
+            for d2 in range(l1):
+                if fn(ln, gc, 0, d2) >= 3:
+                    t[ln, gc, d2] = 1
+    return t
+
+
 class DesignEngine:
     """Bit-exact MC-EDPD engine over one MSA."""
 
@@ -658,21 +674,76 @@ class DesignEngine:
                            if same_blk[wi] and gap_blk[0, wi] == 0
                            and not imp_blk[0, wi]]
                 if pure_wi:
-                    batch = native.pure_window_filters(
-                        np.ascontiguousarray(wins[0, pure_wi, :]),
-                        self.p.hairpin_distance)
-                    if batch is not None:
-                        flags, tms, gcs, cands = batch
-                        pure_pre = {wi: (int(flags[bi]), float(tms[bi]),
-                                         int(gcs[bi]), cands[bi])
-                                    for bi, wi in enumerate(pure_wi)}
+                    rows0 = np.ascontiguousarray(wins[0, pure_wi, :])
+                    # prefer the fully-native gate batch: the self-dimer
+                    # verdict (Loss >= 3 via a Python-built exact table +
+                    # dG < -5 at d2 == 0) resolves in the same call, so no
+                    # candidate streams or per-end Python float replay
+                    # remain (flags bit 3 = reject).  Fallback: the
+                    # candidate-stream batch + Python verdicts.
+                    from .pairing import _dg_tables
+                    batch2 = native.pure_window_filters2(
+                        rows0, self.p.hairpin_distance,
+                        _loss3_table(self.p.primer_length + 1,
+                                     self.p.algo in ("v15", "v16")),
+                        _dg_tables())
+                    if batch2 is not None:
+                        flags, tms, gcs = batch2
+                        # tight block assembly: the fast-path checks that
+                        # remain after the native gates are constants per
+                        # cluster (gap gate at 0 gaps, cBit/tBit vs the
+                        # entropy threshold) plus a vectorised 4-base
+                        # presence test — build the WindowResults here and
+                        # let the wi loop below just pick them up (same
+                        # emission order).  Semantics identical to
+                        # _design_window's uniform-pure branch (fuzz:
+                        # tests/test_design_golden.py).
+                        done = {}
+                        if round(0 / n, 2) >= (1 - self.p.coverage):
+                            done = {wi: None for wi in pure_wi}
+                        else:
+                            bits = self._uniform_bits
+                            if bits is None or bits[0] != n:
+                                bits = (n,) + thermo.shannon_pair(
+                                    [n], n, [], 0)
+                                self._uniform_bits = bits
+                            _, c_bit, t_bit = bits
+                            if t_bit > threshold:
+                                done = {wi: None for wi in pure_wi}
+                            else:
+                                has4 = ((rows0 == ord("A")).any(axis=1)
+                                        & (rows0 == ord("C")).any(axis=1)
+                                        & (rows0 == ord("G")).any(axis=1)
+                                        & (rows0 == ord("T")).any(axis=1))
+                                for bi, wi in enumerate(pure_wi):
+                                    done[wi] = None
+                                    if not has4[bi]:
+                                        continue
+                                    done[wi] = self._finalize_pure(
+                                        int(pos_block[wi]), c_bit, t_bit,
+                                        rows0[bi].tobytes().decode("ascii"),
+                                        n, (int(flags[bi]), float(tms[bi]),
+                                            int(gcs[bi]), None))
+                        pure_pre = done
+                    else:
+                        batch = native.pure_window_filters(
+                            rows0, self.p.hairpin_distance)
+                        if batch is not None:
+                            flags, tms, gcs, cands = batch
+                            pure_pre = {wi: (int(flags[bi]), float(tms[bi]),
+                                             int(gcs[bi]), cands[bi])
+                                        for bi, wi in enumerate(pure_wi)}
             for wi, position in enumerate(pos_block):
-                res = self._design_window(int(position), wins[:, wi, :],
-                                          seq_ids, n, threshold,
-                                          gates=(gap_blk[:, wi],
-                                                 imp_blk[:, wi],
-                                                 bool(same_blk[wi])),
-                                          pure_pre=pure_pre.get(wi))
+                if wi in pure_pre and not isinstance(pure_pre[wi], tuple):
+                    res = pure_pre[wi]          # assembled (or rejected)
+                else:
+                    res = self._design_window(int(position),
+                                              wins[:, wi, :],
+                                              seq_ids, n, threshold,
+                                              gates=(gap_blk[:, wi],
+                                                     imp_blk[:, wi],
+                                                     bool(same_blk[wi])),
+                                              pure_pre=pure_pre.get(wi))
                 if res is not None:
                     results.append(res)
             if progress:
@@ -1053,16 +1124,21 @@ class DesignEngine:
         if flags & 2:
             issues.append("hairpin")
         info = gc if not issues else "|".join(issues)
-        linear = self.p.algo in ("v15", "v16")
-        for end, d2 in cands:
-            gce = end.count("G") + end.count("C")
-            if linear:
-                loss = thermo.penalty_points_linear(len(end), gce, 0, d2)
-            else:
-                loss = thermo.penalty_points(len(end), gce, 0, d2)
-            dg = thermo.delta_g(end, both_ends=True)
-            if loss >= 3 or (dg < -5 and d2 == 0):
+        if cands is None:
+            # pure_window_filters2 already resolved the verdict natively
+            if flags & 8:
                 return None
+        else:
+            linear = self.p.algo in ("v15", "v16")
+            for end, d2 in cands:
+                gce = end.count("G") + end.count("C")
+                if linear:
+                    loss = thermo.penalty_points_linear(len(end), gce, 0, d2)
+                else:
+                    loss = thermo.penalty_points(len(end), gce, 0, d2)
+                dg = thermo.delta_g(end, both_ends=True)
+                if loss >= 3 or (dg < -5 and d2 == 0):
+                    return None
         tm_avg = round(tm_val, 2)
         return WindowResult(position, c_bit, t_bit, row, 0, 0, total,
                             total, total, tm_avg, info, {}, {}, {})

@@ -259,6 +259,15 @@ def _bind(lib):
         ctypes.c_void_p,                                        # counts
         ctypes.c_void_p, ctypes.c_int64,                        # ends buf
         ctypes.c_void_p, ctypes.c_int64]                        # cand out
+    lib.pure_window_filters2.restype = ctypes.c_int64
+    lib.pure_window_filters2.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,        # rows
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,         # d, num rng
+        ctypes.c_void_p, ctypes.c_int64,                        # trig, l1
+        ctypes.c_void_p, ctypes.c_void_p,                       # step/init
+        ctypes.c_double, ctypes.c_double,                       # ta, sym
+        ctypes.c_void_p,                                        # salt
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]      # f/tm/gc
 
 
 def available():
@@ -559,6 +568,39 @@ def pure_gate_batch(rows_mat, distance, gc_min_counts=None, num=4,
     if r < 0:
         return None
     return flags, gc
+
+
+def pure_window_filters2(win_block, distance, loss_trig, dg_tabs,
+                         num=5, length=14):
+    """pure_window_filters with the self-dimer verdict resolved natively:
+    per row -> flags (bit0 di, bit1 hairpin, bit3 dimer-reject), exact
+    Calc_Tm_v2, GC count.  loss_trig is the Python-precomputed uint8
+    (len, gc, d2) Loss>=3 table (exact float parity stays in Python);
+    dg_tabs = models/pairing._dg_tables().  Returns (flags, tm, gc) or
+    None (fallback)."""
+    lib = load()
+    if lib is None:
+        return None
+    w, plen = win_block.shape
+    if w == 0:
+        return (np.empty(0, np.int8), np.empty(0, np.float64),
+                np.empty(0, np.int64))
+    _tm_ready(lib)
+    blob = np.ascontiguousarray(win_block, np.uint8)
+    t = np.ascontiguousarray(loss_trig, np.uint8)
+    step, init_t, term_ta, symm, salt = dg_tabs
+    flags = np.empty(w, np.int8)
+    tm = np.empty(w, np.float64)
+    gc = np.empty(w, np.int64)
+    r = lib.pure_window_filters2(
+        blob.ctypes.data, w, plen, distance, num, num + length - 1,
+        t.ctypes.data, t.shape[0],
+        step.ctypes.data, init_t.ctypes.data,
+        float(term_ta), float(symm), salt.ctypes.data,
+        flags.ctypes.data, tm.ctypes.data, gc.ctypes.data)
+    if r < 0:
+        return None
+    return flags, tm, gc
 
 
 def pure_window_filters(win_block, distance, num=5, length=14):

@@ -1087,6 +1087,69 @@ int64_t pure_window_filters(const char* rows, int64_t n, int64_t plen,
     return total;
 }
 
+// defined with the pairing dimer kernels below; default both_ends = 0
+static bool dg_end_accept(const char* e, int64_t ln, const double* step,
+                          const double* init_tab, double terminal_ta,
+                          double symmetry, const double* salt_tab,
+                          int both_ends);
+
+// pure_window_filters with the self-dimer verdict resolved natively: the
+// Loss >= 3 gate comes as a Python-precomputed uint8 (len, gc, d2) table
+// (exact: the floats never leave Python) and the dG < -5, d2 == 0 branch
+// uses the shared dg_end_accept with both_ends semantics
+// (thermo.delta_g(end, both_ends=True), models/mcdpd.dimer_check).
+// flags bit 3 = window rejected by the dimer gate.  No candidate streams
+// cross the boundary at all.
+int64_t pure_window_filters2(const char* rows, int64_t n, int64_t plen,
+                             int64_t distance, int64_t num_min,
+                             int64_t num_max,
+                             const uint8_t* loss_trig, int64_t l1,
+                             const double* step_tab, const double* init_tab,
+                             double terminal_ta, double symmetry,
+                             const double* salt_tab,
+                             int8_t* flags, double* tm_out,
+                             int64_t* gc_out) {
+    if (plen <= 1 || plen > 63 || plen >= l1) return -1;
+    char ends_buf[8192];
+    int64_t cand_out[3 * 256];
+    for (int64_t r = 0; r < n; r++) {
+        const char* s = rows + r * plen;
+        int64_t gc = 0;
+        for (int64_t i = 0; i < plen; i++) {
+            const char c = s[i];
+            if (c == 'G' || c == 'C') gc++;
+            else if (c != 'A' && c != 'T') return -1;
+        }
+        gc_out[r] = gc;
+        int8_t f = 0;
+        if (di_nucleotide_flag(s, plen) > 0) f |= 1;
+        if (hairpin_flag(s, plen, distance, nullptr) > 0) f |= 2;
+        const int64_t cnt = dimer_screen(s, plen, num_min, num_max,
+                                         ends_buf, sizeof ends_buf,
+                                         cand_out, 256);
+        if (cnt < 0) return -1;
+        for (int64_t k = 0; k < cnt; k++) {
+            const char* e = ends_buf + cand_out[3 * k];
+            const int64_t ln = cand_out[3 * k + 1];
+            const int64_t d2 = cand_out[3 * k + 2];
+            if (ln >= l1 || d2 >= l1) return -1;
+            int64_t gce = 0;
+            for (int64_t i = 0; i < ln; i++)
+                if (e[i] == 'G' || e[i] == 'C') gce++;
+            if (loss_trig[(ln * l1 + gce) * l1 + d2]
+                || (d2 == 0 && dg_end_accept(e, ln, step_tab, init_tab,
+                                             terminal_ta, symmetry,
+                                             salt_tab, 1))) {
+                f |= 8;
+                break;
+            }
+        }
+        flags[r] = f;
+        if (tm_batch(s, 1, plen, tm_out + r) < 0) return -1;
+    }
+    return 0;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
@@ -1996,7 +2059,8 @@ int64_t dimer_hit_ends(const char* primer, int64_t plen,
 // tests/test_pairing_golden.py).
 static bool dg_end_accept(const char* e, int64_t ln, const double* step,
                           const double* init_tab, double terminal_ta,
-                          double symmetry, const double* salt_tab) {
+                          double symmetry, const double* salt_tab,
+                          int both_ends) {
     int b[64];
     for (int64_t i = 0; i < ln; i++) {
         const char c = e[i];
@@ -2005,10 +2069,19 @@ static bool dg_end_accept(const char* e, int64_t ln, const double* step,
     double dg = 0.0;
     for (int64_t n = 0; n + 1 < ln; n++)
         dg += step[b[n + 1] * 4 + b[n]];
-    if (ln >= 2 && e[ln - 2] == 'T' && e[ln - 1] == 'A')
-        dg += init_tab[b[0]] + terminal_ta;
-    else
-        dg += init_tab[b[0]];
+    // thermo.delta_g: both_ends adds the 3'-initiation too; op order kept
+    const double init5 = init_tab[b[0]];
+    if (ln >= 2 && e[ln - 2] == 'T' && e[ln - 1] == 'A') {
+        if (both_ends)
+            dg += init5 + init_tab[b[ln - 1]] + terminal_ta;
+        else
+            dg += init5 + terminal_ta;
+    } else {
+        if (both_ends)
+            dg += init5 + init_tab[b[ln - 1]];
+        else
+            dg += init5;
+    }
     dg -= salt_tab[ln];
     if (ln % 2 == 0) {
         bool sym = true;
@@ -2087,7 +2160,8 @@ int64_t dimer_hit_ends2(const char* primer, int64_t plen,
                                  : ch == 'G' ? 'C' : 'G';
                     }
                     hit = dg_end_accept(rcbuf, ln, step_tab, init_tab,
-                                        terminal_ta, symmetry, salt_tab);
+                                        terminal_ta, symmetry, salt_tab,
+                                        0);
                 }
                 if (!hit) continue;
                 done.insert(key);
@@ -2184,7 +2258,7 @@ static bool build_pair_state(const uint8_t* s, int64_t n,
                              : ch == 'G' ? 'C' : 'G';
                 }
                 hit = dg_end_accept(rcbuf, ln, step_tab, init_tab,
-                                    terminal_ta, symmetry, salt_tab);
+                                    terminal_ta, symmetry, salt_tab, 0);
             }
             if (!hit) continue;
             // key of rc(substring): complement (3-b) of reversed walk
