@@ -524,6 +524,42 @@ def test_pure_window_filters_batch_equivalence():
     assert checked == 600 and produced >= 200 and rejected >= 6
 
 
+def test_pure_window_filters2_and_block_assembly_equivalence():
+    """The round-5 fully-native gate batch (pure_window_filters2: Loss>=3
+    table + native dG verdict, flags bit 3) and the block-level
+    WindowResult assembly in design() must together be an exact reduction
+    of the candidate-stream path — whole-design equality across algos,
+    singleton and multi-row uniform clusters."""
+    from multiprime_tpu import native
+    if native.load() is None or \
+            not hasattr(native.load(), "pure_window_filters2"):
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(51)
+    lut = np.array(list("ACGT"))
+    for algo in ("v20", "v16", "v15"):
+        for trial in range(6):
+            nseq = 1 if trial % 2 else 3
+            base = "".join(rng.choice(lut,
+                                      size=int(rng.integers(300, 700))))
+            chars = np.stack(
+                [np.frombuffer(base.encode(), np.uint8)] * nseq)
+            ids = ["s%d" % i for i in range(nseq)]
+            params = mcdpd.DesignParams(
+                primer_length=18, coverage=0.7, dege_number=4,
+                degeneracy=10, variation=1, entropy_threshold=3.6,
+                gc=(0.2, 0.7), min_product=150, coordinate="2,3,-1",
+                hairpin_distance=4, algo=algo, nproc=1)
+            res_new = mcdpd.DesignEngine(params).design(ids, chars)
+            orig = native.pure_window_filters2
+            native.pure_window_filters2 = lambda *a, **k: None
+            try:
+                res_old = mcdpd.DesignEngine(params).design(ids, chars)
+            finally:
+                native.pure_window_filters2 = orig
+            assert res_new == res_old, (algo, nseq)
+            assert res_new, "trial designed nothing — fuzz has no teeth"
+
+
 def test_uniform_pure_fast_path_exact_equivalence():
     """The all-rows-identical-and-pure fast path in _design_window must be
     an exact reduction of the general path (same WindowResult fields,
