@@ -23,6 +23,16 @@ def primerset_format(infile, outfile):
                 continue
             parts = line.strip().split("/")
             info = parts[-1].replace(".candidate.primers.txt", "").split("\t")
+            if len(info) < 4:
+                # cluster that exhausted every candidate pair against the
+                # accumulated set: get_Maxprimerset writes a path-only row
+                # with empty cells (get_Maxprimerset.py:346-348) and the
+                # reference's primerset_format.py:74-77 CRASHES on it —
+                # str.strip() eats the empty tab cells.  First fired at
+                # the 1M-seq envelope (111 such rows); the cluster has no
+                # pair in the final set (its candidates are in .next.xls),
+                # so the only non-crashing contract is to skip the row.
+                continue
             out.write(">" + info[0] + "_F\n" + info[2] + "\n"
                       + ">" + info[0] + "_R\n" + info[3] + "\n")
 

@@ -33,6 +33,11 @@ def parse_pairs_xls(path):
             if line.startswith("#"):
                 continue
             fields = line.strip().split("\t")
+            if len(fields) < 7:
+                # path-only row for a pair-exhausted cluster (see
+                # stages.primerset_format): the reference's own parse
+                # (extract_PCR_product.py:144-156) crashes on it
+                continue
             cluster_id = fields[0].split("/")[-1].split(".")[0]
             start = fields[6].split(":")[0]
             stop = fields[6].split(":")[1]

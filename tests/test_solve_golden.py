@@ -83,6 +83,32 @@ def test_greedy_maximal_spill(tmp_path):
     assert len(clique) >= 1
 
 
+def test_pair_exhausted_cluster_rows_survive_formatting(tmp_path):
+    """get_Maxprimerset writes a path-only row (empty cells) for a cluster
+    whose every candidate pair dimers against the accepted set
+    (get_Maxprimerset.py:346-348); the reference's primerset_format and
+    extract_PCR_product CRASH on such rows (str.strip eats the tabs).
+    First fired at the 1M-seq envelope (111 rows) — our formatter and PCR
+    parser must skip them and keep every complete row."""
+    from multiprime_tpu.validate import pcr
+    xls = tmp_path / "final.xls"
+    xls.write_text(
+        "#Primer\tPrimer_rank\tPrimer_F\tPrimer_R\tc4\tc5\tc6\n"
+        "/x/Cluster_0_5.candidate.primers.txt\t1\tACGT\tTTGC\t"
+        "100:50:0.9\t5\t3:90\n"
+        "/x/Cluster_1_1.candidate.primers.txt\t\t\t\t\t\t\n"
+        "/x/Cluster_2_5.candidate.primers.txt\t1\tGGCA\tAACC\t"
+        "120:51:0.8\t5\t7:99\n")
+    fa = tmp_path / "final.fa"
+    stages.primerset_format(str(xls), str(fa))
+    text = fa.read_text()
+    assert text == (">Cluster_0_5_F\nACGT\n>Cluster_0_5_R\nTTGC\n"
+                    ">Cluster_2_5_F\nGGCA\n>Cluster_2_5_R\nAACC\n")
+    pairs = pcr.parse_pairs_xls(str(xls))
+    assert len(pairs) == 2
+    assert pairs["Cluster_0_5_3_F_Cluster_0_5_90"] == ("ACGT", "TTGC")
+
+
 def test_txt2fa_and_core_extraction(tmp_path):
     row = "path/Cluster_7_25.candidate.primers.txt\tAAAA\tTTTT\t100:50:0.9\t25\t3:90\n"
     inp = tmp_path / "cand.txt"
