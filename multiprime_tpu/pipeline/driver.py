@@ -800,6 +800,7 @@ class Pipeline:
                     step=cfg.step)
             else:
                 maxset.greedy_maximum(primers, final, step=cfg.step)
+            primers = None     # release rows before the forked pcr/scan tail
         final_fa = self._p("Primers_set", "final_maxprimers_set.fa")
         stages.primerset_format(final, final_fa)
         rows = findimer.scan(findimer.parse_primer_fasta(final_fa))

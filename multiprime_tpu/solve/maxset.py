@@ -22,6 +22,7 @@ device-scale sets.
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 from functools import lru_cache
@@ -289,21 +290,92 @@ def _row_text(row):
     return row.norm if isinstance(row, _LazyRow) else "\t".join(row)
 
 
+class RowStore:
+    """File-backed candidate rows for huge aggregates.
+
+    The 1M-envelope run's candidate_primers_sets.txt is 12.8 GB; holding
+    every normalised row as a Python string put ~18 GB on the solve's RSS
+    (26 GB peak) which every later forked stage then inherited.  Rows are
+    served straight from the (already normalised, already sorted) sort
+    sidecar by byte offset — one fresh _LazyRow per access, with a tiny
+    LRU so greedy_maximal's per-row accesses and greedy_maximum's
+    backtracking re-reads keep O(1) rows resident."""
+
+    _LRU = 4
+
+    def __init__(self, path, offsets, lengths):
+        self._f = open(path, "rb")
+        self._offsets = offsets
+        self._lengths = lengths
+        self._cache = {}            # insertion-ordered: oldest evicted
+
+    def __len__(self):
+        return len(self._offsets)
+
+    def __getitem__(self, i):
+        if not 0 <= i < len(self._offsets):
+            raise IndexError(i)
+        row = self._cache.get(i)
+        if row is None:
+            self._f.seek(self._offsets[i])
+            row = _LazyRow(self._f.read(self._lengths[i]).decode())
+            self._cache[i] = row
+            if len(self._cache) > self._LRU:
+                del self._cache[next(iter(self._cache))]
+        return row
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+
+def _norm_row(line):
+    line = line.strip()
+    # collapse tab runs only when one exists: the C substring probe
+    # replaces a full regex scan per row (11.4 s of the 100k parse)
+    return line if "\t\t" not in line else _TABRUN.sub("\t", line)
+
+
 def parse_and_sort(infile, sort_file):
     """Read candidate rows, sort by candidate count ascending (stable), and
-    write the sort.<name> sidecar (get_Maxprimerset.py:363-371)."""
-    def _norm(line):
-        line = line.strip()
-        # collapse tab runs only when one exists: the C substring probe
-        # replaces a full regex scan per row (11.4 s of the 100k parse)
-        return line if "\t\t" not in line else _TABRUN.sub("\t", line)
+    write the sort.<name> sidecar (get_Maxprimerset.py:363-371).
 
-    with open(infile) as f:
-        primers = sorted([_LazyRow(_norm(line)) for line in f], key=len)
-    with open(sort_file, "w") as f:
-        for row in primers:
-            f.write(row.norm + "\n")
-    return primers
+    Above MPTPU_SOLVE_ROWSTORE_BYTES (default 2 GB) the rows are not
+    materialised: one streaming pass records each row's field count and
+    byte span, the sort sidecar is written by streaming rows in sorted
+    order, and a RowStore serving rows from that sidecar is returned —
+    same ordering (stable ascending field count) and byte-identical
+    outputs (tests/test_solve_golden.py::test_rowstore_equivalence)."""
+    limit = int(os.environ.get("MPTPU_SOLVE_ROWSTORE_BYTES", 2 << 30))
+    if os.path.getsize(infile) < limit:
+        with open(infile) as f:
+            primers = sorted([_LazyRow(_norm_row(line)) for line in f],
+                             key=len)
+        with open(sort_file, "w") as f:
+            for row in primers:
+                f.write(row.norm + "\n")
+        return primers
+    counts, spans = [], []
+    with open(infile, "rb") as f:
+        off = 0
+        for raw in f:
+            norm = _norm_row(raw.decode())
+            counts.append(norm.count("\t") + 1)
+            spans.append((off, len(raw)))
+            off += len(raw)
+    order = sorted(range(len(counts)), key=counts.__getitem__)
+    offsets, lengths = [], []
+    pos = 0
+    with open(infile, "rb") as src, open(sort_file, "wb") as out:
+        for i in order:
+            o, ln = spans[i]
+            src.seek(o)
+            norm = _norm_row(src.read(ln).decode()).encode()
+            out.write(norm + b"\n")
+            offsets.append(pos)
+            lengths.append(len(norm))
+            pos += len(norm) + 1
+    return RowStore(sort_file, offsets, lengths)
 
 
 def _write_tsv(rows, output):

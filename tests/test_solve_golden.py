@@ -172,3 +172,33 @@ def test_dimer_ledger_factored_matches_rescan():
     led_new.restore(snap)
     assert led_new.core_hit_ends == before
     assert led_new.core_ends == led_ref.core_ends
+
+
+@requires_reference
+def test_rowstore_equivalence(tmp_path, monkeypatch):
+    """File-backed RowStore path (forced via MPTPU_SOLVE_ROWSTORE_BYTES=0)
+    must produce byte-identical sort/final/next outputs in BOTH greedy
+    modes vs the in-memory row path."""
+    agg = str(GOLD / "candidate_primers_sets.txt")
+    mem = maxset.parse_and_sort(agg, str(tmp_path / "sort_mem.txt"))
+    assert not isinstance(mem, maxset.RowStore)
+    maxset.greedy_maximal(mem, str(tmp_path / "mem.xls"),
+                          str(tmp_path / "mem.next.xls"), step=5)
+    mem2 = maxset.parse_and_sort(agg, str(tmp_path / "sort_mem2.txt"))
+    maxset.greedy_maximum(mem2, str(tmp_path / "mem.max.xls"), step=5)
+
+    monkeypatch.setenv("MPTPU_SOLVE_ROWSTORE_BYTES", "0")
+    store = maxset.parse_and_sort(agg, str(tmp_path / "sort_fs.txt"))
+    assert isinstance(store, maxset.RowStore)
+    assert (tmp_path / "sort_fs.txt").read_bytes() \
+        == (tmp_path / "sort_mem.txt").read_bytes()
+    maxset.greedy_maximal(store, str(tmp_path / "fs.xls"),
+                          str(tmp_path / "fs.next.xls"), step=5)
+    assert (tmp_path / "fs.xls").read_bytes() \
+        == (tmp_path / "mem.xls").read_bytes()
+    assert (tmp_path / "fs.next.xls").read_bytes() \
+        == (tmp_path / "mem.next.xls").read_bytes()
+    store2 = maxset.parse_and_sort(agg, str(tmp_path / "sort_fs2.txt"))
+    maxset.greedy_maximum(store2, str(tmp_path / "fs.max.xls"), step=5)
+    assert (tmp_path / "fs.max.xls").read_bytes() \
+        == (tmp_path / "mem.max.xls").read_bytes()
